@@ -15,6 +15,21 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A: reference-derived relational operators
+    "q_window_dedup" -> (Staging.windowDedup _),
+    "q_surrogate_key" -> (Staging.surrogateKeys _),
+    "q_case_map" -> (Staging.caseMapDescriptions _),
+    "q_stg_clean" -> (Staging.stgEvents _),
+    "q_seed_dim" -> (Staging.seedDim _),
+    "q_fact_join" -> (Facts.factLineitem _),
+    "q_monthly_rollup" -> (Facts.monthlyRollup _),
+    "q_monthly_stats" -> (Facts.monthlyStats _),
+    "q_metric_timegrain" -> (Facts.metricMonthly _),
+    "q_metric_grains" -> (Facts.metricYearly _),
+    "q_check_unique" -> (Checks.checkUnique _),
+    "q_check_not_null" -> (Checks.checkNotNull _),
+    "q_check_relationships" -> (Checks.checkRelationships _),
+    "q_check_accepted_values" -> (Checks.checkAcceptedValues _),
     // B: headline analytics
     "q1_pricing" -> (Analytics.q1Pricing _),
     "q3_topk" -> (Analytics.q3TopK _),
@@ -25,6 +40,20 @@ object SparkEntry {
     * the same parquet tables. Omitted keys get a rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
+    "q_window_dedup" -> Staging.windowDedupSql,
+    "q_surrogate_key" -> Staging.surrogateKeysSql,
+    "q_case_map" -> Staging.caseMapDescriptionsSql,
+    "q_stg_clean" -> Staging.stgEventsSql,
+    "q_seed_dim" -> Staging.seedDimSql,
+    "q_fact_join" -> Facts.factLineitemSql,
+    "q_monthly_rollup" -> Facts.monthlyRollupSql,
+    "q_monthly_stats" -> Facts.monthlyStatsSql,
+    "q_metric_timegrain" -> Facts.metricMonthlySql,
+    "q_metric_grains" -> Facts.metricYearlySql,
+    "q_check_unique" -> Checks.checkUniqueSql,
+    "q_check_not_null" -> Checks.checkNotNullSql,
+    "q_check_relationships" -> Checks.checkRelationshipsSql,
+    "q_check_accepted_values" -> Checks.checkAcceptedValuesSql,
     "q1_pricing" -> Analytics.q1PricingSql,
     "q3_topk" -> Analytics.q3TopKSql,
     "q5_join5" -> Analytics.q5Join5Sql,

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Data-quality check operators (SURVEY §2 A11–A14) — the engine's
+  * equivalents of the reference's dbt schema tests
+  * (models/staging/schema.yml: `unique`, `not_null`, `relationships`,
+  * `accepted_values`). Like dbt, each check is a query returning the
+  * VIOLATING rows (a passing check returns 0 rows); counts are grouped
+  * so the result stays tiny at any scale.
+  */
+object Checks {
+
+  /** A11: `unique` test on the staging dedup key (schema.yml tripid
+    * unique) — duplicate (user_id, event_type) keys with multiplicity.
+    */
+  def checkUnique(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > 1)
+
+  val checkUniqueSql: String =
+    """SELECT user_id, event_type, COUNT(*) AS n_rows
+      |FROM events
+      |GROUP BY user_id, event_type
+      |HAVING COUNT(*) > 1""".stripMargin
+
+  /** A12: `not_null` test — null counts per guarded column, one summary
+    * row (schema.yml tripid not_null).
+    */
+  def checkNotNull(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .agg(
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("null_user_id"),
+        sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("null_event_type"),
+        sum(when(col("ts").isNull, 1L).otherwise(0L)).as("null_ts"),
+        count(lit(1)).as("total_rows"))
+
+  val checkNotNullSql: String =
+    """SELECT
+      |  SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user_id,
+      |  SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS null_event_type,
+      |  SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS null_ts,
+      |  COUNT(*) AS total_rows
+      |FROM events""".stripMargin
+
+  /** A13: `relationships` test (schema.yml pickup_locationid →
+    * taxi_zone_lookup.locationid) — FK orphans via broadcast left-anti
+    * join: events.user_id with no matching customer.c_custkey.
+    */
+  def checkRelationships(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .join(broadcast(t.customer.select("c_custkey")),
+        col("user_id") === col("c_custkey"), "left_anti")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_orphans"))
+  }
+
+  val checkRelationshipsSql: String =
+    """SELECT user_id, COUNT(*) AS n_orphans
+      |FROM events
+      |WHERE user_id NOT IN (SELECT c_custkey FROM customer)
+      |GROUP BY user_id""".stripMargin
+
+  /** A14: `accepted_values` test (schema.yml payment_type in
+    * var('payment_type_values')) — rows whose status falls outside the
+    * accepted domain, with counts.
+    */
+  def checkAcceptedValues(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .filter(!col("o_orderstatus").isin("O", "F"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"))
+
+  val checkAcceptedValuesSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_rows
+      |FROM orders
+      |WHERE o_orderstatus NOT IN ('O', 'F')
+      |GROUP BY o_orderstatus""".stripMargin
+}

@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Fns._
+import graft.sources.Tables
+
+/** Core-layer operators (SURVEY §2 A6–A10) — the engine's equivalents of
+  * fact_trips.sql (tagged union-all + double role-join to a filtered
+  * dim), dm_monthly_zone_revenue.sql / dm_monthly_zone_statistics
+  * (grouped monthly rollups), and the README's dbt metric
+  * (time-grained filtered average).
+  *
+  * Scale notes: the only wide exchange in the fact build is
+  * lineitem ⋈ orders on the order key (fact-fact); every dim side
+  * (nation⋈region dim, supplier, customer) is broadcast- or
+  * AQE-eligible. At 1000 executors the union-all is free (no shuffle —
+  * it's plan-level concatenation), and the rollups reuse the fact's
+  * exchange only through their own groupBy keys.
+  */
+object Facts {
+
+  /** A6: the fact build (fact_trips.sql). Two tagged sources union-all'd
+    * (green/yellow → 'Open'/'Final' line status), then two role-joins to
+    * the same filtered dim (pickup/dropoff zone → supplier-side and
+    * customer-side nation zone), inner joins dropping unmatched rows.
+    */
+  def factLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    // ref_dim_zones analog: dim filtered like `borough != 'Unknown'`
+    val dim = Staging.seedDim(spark, dir).filter(col("region_name") =!= "AFRICA")
+    val suppDim = dim.select(col("n_nationkey").as("supp_nationkey"),
+      col("zone_name").as("supp_zone"), col("region_name").as("supp_region"))
+    val custDim = dim.select(col("n_nationkey").as("cust_nationkey"),
+      col("zone_name").as("cust_zone"), col("region_name").as("cust_region"))
+
+    val li = t.lineitem
+    // green_data / yellow_data analog: tagged subsets, union all
+    val open  = li.filter(col("l_linestatus") === "O").withColumn("service_type", lit("Open"))
+    val fin   = li.filter(col("l_linestatus") === "F").withColumn("service_type", lit("Final"))
+    val unioned = open.unionByName(fin)
+
+    unioned
+      .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppDim), col("s_nationkey") === col("supp_nationkey"))
+      .join(t.orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custDim), col("c_nationkey") === col("cust_nationkey"))
+      .select(
+        surrogateKey(col("l_orderkey"), col("l_linenumber")).as("tripid"),
+        col("l_orderkey"), col("l_linenumber"), col("service_type"),
+        col("l_suppkey"), col("supp_zone"), col("supp_region"),
+        col("o_custkey"), col("cust_zone"), col("cust_region"),
+        col("l_shipdate"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"), col("l_returnflag"))
+  }
+
+  val factLineitemSql: String =
+    """SELECT
+      |  md5(concat_ws('-', coalesce(CAST(l_orderkey AS VARCHAR), ''), coalesce(CAST(l_linenumber AS VARCHAR), ''))) AS tripid,
+      |  l_orderkey, l_linenumber,
+      |  CASE l_linestatus WHEN 'O' THEN 'Open' ELSE 'Final' END AS service_type,
+      |  l_suppkey, supp.zone_name AS supp_zone, supp.region_name AS supp_region,
+      |  o_custkey, cust.zone_name AS cust_zone, cust.region_name AS cust_region,
+      |  l_shipdate, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN (SELECT n_nationkey, replace(n_name,'NATION_','ZONE_') AS zone_name, replace(r_name,'MIDDLE ','M_') AS region_name
+      |      FROM nation JOIN region ON n_regionkey = r_regionkey WHERE r_name != 'AFRICA') supp
+      |  ON s_nationkey = supp.n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN (SELECT n_nationkey, replace(n_name,'NATION_','ZONE_') AS zone_name, replace(r_name,'MIDDLE ','M_') AS region_name
+      |      FROM nation JOIN region ON n_regionkey = r_regionkey WHERE r_name != 'AFRICA') cust
+      |  ON c_nationkey = cust.n_nationkey""".stripMargin
+
+  /** A7: dm_monthly_zone_revenue.sql — group by (zone, month-truncated
+    * ts, service tag); monthly revenue sums + trip count + averages.
+    * Partial (map-side) aggregation shrinks the exchange to
+    * |zones|×|months|×2 rows per task.
+    */
+  def monthlyRollup(spark: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast("decimal(8,4)")
+    val d = dec(col("l_discount"), 8, 4)
+    val tx = dec(col("l_tax"), 8, 4)
+    val ep = dec(col("l_extendedprice"))
+    factLineitem(spark, dir)
+      .groupBy(col("supp_zone").as("revenue_zone"),
+        date_trunc("month", col("l_shipdate")).as("revenue_month"),
+        col("service_type"))
+      .agg(
+        decSum(col("l_quantity")).as("revenue_monthly_quantity"),
+        decSum(col("l_extendedprice")).as("revenue_monthly_base"),
+        decSumProd(ep * d).as("revenue_monthly_discount"),
+        decSumProd(ep * tx).as("revenue_monthly_tax"),
+        decSumProd(ep * (one - d)).as("revenue_monthly_disc_price"),
+        decSumProd(ep * (one - d) * (one + tx)).as("revenue_monthly_total"),
+        count(col("tripid")).as("total_monthly_trips"),
+        decAvg(col("l_quantity")).as("avg_monthly_quantity"),
+        decAvg(col("l_extendedprice")).as("avg_monthly_price"))
+  }
+
+  private val factCte: String =
+    """WITH fact AS (
+      |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_shipdate,
+      |    CASE l_linestatus WHEN 'O' THEN 'Open' ELSE 'Final' END AS service_type,
+      |    supp.zone_name AS supp_zone, supp.region_name AS supp_region,
+      |    cust.zone_name AS cust_zone, cust.region_name AS cust_region
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN (SELECT n_nationkey, replace(n_name,'NATION_','ZONE_') AS zone_name, replace(r_name,'MIDDLE ','M_') AS region_name
+      |        FROM nation JOIN region ON n_regionkey = r_regionkey WHERE r_name != 'AFRICA') supp
+      |    ON s_nationkey = supp.n_nationkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN (SELECT n_nationkey, replace(n_name,'NATION_','ZONE_') AS zone_name, replace(r_name,'MIDDLE ','M_') AS region_name
+      |        FROM nation JOIN region ON n_regionkey = r_regionkey WHERE r_name != 'AFRICA') cust
+      |    ON c_nationkey = cust.n_nationkey
+      |)""".stripMargin
+
+  val monthlyRollupSql: String = factCte +
+    """
+      |SELECT supp_zone AS revenue_zone,
+      |  CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS revenue_month,
+      |  service_type,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS revenue_monthly_quantity,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue_monthly_base,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(8,4))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue_monthly_discount,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(8,4))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue_monthly_tax,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue_monthly_disc_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))) * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue_monthly_total,
+      |  COUNT(*) AS total_monthly_trips,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_monthly_quantity,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_monthly_price
+      |FROM fact
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** A8: dm_monthly_zone_statistics.sql (README step 2a) — same grouping
+    * keys, count + averages only.
+    */
+  def monthlyStats(spark: SparkSession, dir: String): DataFrame =
+    factLineitem(spark, dir)
+      .groupBy(col("supp_zone").as("stats_zone"),
+        date_trunc("month", col("l_shipdate")).as("stats_month"),
+        col("service_type"))
+      .agg(
+        count(col("tripid")).as("total_monthly_trips"),
+        decAvg(col("l_quantity")).as("avg_monthly_quantity"),
+        decAvg(col("l_extendedprice")).as("avg_monthly_price"))
+
+  val monthlyStatsSql: String = factCte +
+    """
+      |SELECT supp_zone AS stats_zone,
+      |  CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS stats_month,
+      |  service_type,
+      |  COUNT(*) AS total_monthly_trips,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_monthly_quantity,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_monthly_price
+      |FROM fact
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** A9: the dbt metric (README §4–5): average of a measure at month
+    * grain with two dim equality filters (pickup_borough = 'Manhattan'
+    * AND dropoff_borough = 'Manhattan' → supp/cust region = 'EUROPE').
+    */
+  def metricMonthly(spark: SparkSession, dir: String): DataFrame =
+    factLineitem(spark, dir)
+      .filter(col("supp_region") === "EUROPE" && col("cust_region") === "EUROPE")
+      .groupBy(date_trunc("month", col("l_shipdate")).as("grain_month"))
+      .agg(decAvg(col("l_quantity")).as("average_quantity"))
+
+  val metricMonthlySql: String = factCte +
+    """
+      |SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS grain_month,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS average_quantity
+      |FROM fact
+      |WHERE supp_region = 'EUROPE' AND cust_region = 'EUROPE'
+      |GROUP BY 1""".stripMargin
+
+  /** A10: same metric at year grain (time_grains: [month, quarter,
+    * year] parameterization).
+    */
+  def metricYearly(spark: SparkSession, dir: String): DataFrame =
+    factLineitem(spark, dir)
+      .filter(col("supp_region") === "EUROPE" && col("cust_region") === "EUROPE")
+      .groupBy(date_trunc("year", col("l_shipdate")).as("grain_year"))
+      .agg(decAvg(col("l_quantity")).as("average_quantity"))
+
+  val metricYearlySql: String = factCte +
+    """
+      |SELECT CAST(date_trunc('year', l_shipdate) AS TIMESTAMP) AS grain_year,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS average_quantity
+      |FROM fact
+      |WHERE supp_region = 'EUROPE' AND cust_region = 'EUROPE'
+      |GROUP BY 1""".stripMargin
+}

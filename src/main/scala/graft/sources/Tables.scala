@@ -23,7 +23,17 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  def events: DataFrame     = t("events")
+
+  /** The events feed carries nanosecond parquet timestamps, which Spark's
+    * TimestampType (µs) cannot hold; read `ts` as a raw nanosecond long
+    * (lossless) and let operators derive µs/timestamps via
+    * [[graft.functions.Fns.nsToUs]] — flooring exactly like engines that
+    * narrow ns→µs on read.
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events")
+  }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }
