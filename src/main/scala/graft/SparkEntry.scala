@@ -30,6 +30,9 @@ object SparkEntry {
     "q_check_not_null" -> (Checks.checkNotNull _),
     "q_check_relationships" -> (Checks.checkRelationships _),
     "q_check_accepted_values" -> (Checks.checkAcceptedValues _),
+    // D: event-time operators (batch face; streaming face in tests)
+    "q_hourly_events" -> (graft.streaming.Events.qHourlyEvents _),
+    "q_sessionize" -> (graft.streaming.Events.qSessionize _),
     // B: headline analytics
     "q1_pricing" -> (Analytics.q1Pricing _),
     "q3_topk" -> (Analytics.q3TopK _),
@@ -54,6 +57,8 @@ object SparkEntry {
     "q_check_not_null" -> Checks.checkNotNullSql,
     "q_check_relationships" -> Checks.checkRelationshipsSql,
     "q_check_accepted_values" -> Checks.checkAcceptedValuesSql,
+    "q_hourly_events" -> graft.streaming.Events.qHourlyEventsSql,
+    "q_sessionize" -> graft.streaming.Events.qSessionizeSql,
     "q1_pricing" -> Analytics.q1PricingSql,
     "q3_topk" -> Analytics.q3TopKSql,
     "q5_join5" -> Analytics.q5Join5Sql,

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Fns._
+import graft.sources.Tables
+
+/** Event-time operators (SURVEY §2 D-block). The transforms are written
+  * against a plain DataFrame so the SAME code serves batch (`read`, the
+  * driver's oracle path) and Structured Streaming (`readStream` +
+  * watermark — exercised in the streaming test suite). This mirrors how
+  * the reference treats tripdata as both a batch table and an
+  * incrementally-loaded feed.
+  */
+object Events {
+
+  /** Shared transform: tumbling hourly window aggregate. In streaming
+    * mode the caller adds `.withWatermark("event_ts", …)` upstream; the
+    * plan (window + partial agg + final agg) is identical.
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("event_ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("total_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** D1: hourly tumbling-window aggregate over the events feed. */
+  def qHourlyEvents(spark: SparkSession, dir: String): DataFrame =
+    hourlyAgg(Tables(spark, dir).events
+      .withColumn("event_ts", nsToTimestamp(col("ts"))))
+
+  val qHourlyEventsSql: String =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
+  /** D2: gap-based sessionization via Spark's native `session_window`
+    * (30-minute inactivity gap). A new session opens when the gap to the
+    * previous event is ≥ 30 min (session_window ends are exclusive).
+    * One shuffle keyed by user — the semantically-required exchange; at
+    * scale the session merge is per-key streaming state, not a sort of
+    * the whole feed.
+    */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .withColumn("event_ts", nsToTimestamp(col("ts")))
+      .groupBy(session_window(col("event_ts"), "30 minutes"), col("user_id"))
+      .agg(
+        min(unix_micros(col("event_ts"))).as("session_start_us"),
+        count(lit(1)).as("n_events"),
+        decSum(col("value")).as("total_value"))
+      .select(col("user_id"), col("session_start_us"), col("n_events"),
+        col("total_value"))
+
+  val qSessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events
+      |), flagged AS (
+      |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+      |                   OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |), numbered AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, MIN(ts_us) AS session_start_us, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM numbered
+      |GROUP BY user_id, session_id""".stripMargin
+}
