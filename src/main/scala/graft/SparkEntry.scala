@@ -30,6 +30,22 @@ object SparkEntry {
     "q_check_not_null" -> (Checks.checkNotNull _),
     "q_check_relationships" -> (Checks.checkRelationships _),
     "q_check_accepted_values" -> (Checks.checkAcceptedValues _),
+    // C: LLM-training-data pipeline operators
+    "q_dedup_exact" -> (TextAnalysis.dedupExact _),
+    "q_dedup_minhash" -> (Dedup.minhashLsh _),
+    "q_dedup_simhash" -> (Dedup.simhash _),
+    "q_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "q_dedup_embedding" -> (Dedup.embeddingNearDup _),
+    "q_ann_topk" -> (Ann.annTopK _),
+    "q_ann_lsh" -> (Ann.annLsh _),
+    "q_lang_id" -> (TextAnalysis.langId _),
+    "q_quality_score" -> (TextAnalysis.qualityScore _),
+    "q_token_count" -> (TextAnalysis.tokenCount _),
+    "q_token_bpe" -> (TextAnalysis.tokenBpe _),
+    "q_fingerprint" -> (TextAnalysis.fingerprint _),
+    "q_winnow" -> (TextAnalysis.winnow _),
+    "q_multimodal_meta" -> (Multimodal.multimodalMeta _),
+    "q_multimodal_features" -> (Multimodal.multimodalFeatures _),
     // D: event-time operators (batch face; streaming face in tests)
     "q_hourly_events" -> (graft.streaming.Events.qHourlyEvents _),
     "q_sessionize" -> (graft.streaming.Events.qSessionize _),
@@ -57,6 +73,15 @@ object SparkEntry {
     "q_check_not_null" -> Checks.checkNotNullSql,
     "q_check_relationships" -> Checks.checkRelationshipsSql,
     "q_check_accepted_values" -> Checks.checkAcceptedValuesSql,
+    "q_dedup_exact" -> TextAnalysis.dedupExactSql,
+    "q_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    "q_dedup_embedding" -> Dedup.embeddingNearDupSql,
+    "q_ann_topk" -> Ann.annTopKSql,
+    "q_lang_id" -> TextAnalysis.langIdSql,
+    "q_quality_score" -> TextAnalysis.qualityScoreSql,
+    "q_token_count" -> TextAnalysis.tokenCountSql,
+    "q_fingerprint" -> TextAnalysis.fingerprintSql,
+    "q_multimodal_meta" -> Multimodal.multimodalMetaSql,
     "q_hourly_events" -> graft.streaming.Events.qHourlyEventsSql,
     "q_sessionize" -> graft.streaming.Events.qSessionizeSql,
     "q1_pricing" -> Analytics.q1PricingSql,

@@ -101,6 +101,20 @@ object Fns {
   def tokens(text: Column): Column =
     split(trim(text), "\\s+")
 
+  // -------------------------------------------------------------- vectors
+
+  /** Double-precision dot product of two float arrays via zip_with +
+    * a sequential left-fold (deterministic accumulation order).
+    * float×float promoted to double is exact (24+24 mantissa bits < 53).
+    */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity over float-array embeddings. */
+  def cosineSim(a: Column, b: Column): Column =
+    dotProduct(a, b) / (sqrt(dotProduct(a, a)) * sqrt(dotProduct(b, b)))
+
   /** Distinct word n-gram shingles of a token array — built with HOFs
     * (transform over an index sequence), fully codegen, no explode.
     */

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Fns._
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the embedding column
+  * (SURVEY §2 C6–C7).
+  *
+  * C6 is the exact brute-force baseline: the (small, bounded) query set
+  * is broadcast against the corpus — a map-side nested-loop scoring pass
+  * with no corpus shuffle, then a per-query top-k window. At 100 TB the
+  * same plan holds: queries broadcast, corpus streams.
+  *
+  * C7 is the scale path: random-hyperplane LSH buckets the corpus once
+  * (map-only), and each query only scores its own bucket — swapping the
+  * bucketer for learned centroids gives IVF with the identical plan
+  * shape.
+  */
+object Ann {
+
+  private val TopK = 10
+  private val NQueries = 10
+
+  /** Per-query top-k by (rounded cosine desc, vec_id) — rounding makes
+    * rank order engine-portable; vec_id breaks the remaining ties.
+    */
+  private def rank(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+  }
+
+  /** C6: exact brute-force cosine top-k (oracle-checked baseline). */
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosineSim(col("q_emb"), col("embedding")), 3).as("cosine"))
+    rank(scored)
+  }
+
+  val annTopKSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NQueries
+       |), scored AS (
+       |  SELECT query_id, vec_id,
+       |    round(list_cosine_similarity(CAST(q_emb AS DOUBLE[]), CAST(embedding AS DOUBLE[])), 3) AS cosine
+       |  FROM q JOIN embeddings ON vec_id != query_id
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= $TopK""".stripMargin
+
+  private val Planes = 8
+  private val Dim = 64
+
+  /** Deterministic pseudo-random hyperplanes (fixed-seed LCG via
+    * java.util.Random — stable across JVMs by spec).
+    */
+  private lazy val hyperplanes: Seq[Seq[Double]] = {
+    val rnd = new java.util.Random(42L)
+    Seq.fill(Planes)(Seq.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit bucket id of an embedding under the fixed hyperplanes. */
+  private def bucketOf(emb: Column): Column =
+    (0 until Planes).map { p =>
+      when(dotProduct(emb, typedLit(hyperplanes(p)).cast("array<double>")) > 0,
+        lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** C7: LSH-bucketed ANN — queries only score their own bucket
+    * (rows-only: bucketing hashes aren't oracle-portable).
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+      .withColumn("bucket", bucketOf(col("embedding")))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("bucket"))
+    val scored = e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosineSim(col("q_emb"), col("embedding")), 3).as("cosine"))
+    rank(scored)
+  }
+}

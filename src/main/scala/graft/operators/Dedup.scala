@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Fns._
+import graft.sources.Tables
+
+/** Near-duplicate detection operators (SURVEY §2 C2–C5).
+  *
+  * Scale design (the 100 TB story): signatures (minhash/simhash) are
+  * computed row-local with HOFs over built-in hash functions — a narrow
+  * map stage, zero shuffle. The only exchanges carry (doc_id, small
+  * signature) pairs — bytes per document, not the document text — and
+  * candidate verification joins fetch full token sets only for the tiny
+  * candidate fraction. Banding keys are high-cardinality hashes, so no
+  * hot partitions.
+  */
+object Dedup {
+
+  private val MinhashK = 32 // permutations
+  private val Bands = 8     // 8 bands × 4 rows: s-curve knee ≈ 0.55 jaccard
+
+  private def tokenized(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"), shingles(split(col("text"), " "), 3).as("sh"))
+
+  /** Per-doc minhash signature columns mh0..mh31 — `array_min` over a
+    * seeded xxhash64 of each shingle; pure codegen, no shuffle.
+    */
+  private def withSignature(docs: DataFrame): DataFrame = {
+    val sigCols = (0 until MinhashK).map { i =>
+      array_min(transform(col("sh"), s => xxhash64(lit(i), s))).as(s"mh$i")
+    }
+    docs.select(col("doc_id") +: col("sh") +: sigCols: _*)
+  }
+
+  /** C2: MinHash + LSH banding near-dup pairs.
+    * Pipeline: signature (map-only) → explode 8 band hashes → self-join
+    * on (band, hash) → distinct candidate pairs → exact-Jaccard verify
+    * on the candidates only. Output: every candidate pair with its
+    * verified jaccard and an `is_dup` verdict at 0.5.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sig = withSignature(tokenized(spark, dir))
+    val bandStructs = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((4 * b until 4 * b + 4).map(i => col(s"mh$i")): _*).as("bh"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
+
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    val sets = tokenized(spark, dir).select(col("doc_id"), col("sh"))
+    val verified = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("n_inter"),
+        size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
+    verified.select(col("doc_a"), col("doc_b"),
+      (col("n_inter") / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"),
+      (col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")) >= 0.5).as("is_dup"))
+  }
+
+  /** C3: 64-bit SimHash near-dup detection. The signature is built as
+    * 4×16-bit bands (pigeonhole: hamming ≤ 3 over 64 bits ⇒ at least
+    * one of 4 bands identical, so a band-equality join finds ALL such
+    * pairs). Output: per-doc signature bands + near-neighbor count.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val pow2 = typedLit((0 until 16).map(j => 1L << j))
+    val tk = split(col("text"), " ")
+    val tokh = transform(array_distinct(tk), t => xxhash64(t))
+    // bit-vote counts: fold token hashes into a 64-wide ±1 tally
+    val votes = aggregate(tokh,
+      typedLit(Seq.fill(64)(0L)),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)),
+          b => when(call_function("shiftright", h, b.cast("int")).bitwiseAND(1) === 1, 1L).otherwise(-1L)),
+        (a, v) => a + v))
+    // band k = bits 16k..16k+15 packed little-endian
+    val sig = Tables(spark, dir).documents
+      .select(col("doc_id"), votes.as("votes"))
+      .select(col("doc_id") +: (0 until 4).map(k =>
+        aggregate(sequence(lit(0), lit(15)), lit(0L),
+          (acc, j) => acc + when(element_at(col("votes"), j.cast("int") + lit(16 * k + 1)) > 0,
+            element_at(pow2, j.cast("int") + 1)).otherwise(0L)).as(s"b$k")): _*)
+
+    val bands = sig.select(col("doc_id"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("band"), col(s"b$k").as("bv"))): _*)).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bv").as("bv"))
+
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .join(sig.select(col("doc_id").as("doc_a"),
+        col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"),
+        col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(col("a0").bitwiseXOR(col("c0"))) +
+          bit_count(col("a1").bitwiseXOR(col("c1"))) +
+          bit_count(col("a2").bitwiseXOR(col("c2"))) +
+          bit_count(col("a3").bitwiseXOR(col("c3")))).as("hamming"))
+      .filter(col("hamming") <= 3)
+
+    val near = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
+
+    sig.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+  }
+
+  /** C4: exact word-3-gram Jaccard similarity pairs, blocked by `lang`
+    * (the zone analog of blocking) — the oracle-checkable exact
+    * baseline that C2 approximates at scale.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = tokenized(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(col("sh")).as("s"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.lang") === col("b.lang") && col("a.s") === col("b.s") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
+        (col("n_inter") / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+  }
+
+  val ngramJaccardSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, lang, array_to_string(tk[i:i+2], ' ') AS s
+      |  FROM toks, unnest(range(1, greatest(len(tk) - 1, 2))) AS t(i)
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b, n_inter, x.n AS n_a, y.n AS n_b,
+      |  n_inter / (x.n + y.n - n_inter) AS jaccard
+      |FROM inter JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+      |WHERE n_inter / (x.n + y.n - n_inter) >= 0.2""".stripMargin
+
+  /** C5: embedding cosine near-dup pairs, blocked by `label` (IVF-style
+    * blocking: at scale the block key bounds the quadratic term).
+    * Cosine is rounded to 3 decimals before the threshold compare so
+    * engine-level float fold order can't flip boundary rows.
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
+      .select(col("label"), col("vec_a"), col("vec_b"),
+        round(cosineSim(col("emb_a"), col("emb_b")), 3).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+  }
+
+  val embeddingNearDupSql: String =
+    """SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 3) AS cosine
+      |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 3) >= 0.4""".stripMargin
+}

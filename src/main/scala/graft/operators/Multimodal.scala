@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal-column plumbing (SURVEY §2 C14–C15): image/audio/video
+  * payloads are opaque `binary` columns with typed metadata alongside.
+  * The container has no media codecs, so the DECODE step is a
+  * clearly-marked deterministic stub — but the Spark-side plumbing
+  * (schema, binary encoding, typed Dataset, mapPartitions batch shape,
+  * partition-parallel feature extraction) is real and tested.
+  */
+object Multimodal {
+
+  /** C14: opaque-binary column + typed metadata. `payload` stands in
+    * for image/audio bytes (UTF-8 of the doc text here — the schema and
+    * byte accounting are what's exercised).
+    */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        col("source"), col("lang"))
+      // byte accounting on the opaque payload itself, plus a
+      // content-addressed id (binary columns don't hash portably across
+      // compare harnesses, so the payload is fingerprinted, not emitted)
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("int").as("n_bytes"),
+        md5(col("payload")).as("payload_md5"),
+        lit("text/plain").as("mime"),
+        col("source").as("meta_source"),
+        col("lang").as("meta_lang"))
+
+  val multimodalMetaSql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+      |  md5(text) AS payload_md5,
+      |  'text/plain' AS mime, source AS meta_source, lang AS meta_lang
+      |FROM documents""".stripMargin
+
+  /** Input/output rows of the feature extractor. */
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Int,
+      features: Array[Float], frame_sample: Array[Int])
+
+  /** STUB decode: a real pipeline would call an image/audio codec here
+    * (libs absent in this container). This deterministic fake folds the
+    * payload bytes into an 8-bin histogram-ish feature vector and
+    * "samples frames" as the first 4 byte values, preserving the exact
+    * batch shape (bytes in → fixed-dim float features out) a decoder
+    * would have.
+    */
+  private def decodeStub(r: MediaRow): MediaFeatures = {
+    val feats = new Array[Float](8)
+    var i = 0
+    while (i < r.payload.length) {
+      feats(i % 8) += (r.payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    val n = math.max(r.payload.length, 1)
+    MediaFeatures(
+      r.doc_id, r.payload.length,
+      feats.map(_ / n),
+      r.payload.take(4).map(b => (b & 0xff): Int))
+  }
+
+  /** C15: partition-parallel feature extraction over binary payloads —
+    * the `mapPartitions` shape a real decoder (batched, per-executor
+    * codec init) would use. Narrow, no shuffle; scales with executors.
+    */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as(Encoders.product[MediaRow])
+    rows.mapPartitions(it => it.map(decodeStub))(Encoders.product[MediaFeatures])
+      .toDF()
+  }
+}

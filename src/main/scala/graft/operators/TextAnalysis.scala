@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Fns._
+import graft.sources.Tables
+
+/** Text-analysis operators for LLM training-data pipelines
+  * (SURVEY §2 C1, C8–C13): exact dedup, language ID, quality scoring,
+  * token counting, fingerprinting. All per-document computation is
+  * map-only (narrow) — no shuffle except where the semantics require a
+  * groupBy (exact dedup's hash key) — so every operator scales linearly
+  * with executors.
+  *
+  * Oracle-parity rule: counting uses the length/replace identity (same
+  * arithmetic stated in DuckDB SQL) rather than engine-specific regex
+  * dialects; integer-valued intermediates are cast to INT explicitly on
+  * both sides.
+  */
+object TextAnalysis {
+
+  /** C1: exact deduplication — group by content hash, keep the smallest
+    * doc_id as canonical. At 100 TB the exchange carries (128-bit hash,
+    * id), never the document text.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(md5(col("text")).as("text_hash"), col("doc_id"))
+      .groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(text)""".stripMargin
+
+  // Stopword marker lists (space-padded whole-word hits).
+  private val enStops = Seq("the", "and", "of")
+  private val deStops = Seq("der", "und", "die")
+  private val esStops = Seq("el", "la", "los")
+
+  private def padded: Column = concat(lit(" "), col("text"), lit(" "))
+
+  private def hits(words: Seq[String]): Column =
+    words.map(w => substrCount(padded, s" $w ")).reduce(_ + _).cast("int")
+
+  private def hitsSql(words: Seq[String]): String =
+    words.map(w =>
+      s"CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' $w ', ''))) / ${w.length + 2} AS INTEGER)")
+      .mkString("(", " + ", ")")
+
+  /** C8: language ID via stopword-marker hits — the classic cheap n-gram
+    * heuristic (fastText-style lists reduced to 3 markers/language).
+    * Deterministic precedence CASE picks the winner; 'und' when no
+    * marker fires.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val en = hits(enStops); val de = hits(deStops); val es = hits(esStops)
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang").as("claimed_lang"),
+        en.as("en_hits"), de.as("de_hits"), es.as("es_hits"),
+        when(en >= de && en >= es && en > 0, "en")
+          .when(de >= es && de > 0, "de")
+          .when(es > 0, "es")
+          .otherwise("und").as("predicted_lang"))
+  }
+
+  val langIdSql: String = {
+    val en = hitsSql(enStops); val de = hitsSql(deStops); val es = hitsSql(esStops)
+    s"""SELECT doc_id, lang AS claimed_lang,
+       |  $en AS en_hits, $de AS de_hits, $es AS es_hits,
+       |  CASE WHEN $en >= $de AND $en >= $es AND $en > 0 THEN 'en'
+       |       WHEN $de >= $es AND $de > 0 THEN 'de'
+       |       WHEN $es > 0 THEN 'es'
+       |       ELSE 'und' END AS predicted_lang
+       |FROM documents""".stripMargin
+  }
+
+  /** C9: quality scoring — length, punctuation ratio, stopword ratio,
+    * average word length, and a composite score. The formula is stated
+    * with identical operation order in the oracle so doubles match
+    * bit-for-bit.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val nChars = length(col("text")).cast("int")
+    val spaces = substrCount(col("text"), " ")
+    val words = (spaces + 1).cast("int")
+    val punct = (substrCount(col("text"), ".") + substrCount(col("text"), ",") +
+      substrCount(col("text"), "!")).cast("int")
+    val stops = hits(enStops)
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      nChars.as("n_chars"),
+      words.as("word_count"),
+      punct.as("punct_count"),
+      stops.as("stopword_count"),
+      (stops / words).as("stopword_ratio"),
+      (punct / words).as("punct_ratio"),
+      ((nChars - spaces) / words).as("avg_word_len"),
+      (stops / words * lit(0.5) + least(words, lit(100)) / lit(100) * lit(0.5))
+        .as("quality_score"))
+  }
+
+  val qualityScoreSql: String = {
+    val spaces = "CAST((length(text) - length(replace(text, ' ', ''))) AS INTEGER)"
+    val words = s"CAST($spaces + 1 AS INTEGER)"
+    val punct = ("CAST(" + Seq(".", ",", "!").map(c =>
+      s"(length(text) - length(replace(text, '$c', '')))").mkString(" + ") +
+      " AS INTEGER)")
+    val stops = hitsSql(enStops)
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS INTEGER) AS n_chars,
+       |  $words AS word_count,
+       |  $punct AS punct_count,
+       |  $stops AS stopword_count,
+       |  $stops / $words AS stopword_ratio,
+       |  $punct / $words AS punct_ratio,
+       |  (CAST(length(text) AS INTEGER) - $spaces) / $words AS avg_word_len,
+       |  $stops / $words * 0.5 + least($words, 100) / 100 * 0.5 AS quality_score
+       |FROM documents""".stripMargin
+  }
+
+  /** C10: whitespace token counting (portable arithmetic form). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      (substrCount(col("text"), " ") + 1).cast("int").as("ws_token_count"),
+      length(col("text")).cast("int").as("n_chars"))
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  CAST((length(text) - length(replace(text, ' ', ''))) + 1 AS INTEGER) AS ws_token_count,
+      |  CAST(length(text) AS INTEGER) AS n_chars
+      |FROM documents""".stripMargin
+
+  /** C11: BPE-ish token counting — regex word/number/symbol pieces, the
+    * usual pre-tokenizer shape (rows-only: regex dialects are not
+    * oracle-portable).
+    */
+  def tokenBpe(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+        .cast("int").as("bpe_token_count"))
+
+  /** C12: document fingerprint — md5 of case/whitespace-normalized text. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      md5(lower(trim(col("text")))).as("fingerprint"),
+      length(col("text")).cast("int").as("n_chars"))
+
+  val fingerprintSql: String =
+    """SELECT doc_id, md5(lower(trim(text))) AS fingerprint,
+      |  CAST(length(text) AS INTEGER) AS n_chars
+      |FROM documents""".stripMargin
+
+  /** C13: winnowing fingerprints (Schleimer et al., SIGMOD'03): hash the
+    * ordered 3-gram sequence, take the min hash of each sliding window
+    * of 8, keep the distinct minima. Map-only via HOFs — no explode, no
+    * shuffle (rows-only: per-engine hash functions differ).
+    */
+  def winnow(spark: SparkSession, dir: String): DataFrame = {
+    val tk = split(col("text"), " ")
+    val grams = when(size(tk) >= 3,
+      transform(sequence(lit(1), size(tk) - 2), i => concat_ws(" ", slice(tk, i, lit(3)))))
+      .otherwise(array(concat_ws(" ", tk)))
+    val hs = transform(grams, g => xxhash64(g))
+    val mins = transform(
+      sequence(lit(1), greatest(size(hs) - 7, lit(1))),
+      i => array_min(slice(hs, i, lit(8))))
+    val fps = array_distinct(mins)
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      size(fps).cast("int").as("n_fingerprints"),
+      array_min(fps).as("min_fingerprint"))
+  }
+}
