@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled single-pass kernels behind graft's native Catalyst
+  * expressions (see [[NativeExprs]]). Each is a tight JVM loop over
+  * Spark's unsafe array format — no per-element lambda dispatch, no
+  * intermediate array materialization, O(n) instead of the O(n·w)
+  * slice-per-window shapes HOF pipelines degrade into when Catalyst's
+  * CollapseProject re-inlines upstream array expressions.
+  */
+object Kernels {
+
+  private val Seed = 42L
+
+  @inline private def hashUtf8(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+
+  /** Cosine similarity of two float32 vectors in double precision,
+    * left-to-right accumulation (bit-compatible with the HOF
+    * zip_with/aggregate formulation and with engines that fold
+    * sequentially — see SURVEY §8).
+    */
+  def cosineF32(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Hash of the n-gram starting at token `j` under permutation seed
+    * `seed`: token hashes chained (h = xxh64(tok, prev)) — no gram
+    * string is ever materialized.
+    */
+  @inline private def gramHash(toks: ArrayData, j: Int, n: Int, seed: Long): Long = {
+    var h = seed
+    var t = j
+    val end = math.min(j + n, toks.numElements())
+    while (t < end) { h = hashUtf8(toks.getUTF8String(t), h); t += 1 }
+    h
+  }
+
+  /** k-permutation MinHash signature over token n-grams: sig[i] =
+    * min over gram positions of the seed-i chained gram hash. Multiset
+    * vs set of grams is immaterial under min. Single pass, no boxing,
+    * no gram materialization.
+    */
+  def minhash(tokens: ArrayData, n: Int, k: Int): ArrayData = {
+    val len = tokens.numElements()
+    val grams = math.max(len - n + 1, 1)
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var j = 0
+    while (j < grams) {
+      var i = 0
+      while (i < k) {
+        val h = gramHash(tokens, j, n, i.toLong)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over a token array (Charikar'02): per-bit ±1 votes
+    * from each token's xxh64; sign of the tally sets the bit.
+    */
+  def simhash64(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var j = 0
+    while (j < n) {
+      val h = hashUtf8(tokens.getUTF8String(j), Seed)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** Distinct chained n-gram hashes of a token array, first-seen order.
+    * The 64-bit hash stands in for the gram string (set semantics are
+    * preserved up to hash collisions, ~2^-64 per pair): downstream
+    * set-similarity joins/intersections then move 8-byte longs instead
+    * of gram strings — the at-scale shuffle-width win.
+    */
+  def gramHashes(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    val grams = math.max(len - n + 1, if (len == 0) 0 else 1)
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j < grams) { out.add(gramHash(tokens, j, n, Seed)); j += 1 }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03) over token
+    * n-grams: hash each gram (chained, no materialization), take the
+    * min of every sliding window of `w`, emit the distinct minima in
+    * first-seen order. O(len) via a monotonic deque.
+    */
+  def winnow(tokens: ArrayData, ngram: Int, w: Int): ArrayData = {
+    val len = tokens.numElements()
+    val n = math.max(len - ngram + 1, if (len == 0) 0 else 1)
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = gramHash(tokens, i, ngram, Seed); i += 1 }
+    val win = math.min(w, n)
+    val deque = new Array[Int](n)
+    var head = 0; var tail = 0 // indices into deque; deque holds positions
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i < n) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - win) head += 1
+      if (i >= win - 1) out.add(hs(deque(head)))
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+}

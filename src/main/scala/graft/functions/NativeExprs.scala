@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for graft's signature/vector kernels —
+  * the (b) tier of SURVEY §3's preference order: scalar functions Spark
+  * lacks, implemented as `Expression`s with `doGenCode` so they stay
+  * inside whole-stage codegen (each generates a single static call into
+  * [[Kernels]] — no lambda dispatch, no fallback to interpreted
+  * projection).
+  */
+object NativeExprs {
+
+  /** cosine(float32[], float32[]) → double. */
+  case class CosineSimF32(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.cosineF32(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.cosineF32($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  /** minhash(string[] tokens, ngram, k) → long[k] signature. */
+  case class MinHashSig(child: Expression, ngram: Int, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(toks: Any): Any =
+      Kernels.minhash(toks.asInstanceOf[ArrayData], ngram, k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.functions.Kernels.minhash($a, $ngram, $k)")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** simhash64(string[] tokens) → long. */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(toks: Any): Any =
+      Kernels.simhash64(toks.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.functions.Kernels.simhash64($a)")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** gram_hashes(string[] tokens, n) → long[] distinct n-gram hashes. */
+  case class GramHashes(child: Expression, ngram: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(toks: Any): Any =
+      Kernels.gramHashes(toks.asInstanceOf[ArrayData], ngram)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.functions.Kernels.gramHashes($a, $ngram)")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** winnow(string[] tokens, ngram, w) → long[] distinct window-min
+    * fingerprints.
+    */
+  case class WinnowFps(child: Expression, ngram: Int, w: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(toks: Any): Any =
+      Kernels.winnow(toks.asInstanceOf[ArrayData], ngram, w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.functions.Kernels.winnow($a, $ngram, $w)")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  // Column-API faces (GraftBridge wraps Spark 4's Column↔Expression bridge)
+  import org.apache.spark.sql.GraftBridge.{column, expression}
+  def cosine_f32(a: Column, b: Column): Column =
+    column(CosineSimF32(expression(a), expression(b)))
+  def minhash_sig(tokens: Column, ngram: Int, k: Int): Column =
+    column(MinHashSig(expression(tokens), ngram, k))
+  def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
+  def gram_hashes(tokens: Column, ngram: Int): Column =
+    column(GramHashes(expression(tokens), ngram))
+  def winnow_fps(tokens: Column, ngram: Int, w: Int): Column =
+    column(WinnowFps(expression(tokens), ngram, w))
+}

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.{Fns, NativeExprs}
 import graft.functions.Fns._
 import graft.sources.Tables
 
@@ -38,11 +39,12 @@ object Ann {
   /** C6: exact brute-force cosine top-k (oracle-checked baseline). */
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
+      .repartition(spark.sparkContext.defaultParallelism)
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosineSim(col("q_emb"), col("embedding")), 3).as("cosine"))
+        round(NativeExprs.cosine_f32(col("q_emb"), col("embedding")), 3).as("cosine"))
     rank(scored)
   }
 
@@ -89,7 +91,7 @@ object Ann {
     val scored = e.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosineSim(col("q_emb"), col("embedding")), 3).as("cosine"))
+        round(NativeExprs.cosine_f32(col("q_emb"), col("embedding")), 3).as("cosine"))
     rank(scored)
   }
 }

@@ -20,31 +20,33 @@ object Dedup {
   private val MinhashK = 32 // permutations
   private val Bands = 8     // 8 bands × 4 rows: s-curve knee ≈ 0.55 jaccard
 
+  /** (doc_id, lang, distinct 3-gram hash set). The repartition spreads
+    * the single-row-group local test file across all cores — on a real
+    * cluster the source arrives pre-split and this coalesces to a no-op
+    * exchange of (id, lang, text) only.
+    */
   private def tokenized(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
-      .select(col("doc_id"), col("lang"), shingles(split(col("text"), " "), 3).as("sh"))
-
-  /** Per-doc minhash signature columns mh0..mh31 — `array_min` over a
-    * seeded xxhash64 of each shingle; pure codegen, no shuffle.
-    */
-  private def withSignature(docs: DataFrame): DataFrame = {
-    val sigCols = (0 until MinhashK).map { i =>
-      array_min(transform(col("sh"), s => xxhash64(lit(i), s))).as(s"mh$i")
-    }
-    docs.select(col("doc_id") +: col("sh") +: sigCols: _*)
-  }
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.NativeExprs.gram_hashes(split(col("text"), " "), 3).as("sh"))
 
   /** C2: MinHash + LSH banding near-dup pairs.
-    * Pipeline: signature (map-only) → explode 8 band hashes → self-join
-    * on (band, hash) → distinct candidate pairs → exact-Jaccard verify
-    * on the candidates only. Output: every candidate pair with its
-    * verified jaccard and an `is_dup` verdict at 0.5.
+    * Pipeline: signature (map-only, native [[NativeExprs.MinHashSig]]
+    * expression — single pass, no gram materialization, CSE-friendly)
+    * → explode 8 band hashes → self-join on (band, hash) → distinct
+    * candidate pairs → exact-Jaccard verify on the candidates only.
+    * Output: every candidate pair with its verified jaccard and an
+    * `is_dup` verdict at 0.5.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sig = withSignature(tokenized(spark, dir))
+    import graft.functions.NativeExprs.minhash_sig
+    val sig = Tables(spark, dir).documents
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), minhash_sig(split(col("text"), " "), 3, MinhashK).as("sig"))
     val bandStructs = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((4 * b until 4 * b + 4).map(i => col(s"mh$i")): _*).as("bh"))
+        xxhash64((4 * b + 1 to 4 * b + 4).map(i => element_at(col("sig"), i)): _*).as("bh"))
     }
     val bands = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
@@ -74,23 +76,14 @@ object Dedup {
     * pairs). Output: per-doc signature bands + near-neighbor count.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val pow2 = typedLit((0 until 16).map(j => 1L << j))
-    val tk = split(col("text"), " ")
-    val tokh = transform(array_distinct(tk), t => xxhash64(t))
-    // bit-vote counts: fold token hashes into a 64-wide ±1 tally
-    val votes = aggregate(tokh,
-      typedLit(Seq.fill(64)(0L)),
-      (acc, h) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
-          b => when(call_function("shiftright", h, b.cast("int")).bitwiseAND(1) === 1, 1L).otherwise(-1L)),
-        (a, v) => a + v))
-    // band k = bits 16k..16k+15 packed little-endian
+    import graft.functions.NativeExprs.{simhash64 => simhash64e}
+    // native single-pass signature; bands are 16-bit slices of it
+    // (pigeonhole over 4 bands covers hamming ≤ 3)
+    val sigExpr = simhash64e(array_distinct(split(col("text"), " ")))
     val sig = Tables(spark, dir).documents
-      .select(col("doc_id"), votes.as("votes"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id") +: (0 until 4).map(k =>
-        aggregate(sequence(lit(0), lit(15)), lit(0L),
-          (acc, j) => acc + when(element_at(col("votes"), j.cast("int") + lit(16 * k + 1)) > 0,
-            element_at(pow2, j.cast("int") + 1)).otherwise(0L)).as(s"b$k")): _*)
+        shiftrightunsigned(sigExpr, 16 * k).bitwiseAND(0xffffL).as(s"b$k")): _*)
 
     val bands = sig.select(col("doc_id"),
       explode(array((0 until 4).map(k =>
@@ -168,11 +161,12 @@ object Dedup {
     */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
+      .repartition(spark.sparkContext.defaultParallelism)
     val a = e.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = e.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
       .select(col("label"), col("vec_a"), col("vec_b"),
-        round(cosineSim(col("emb_a"), col("emb_b")), 3).as("cosine"))
+        round(graft.functions.NativeExprs.cosine_f32(col("emb_a"), col("emb_b")), 3).as("cosine"))
       .filter(col("cosine") >= 0.4)
   }
 

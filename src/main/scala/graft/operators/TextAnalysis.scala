@@ -161,15 +161,8 @@ object TextAnalysis {
     * shuffle (rows-only: per-engine hash functions differ).
     */
   def winnow(spark: SparkSession, dir: String): DataFrame = {
-    val tk = split(col("text"), " ")
-    val grams = when(size(tk) >= 3,
-      transform(sequence(lit(1), size(tk) - 2), i => concat_ws(" ", slice(tk, i, lit(3)))))
-      .otherwise(array(concat_ws(" ", tk)))
-    val hs = transform(grams, g => xxhash64(g))
-    val mins = transform(
-      sequence(lit(1), greatest(size(hs) - 7, lit(1))),
-      i => array_min(slice(hs, i, lit(8))))
-    val fps = array_distinct(mins)
+    import graft.functions.NativeExprs.winnow_fps
+    val fps = winnow_fps(split(col("text"), " "), 3, 8)
     Tables(spark, dir).documents.select(
       col("doc_id"),
       size(fps).cast("int").as("n_fingerprints"),

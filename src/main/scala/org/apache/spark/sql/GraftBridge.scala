@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Package-placed bridge to Spark 4's `private[sql]` Column↔Expression
+  * converters — the standard pattern Spark-extension libraries use to
+  * expose custom Catalyst expressions through the public Column API.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
