@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Fns._
 import graft.sources.Tables
@@ -54,6 +54,49 @@ object Events {
         decSum(col("value")).as("total_value"))
       .select(col("user_id"), col("session_start_us"), col("n_events"),
         col("total_value"))
+
+  /** Typed event row for the stateful API. */
+  final case class Ev(user_id: Long, ts_us: Long, value: Double)
+  /** Closed-session summary. */
+  final case class SessionOut(user_id: Long, session_start_us: Long,
+      n_events: Long, total_value: Double)
+  final case class SessState(startUs: Long, lastUs: Long,
+      n: Long, total: Double)
+
+  /** D3: custom-state sessionization via
+    * `KeyValueGroupedDataset.flatMapGroupsWithState` — the
+    * Structured-Streaming-native form of D2's session_window, for when
+    * session logic outgrows what session_window expresses (per-session
+    * custom accumulators, mid-session emission, etc.). Emits a session
+    * when a ≥gap silence closes it; the open session rides in
+    * GroupState across micro-batches. Works identically in batch mode
+    * (single invocation, empty initial state).
+    */
+  def sessionizeStateful(ds: Dataset[Ev], gapUs: Long = 30L * 60 * 1000000)(
+      implicit enc: Encoder[SessionOut]): Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[Ev], state: GroupState[SessState]) =>
+          val sorted = events.toIndexedSeq.sortBy(e => (e.ts_us, e.value))
+          var cur = state.getOption
+          val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
+          sorted.foreach { e =>
+            cur = cur match {
+              case Some(s) if e.ts_us - s.lastUs < gapUs =>
+                Some(s.copy(lastUs = e.ts_us, n = s.n + 1, total = s.total + e.value))
+              case Some(s) =>
+                closed += SessionOut(uid, s.startUs, s.n, s.total)
+                Some(SessState(e.ts_us, e.ts_us, 1, e.value))
+              case None =>
+                Some(SessState(e.ts_us, e.ts_us, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }(Encoders.product[SessState], enc)
+  }
 
   val qSessionizeSql: String =
     """WITH e AS (

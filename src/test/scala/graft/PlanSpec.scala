@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions — the scale-design contract from SURVEY §5:
+  * filters reach the parquet scan, projections prune columns, dims
+  * broadcast, and shuffle counts stay at the semantic minimum.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession =
+    graft.core.Graft.tune(SparkSession.builder().master("local[4]"), 4).getOrCreate()
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planString(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  private def executedPlan(name: String): SparkPlan = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan
+  }
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    val self = p match {
+      case a: AdaptiveSparkPlanExec => collectAll(a.inputPlan)
+      case _ => p.children.flatMap(collectAll)
+    }
+    p +: self
+  }
+
+  test("q1_pricing: shipdate filter pushed to parquet scan") {
+    val s = planString("q1_pricing")
+    assert(s.contains("PushedFilters") && s.contains("l_shipdate"), s.take(2000))
+  }
+
+  test("q1_pricing: column pruning — only the 6 needed columns are read") {
+    val s = planString("q1_pricing")
+    val read = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_orderkey") && !read.contains("l_partkey"), read)
+    assert(read.contains("l_quantity") && read.contains("l_extendedprice"), read)
+  }
+
+  test("q5_join5: all dim joins are broadcast (single fact-fact shuffle pair)") {
+    val plan = executedPlan("q5_join5")
+    val nodes = collectAll(plan)
+    val bhj = nodes.count(_.isInstanceOf[BroadcastHashJoinExec])
+    assert(bhj >= 3, s"expected >=3 broadcast joins, got $bhj")
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+    // lineitem⋈orders + final agg ordering: shuffles stay bounded
+    assert(shuffles <= 4, s"expected <=4 shuffles, got $shuffles")
+  }
+
+  test("q_fact_join: dim and enrichment joins broadcast") {
+    val plan = executedPlan("q_fact_join")
+    val bhj = collectAll(plan).count(_.isInstanceOf[BroadcastHashJoinExec])
+    assert(bhj >= 4, s"expected >=4 broadcast joins in the fact build, got $bhj")
+  }
+
+  test("q_dedup_minhash: native signature expression present in the physical plan") {
+    val nodes = collectAll(executedPlan("q_dedup_minhash"))
+    assert(nodes.exists(_.toString.toLowerCase.contains("minhashsig")))
+  }
+
+  test("whole-stage codegen covers the native expressions") {
+    val s = planString("q_winnow")
+    assert(s.contains("codegen id"), s.take(1500))
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Events
+
+/** Structured-Streaming faces of the D-block: the same transforms run
+  * as streams (MemoryStream micro-batches + memory sink) and must agree
+  * with their batch results.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession =
+    graft.core.Graft.tune(SparkSession.builder().master("local[4]"), 4).getOrCreate()
+
+  private def ts(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  test("hourlyAgg: streaming (watermark, complete mode) equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (ts(0), "click", 1.0), (ts(10), "click", 2.0), (ts(20), "view", 3.0),
+      (ts(70), "click", 4.0), (ts(80), "view", 5.0), (ts(130), "view", 6.0))
+
+    val batch = Events.hourlyAgg(
+      rows.toDF("event_ts", "event_type", "value"))
+      .orderBy("hour_start", "event_type").collect()
+
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val streamDf = mem.toDF().toDF("event_ts", "event_type", "value")
+      .withWatermark("event_ts", "10 minutes")
+    val q = Events.hourlyAgg(streamDf).writeStream
+      .outputMode("complete").format("memory").queryName("hourly_out").start()
+    mem.addData(rows.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(3): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("hourly_out")
+      .orderBy("hour_start", "event_type").collect()
+    q.stop()
+
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("sessionizeStateful: state carries open sessions across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val us = (min: Int) => min * 60L * 1000000L
+    val mem = MemoryStream[Events.Ev]
+    val q = Events.sessionizeStateful(mem.toDS(), gapUs = us(30)).writeStream
+      .outputMode("append").format("memory").queryName("sess_out").start()
+
+    // batch 1: user 1 events at t=0,10 (one open session)
+    mem.addData(Events.Ev(1, us(0), 1.0), Events.Ev(1, us(10), 2.0))
+    q.processAllAvailable()
+    assert(spark.table("sess_out").count() == 0) // still open
+
+    // batch 2: t=100 closes the first session and opens a second
+    mem.addData(Events.Ev(1, us(100), 5.0))
+    q.processAllAvailable()
+    val closed = spark.table("sess_out").as[Events.SessionOut].collect()
+    q.stop()
+
+    assert(closed.toSeq == Seq(Events.SessionOut(1, us(0), 2, 3.0)))
+  }
+
+  test("sessionizeStateful in batch mode agrees with session_window counts") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val evs = graft.sources.Tables(spark, dir).events
+      .select(col("user_id").cast("long").as("user_id"),
+        graft.functions.Fns.nsToUs(col("ts")).as("ts_us"),
+        col("value"))
+      .as[Events.Ev]
+    val stateful = Events.sessionizeStateful(evs).collect()
+    val native = Events.qSessionize(spark, dir).collect()
+    // stateful emits only CLOSED sessions; session_window emits all —
+    // every stateful session must appear in the native result.
+    val nativeSet = native.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stateful.nonEmpty)
+    stateful.foreach { s =>
+      assert(nativeSet.contains((s.user_id, s.session_start_us, s.n_events)),
+        s"missing $s")
+    }
+  }
+}
