@@ -17,9 +17,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      def once(): Unit =
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      // warm-up pass absorbs one-time planning/codegen/JIT; the timed
+      // pass measures steady-state engine throughput
+      try { once() } catch { case _: Throwable => return -1.0 }
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => return -1.0 }
+      once()
       (System.nanoTime() - t0) / 1e9
     }
 
