@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Checks, Facts, Staging}
+
+/** The engine's `dbt build` equivalent: materialize the model DAG in
+  * dependency order with per-model materialization modes (reference
+  * dbt_project.yml:36-41 — staging as views, core as tables), then run
+  * the schema tests (dbt test) and report violations with severities
+  * (schema.yml uses `severity: warn` on staging uniqueness).
+  *
+  * Views become Spark temp views (zero-cost, recomputed on read);
+  * tables are written as parquet into the warehouse directory and
+  * downstream models read the MATERIALIZED table — the same
+  * read-from-upstream contract dbt's ref() provides.
+  */
+object Build {
+
+  sealed trait Severity
+  case object Error extends Severity
+  case object Warn extends Severity
+
+  final case class CheckResult(name: String, violations: Long, severity: Severity) {
+    def passed: Boolean = violations == 0
+  }
+  final case class BuildReport(
+      views: Seq[String], tables: Seq[String], checks: Seq[CheckResult]) {
+    def failed: Seq[CheckResult] =
+      checks.filter(c => !c.passed && c.severity == Error)
+  }
+
+  def build(spark: SparkSession, sfDir: String, warehouseDir: String): BuildReport = {
+    def table(name: String, df: DataFrame): DataFrame = {
+      val path = s"$warehouseDir/$name"
+      df.write.mode("overwrite").parquet(path)
+      val back = spark.read.parquet(path)
+      back.createOrReplaceTempView(name)
+      back
+    }
+    def view(name: String, df: DataFrame): Unit =
+      df.createOrReplaceTempView(name)
+
+    // staging layer (materialized='view')
+    view("stg_events", Staging.stgEvents(spark, sfDir))
+    // core layer (materialized='table'), dependency order
+    table("dim_zones", Staging.seedDim(spark, sfDir))
+    val fact = table("fact_lineitem", Facts.factLineitem(spark, sfDir))
+    table("dm_monthly_zone_revenue", Facts.monthlyRollupFrom(fact))
+    table("dm_monthly_zone_statistics", Facts.monthlyStatsFrom(fact))
+
+    // dbt test analog (severities per reference schema.yml)
+    val checks = Seq(
+      CheckResult("unique_stg_events_key",
+        Checks.checkUnique(spark, sfDir).count(), Warn),
+      CheckResult("not_null_events_key",
+        Checks.checkNotNull(spark, sfDir)
+          .selectExpr("null_user_id + null_event_type + null_ts as n")
+          .collect()(0).getLong(0), Warn),
+      CheckResult("relationships_events_user",
+        Checks.checkRelationships(spark, sfDir).count(), Warn),
+      CheckResult("accepted_values_order_status",
+        Checks.checkAcceptedValues(spark, sfDir).count(), Warn))
+
+    BuildReport(
+      views = Seq("stg_events"),
+      tables = Seq("dim_zones", "fact_lineitem",
+        "dm_monthly_zone_revenue", "dm_monthly_zone_statistics"),
+      checks = checks)
+  }
+
+  /** CLI: `runMain graft.Build <sfDir> <warehouseDir>` */
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, out) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = graft.core.Graft.tune(
+      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val report = build(spark, sfDir, out)
+    report.tables.foreach(t => println(s"[build] table $t -> $out/$t"))
+    report.checks.foreach(c =>
+      println(s"[test] ${c.name}: ${if (c.passed) "PASS" else s"${c.violations} violations (${c.severity})"}"))
+    spark.stop()
+  }
+}

@@ -83,12 +83,18 @@ object Facts {
     * Partial (map-side) aggregation shrinks the exchange to
     * |zones|×|months|×2 rows per task.
     */
-  def monthlyRollup(spark: SparkSession, dir: String): DataFrame = {
+  def monthlyRollup(spark: SparkSession, dir: String): DataFrame =
+    monthlyRollupFrom(factLineitem(spark, dir))
+
+  /** Same rollup over an already-materialized fact table (the dbt-style
+    * build path: downstream models read upstream materializations).
+    */
+  def monthlyRollupFrom(fact: DataFrame): DataFrame = {
     val one = lit(1).cast("decimal(8,4)")
     val d = dec(col("l_discount"), 8, 4)
     val tx = dec(col("l_tax"), 8, 4)
     val ep = dec(col("l_extendedprice"))
-    factLineitem(spark, dir)
+    fact
       .groupBy(col("supp_zone").as("revenue_zone"),
         date_trunc("month", col("l_shipdate")).as("revenue_month"),
         col("service_type"))
@@ -143,7 +149,10 @@ object Facts {
     * keys, count + averages only.
     */
   def monthlyStats(spark: SparkSession, dir: String): DataFrame =
-    factLineitem(spark, dir)
+    monthlyStatsFrom(factLineitem(spark, dir))
+
+  def monthlyStatsFrom(fact: DataFrame): DataFrame =
+    fact
       .groupBy(col("supp_zone").as("stats_zone"),
         date_trunc("month", col("l_shipdate")).as("stats_month"),
         col("service_type"))
@@ -168,7 +177,10 @@ object Facts {
     * AND dropoff_borough = 'Manhattan' → supp/cust region = 'EUROPE').
     */
   def metricMonthly(spark: SparkSession, dir: String): DataFrame =
-    factLineitem(spark, dir)
+    metricMonthlyFrom(factLineitem(spark, dir))
+
+  def metricMonthlyFrom(fact: DataFrame): DataFrame =
+    fact
       .filter(col("supp_region") === "EUROPE" && col("cust_region") === "EUROPE")
       .groupBy(date_trunc("month", col("l_shipdate")).as("grain_month"))
       .agg(decAvg(col("l_quantity")).as("average_quantity"))
@@ -185,7 +197,10 @@ object Facts {
     * year] parameterization).
     */
   def metricYearly(spark: SparkSession, dir: String): DataFrame =
-    factLineitem(spark, dir)
+    metricYearlyFrom(factLineitem(spark, dir))
+
+  def metricYearlyFrom(fact: DataFrame): DataFrame =
+    fact
       .filter(col("supp_region") === "EUROPE" && col("cust_region") === "EUROPE")
       .groupBy(date_trunc("year", col("l_shipdate")).as("grain_year"))
       .agg(decAvg(col("l_quantity")).as("average_quantity"))
