@@ -38,6 +38,7 @@ object SparkEntry {
     "q_dedup_embedding" -> (Dedup.embeddingNearDup _),
     "q_ann_topk" -> (Ann.annTopK _),
     "q_ann_lsh" -> (Ann.annLsh _),
+    "q_ann_ivf" -> (Ann.annIvf _),
     "q_lang_id" -> (TextAnalysis.langId _),
     "q_quality_score" -> (TextAnalysis.qualityScore _),
     "q_token_count" -> (TextAnalysis.tokenCount _),

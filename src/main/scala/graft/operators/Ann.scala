@@ -79,6 +79,79 @@ object Ann {
         lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** IVF index: deterministic distributed k-means (init = first C
+    * vectors by vec_id, then `iters` Lloyd rounds). Assignment is a
+    * broadcast nested-loop max-dot (map-only over the corpus); the
+    * centroid update is a groupBy(cell) of element-wise sums — the only
+    * shuffle, carrying C×dim doubles per task. Centroids (C×dim,
+    * bounded) are the one intentional driver-side collect.
+    */
+  def ivfCentroids(e: DataFrame, c: Int, iters: Int): Seq[Seq[Double]] = {
+    val spark = e.sparkSession
+    var centroids: Seq[Seq[Double]] =
+      e.filter(col("vec_id") < c).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    (0 until iters).foreach { _ =>
+      val assigned = e.withColumn("cell", nearestCell(col("embedding"), centroids))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("cell", "dim")
+        .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { k =>
+        byCell.get(k) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1)).map(r => r.getDouble(2) / r.getLong(3)).toSeq
+          case None => centroids(k) // empty cell keeps its centroid
+        }
+      }
+    }
+    centroids
+  }
+
+  /** argmax over cells of dot(embedding, centroid). */
+  private def nearestCell(emb: Column, centroids: Seq[Seq[Double]]): Column = {
+    val scores = centroids.map(w =>
+      dotProduct(emb, typedLit(w).cast("array<double>")))
+    scores.zipWithIndex.tail.foldLeft((scores.head, lit(0))) {
+      case ((bestS, bestI), (s, i)) =>
+        (when(s > bestS, s).otherwise(bestS),
+          when(s > bestS, lit(i)).otherwise(bestI))
+    }._2
+  }
+
+  /** C7b: IVF ANN — the learned-centroid variant of the LSH scale path
+    * (SURVEY §5). Queries probe their `nprobe` nearest cells and score
+    * only those cells' vectors (rows-only: kmeans isn't oracle-SQL).
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+      .repartition(spark.sparkContext.defaultParallelism)
+    val centroids = ivfCentroids(e, c = 8, iters = 2)
+    val indexed = e.withColumn("cell", nearestCell(col("embedding"), centroids))
+    // queries probe nprobe=2 cells: their own + second-best
+    val q = indexed.filter(col("vec_id") < NQueries)
+      .withColumn("cell2", secondCell(col("embedding"), centroids))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        array(col("cell"), col("cell2")).as("probe"))
+    val scored = indexed.join(broadcast(q), array_contains(col("probe"), col("cell")))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(NativeExprs.cosine_f32(col("q_emb"), col("embedding")), 3).as("cosine"))
+    rank(scored)
+  }
+
+  /** index of the second-highest-dot centroid. */
+  private def secondCell(emb: Column, centroids: Seq[Seq[Double]]): Column = {
+    val scores = centroids.zipWithIndex.map { case (w, i) =>
+      struct(dotProduct(emb, typedLit(w).cast("array<double>")).as("s"),
+        lit(i).as("i"))
+    }
+    sort_array(array(scores: _*), asc = false)(1).getField("i")
+  }
+
   /** C7: LSH-bucketed ANN — queries only score their own bucket
     * (rows-only: bucketing hashes aren't oracle-portable).
     */

@@ -68,6 +68,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed.toSeq == Seq(Events.SessionOut(1, us(0), 2, 3.0)))
   }
 
+  test("file-source streaming: readStream over events parquet equals batch hourly agg") {
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file streaming sources watch a directory
+    val streamDir = java.nio.file.Files.createTempDirectory("evstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("event_ts", graft.functions.Fns.nsToTimestamp(col("ts")))
+      .withWatermark("event_ts", "1 hour")
+    val q = Events.hourlyAgg(stream).writeStream
+      .outputMode("complete").format("memory").queryName("file_hourly").start()
+    q.processAllAvailable()
+    val streamed = spark.table("file_hourly")
+      .orderBy("hour_start", "event_type").collect()
+    q.stop()
+    val batch = Events.qHourlyEvents(spark, dir)
+      .orderBy("hour_start", "event_type").collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("sessionizeStateful in batch mode agrees with session_window counts") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
