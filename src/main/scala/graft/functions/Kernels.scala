@@ -96,6 +96,34 @@ object Kernels {
     sig
   }
 
+  @inline private def dotF32D(emb: ArrayData, w: Array[Double]): Double = {
+    val n = math.min(emb.numElements(), w.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += emb.getFloat(i).toDouble * w(i); i += 1 }
+    s
+  }
+
+  /** Indices of the k cells whose centroid has the highest dot product
+    * with the embedding (ties → lower index), for IVF probing.
+    */
+  def topCellsByDot(emb: ArrayData, centroids: Array[Array[Double]], k: Int): ArrayData = {
+    val scores = centroids.map(c => dotF32D(emb, c))
+    val idx = scores.indices.sortBy(i => (-scores(i), i)).take(k).toArray
+    new GenericArrayData(idx)
+  }
+
+  /** Sign-bit bucket under fixed hyperplanes (random-hyperplane LSH). */
+  def hyperplaneBucket(emb: ArrayData, planes: Array[Array[Double]]): Int = {
+    var bucket = 0
+    var p = 0
+    while (p < planes.length) {
+      if (dotF32D(emb, planes(p)) > 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+
   /** Distinct chained n-gram hashes of a token array, first-seen order.
     * The 64-bit hash stands in for the gram string (set semantics are
     * preserved up to hash collisions, ~2^-64 per pair): downstream

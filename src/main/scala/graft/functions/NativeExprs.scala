@@ -69,6 +69,36 @@ object NativeExprs {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** top_cells(float[] emb; centroids, k) → int[] best cell indices.
+    * The centroid matrix rides along as a reference object
+    * (`ctx.addReferenceObj`) so codegen emits one static call instead of
+    * an exponentially-nested argmax when-chain.
+    */
+  case class CellProbe(child: Expression, centroids: Array[Array[Double]], k: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(emb: Any): Any =
+      Kernels.topCellsByDot(emb.asInstanceOf[ArrayData], centroids, k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      defineCodeGen(ctx, ev, a => s"graft.functions.Kernels.topCellsByDot($a, $ref, $k)")
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** plane_bucket(float[] emb; planes) → int sign-bit bucket. */
+  case class PlaneBucket(child: Expression, planes: Array[Array[Double]])
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(emb: Any): Any =
+      Kernels.hyperplaneBucket(emb.asInstanceOf[ArrayData], planes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+      defineCodeGen(ctx, ev, a => s"graft.functions.Kernels.hyperplaneBucket($a, $ref)")
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   // Column-API faces (GraftBridge wraps Spark 4's Column↔Expression bridge)
   import org.apache.spark.sql.GraftBridge.{column, expression}
   def cosine_f32(a: Column, b: Column): Column =
@@ -80,4 +110,8 @@ object NativeExprs {
     column(GramHashes(expression(tokens), ngram))
   def winnow_fps(tokens: Column, ngram: Int, w: Int): Column =
     column(WinnowFps(expression(tokens), ngram, w))
+  def cell_probe(emb: Column, centroids: Seq[Seq[Double]], k: Int): Column =
+    column(CellProbe(expression(emb), centroids.map(_.toArray).toArray, k))
+  def plane_bucket(emb: Column, planes: Seq[Seq[Double]]): Column =
+    column(PlaneBucket(expression(emb), planes.map(_.toArray).toArray))
 }

@@ -72,12 +72,12 @@ object Ann {
     Seq.fill(Planes)(Seq.fill(Dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit bucket id of an embedding under the fixed hyperplanes. */
+  /** Sign-bit bucket id of an embedding under the fixed hyperplanes
+    * (native kernel — the plane matrix rides as a codegen reference
+    * object; a when-chain of HOF dots would be interpreted per plane).
+    */
   private def bucketOf(emb: Column): Column =
-    (0 until Planes).map { p =>
-      when(dotProduct(emb, typedLit(hyperplanes(p)).cast("array<double>")) > 0,
-        lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _)
+    NativeExprs.plane_bucket(emb, hyperplanes)
 
   /** IVF index: deterministic distributed k-means (init = first C
     * vectors by vec_id, then `iters` Lloyd rounds). Assignment is a
@@ -93,7 +93,8 @@ object Ann {
         .select("embedding").collect()
         .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
     (0 until iters).foreach { _ =>
-      val assigned = e.withColumn("cell", nearestCell(col("embedding"), centroids))
+      val assigned = e.withColumn("cell",
+        NativeExprs.cell_probe(col("embedding"), centroids, 1)(0))
       val sums = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy("cell", "dim")
@@ -111,17 +112,6 @@ object Ann {
     centroids
   }
 
-  /** argmax over cells of dot(embedding, centroid). */
-  private def nearestCell(emb: Column, centroids: Seq[Seq[Double]]): Column = {
-    val scores = centroids.map(w =>
-      dotProduct(emb, typedLit(w).cast("array<double>")))
-    scores.zipWithIndex.tail.foldLeft((scores.head, lit(0))) {
-      case ((bestS, bestI), (s, i)) =>
-        (when(s > bestS, s).otherwise(bestS),
-          when(s > bestS, lit(i)).otherwise(bestI))
-    }._2
-  }
-
   /** C7b: IVF ANN — the learned-centroid variant of the LSH scale path
     * (SURVEY §5). Queries probe their `nprobe` nearest cells and score
     * only those cells' vectors (rows-only: kmeans isn't oracle-SQL).
@@ -130,26 +120,17 @@ object Ann {
     val e = Tables(spark, dir).embeddings
       .repartition(spark.sparkContext.defaultParallelism)
     val centroids = ivfCentroids(e, c = 8, iters = 2)
-    val indexed = e.withColumn("cell", nearestCell(col("embedding"), centroids))
-    // queries probe nprobe=2 cells: their own + second-best
+    val indexed = e.withColumn("cell",
+      NativeExprs.cell_probe(col("embedding"), centroids, 1)(0))
+    // queries probe nprobe=2 cells (their own + runner-up)
     val q = indexed.filter(col("vec_id") < NQueries)
-      .withColumn("cell2", secondCell(col("embedding"), centroids))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        array(col("cell"), col("cell2")).as("probe"))
+        NativeExprs.cell_probe(col("embedding"), centroids, 2).as("probe"))
     val scored = indexed.join(broadcast(q), array_contains(col("probe"), col("cell")))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(NativeExprs.cosine_f32(col("q_emb"), col("embedding")), 3).as("cosine"))
     rank(scored)
-  }
-
-  /** index of the second-highest-dot centroid. */
-  private def secondCell(emb: Column, centroids: Seq[Seq[Double]]): Column = {
-    val scores = centroids.zipWithIndex.map { case (w, i) =>
-      struct(dotProduct(emb, typedLit(w).cast("array<double>")).as("s"),
-        lit(i).as("i"))
-    }
-    sort_array(array(scores: _*), asc = false)(1).getField("i")
   }
 
   /** C7: LSH-bucketed ANN — queries only score their own bucket
