@@ -50,6 +50,11 @@ object SparkEntry {
     // D: event-time operators (batch face; streaming face in tests)
     "q_hourly_events" -> (graft.streaming.Events.qHourlyEvents _),
     "q_sessionize" -> (graft.streaming.Events.qSessionize _),
+    // E: additional relational surface
+    "q_json_props" -> (Extras.jsonProps _),
+    "q_running_total" -> (Extras.runningTotal _),
+    "q_rollup" -> (Extras.regionRollup _),
+    "q_distinct_counts" -> (Extras.distinctCounts _),
     // B: headline analytics
     "q1_pricing" -> (Analytics.q1Pricing _),
     "q3_topk" -> (Analytics.q3TopK _),
@@ -85,6 +90,10 @@ object SparkEntry {
     "q_multimodal_meta" -> Multimodal.multimodalMetaSql,
     "q_hourly_events" -> graft.streaming.Events.qHourlyEventsSql,
     "q_sessionize" -> graft.streaming.Events.qSessionizeSql,
+    "q_json_props" -> Extras.jsonPropsSql,
+    "q_running_total" -> Extras.runningTotalSql,
+    "q_rollup" -> Extras.regionRollupSql,
+    "q_distinct_counts" -> Extras.distinctCountsSql,
     "q1_pricing" -> Analytics.q1PricingSql,
     "q3_topk" -> Analytics.q3TopKSql,
     "q5_join5" -> Analytics.q5Join5Sql,

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Fns._
+import graft.sources.Tables
+
+/** Additional relational surface (SURVEY §2 E-block): semi-structured
+  * column extraction, analytic windows beyond row_number, hierarchy
+  * rollups, and multi-distinct aggregation — the rest of the query
+  * vocabulary an analytics engine of the reference's class serves.
+  */
+object Extras {
+
+  /** E1: JSON column extraction — `events.props` is a JSON string;
+    * extract and aggregate on a field. At scale the extraction is
+    * map-only; only the (k, type) aggregate shuffles.
+    */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("value"))
+      .groupBy(col("event_type"), (col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("total_value"))
+
+  val jsonPropsSql: String =
+    """SELECT event_type,
+      |  CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
+  /** E2: running total — per-customer cumulative order value in order
+    * date order. Exact-decimal prefix sums are order-deterministic,
+    * so every row's double is engine-identical.
+    */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_total"))
+  }
+
+  val runningTotalSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+      |FROM orders""".stripMargin
+
+  /** E3: hierarchy rollup — revenue by (region, nation) with ROLLUP
+    * subtotals and grand total; null grouping levels labeled 'ALL' for
+    * portability. Partial aggregation keeps the expand cheap.
+    */
+  def regionRollup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), decSum(col("c_acctbal")).as("total_balance"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_customers"), col("total_balance"))
+  }
+
+  val regionRollupSql: String =
+    """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+      |  COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)""".stripMargin
+
+  /** E4: multi-distinct aggregation — distinct parts/suppliers/orders
+    * per month (Catalyst plans this as Expand + two-phase aggregation;
+    * at scale each distinct column shuffles once on (month, value)).
+    */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lines"))
+
+  val distinctCountsSql: String =
+    """SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |GROUP BY 1""".stripMargin
+}
