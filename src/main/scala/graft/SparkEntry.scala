@@ -55,6 +55,7 @@ object SparkEntry {
     "q_running_total" -> (Extras.runningTotal _),
     "q_rollup" -> (Extras.regionRollup _),
     "q_distinct_counts" -> (Extras.distinctCounts _),
+    "q_asof_join" -> (Extras.asofJoin _),
     // B: headline analytics
     "q1_pricing" -> (Analytics.q1Pricing _),
     "q3_topk" -> (Analytics.q3TopK _),
@@ -94,6 +95,7 @@ object SparkEntry {
     "q_running_total" -> Extras.runningTotalSql,
     "q_rollup" -> Extras.regionRollupSql,
     "q_distinct_counts" -> Extras.distinctCountsSql,
+    "q_asof_join" -> Extras.asofJoinSql,
     "q1_pricing" -> Analytics.q1PricingSql,
     "q3_topk" -> Analytics.q3TopKSql,
     "q5_join5" -> Analytics.q5Join5Sql,

@@ -12,9 +12,29 @@ import graft.functions.NativeExprs
   * `spark.sql.extensions=graft.core.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((new FunctionIdentifier(name), info, builder))
+    }
+    ext.injectOptimizerRule(_ => SimplifySelfCosine)
+  }
+}
+
+/** Optimizer rule: cosine(x, x) is 1.0 for any non-null x — fold it
+  * away so self-similarity guards cost nothing. Demonstrates the
+  * `Rule[LogicalPlan]` + injectOptimizerRule tier of SURVEY §3.
+  */
+object SimplifySelfCosine
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{If, IsNull, Literal}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.types.DoubleType
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case NativeExprs.CosineSimF32(a, b) if a.deterministic && a.semanticEquals(b) =>
+        If(IsNull(a), Literal(null, DoubleType), Literal(1.0, DoubleType))
     }
 }
 

@@ -78,6 +78,42 @@ object Extras {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY ROLLUP(r_name, n_name)""".stripMargin
 
+  /** E5: as-of join — each 'purchase' event matched to the same user's
+    * most recent prior (ts ≤ purchase ts) 'click'. Spark has no ASOF
+    * join operator; per the preference order (SURVEY §3) this composes
+    * built-ins instead of a custom SparkPlan: tag + union + running
+    * `last(_, ignoreNulls)` over the event-time window — one shuffle on
+    * the join key, sort within partitions, no range-join blowup. The
+    * oracle states the same semantics with DuckDB's native ASOF JOIN.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        nsToUs(col("ts")).as("ts_us"), col("value"))
+    val tagged = ev.withColumn("is_click", (col("event_type") === "click").cast("int"))
+    // clicks sort before purchases at equal ts so a same-instant click
+    // is visible to the purchase (ASOF >= includes equality)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("is_click").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_click_ts_us",
+        last(when(col("is_click") === 1, col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_event_id"),
+        col("ts_us").as("purchase_ts_us"),
+        coalesce(col("last_click_ts_us"), lit(-1L)).as("click_ts_us"))
+  }
+
+  val asofJoinSql: String =
+    """SELECT p.user_id, p.event_id AS purchase_event_id,
+      |  epoch_us(p.ts) AS purchase_ts_us,
+      |  coalesce(epoch_us(c.ts), -1) AS click_ts_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+
   /** E4: multi-distinct aggregation — distinct parts/suppliers/orders
     * per month (Catalyst plans this as Expand + two-phase aggregation;
     * at scale each distinct column shuffles once on (month, value)).

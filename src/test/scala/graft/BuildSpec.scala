@@ -49,4 +49,44 @@ class BuildSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
     assert(r.getInt(3) == 2)
   }
+
+  test("SimplifySelfCosine rule folds cosine(x,x) to a literal") {
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    s2.experimental.extraOptimizations = Seq(graft.core.SimplifySelfCosine)
+    val df = sources.Tables(s2, dir).embeddings
+      .select(graft.functions.NativeExprs.cosine_f32(
+        col("embedding"), col("embedding")).as("c"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.toLowerCase.contains("cosinesimf32"), optimized)
+    // exact 1.0 — the kernel itself would give 0.999…x for most vectors
+    assert(df.collect().forall(_.getDouble(0) == 1.0))
+  }
+
+  test("E-block invariants: rollup grand total and running totals agree") {
+    import org.apache.spark.sql.functions._
+    val roll = operators.Extras.regionRollup(spark, dir).cache()
+    val grand = roll.filter(col("region") === "ALL" && col("nation") === "ALL")
+      .select("total_balance").collect()(0).getDouble(0)
+    val leaves = roll.filter(col("region") =!= "ALL" && col("nation") =!= "ALL")
+      .agg(sum("total_balance")).collect()(0).getDouble(0)
+    assert(math.abs(grand - leaves) < 1e-6)
+    roll.unpersist()
+
+    val rt = operators.Extras.runningTotal(spark, dir)
+    val lastPerCust = rt.groupBy("o_custkey").agg(max("running_total").as("rt"))
+    val direct = sources.Tables(spark, dir).orders.groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("d"))
+    val joined = lastPerCust.join(direct, "o_custkey")
+      .filter(abs(col("rt") - col("d")) > 1e-6)
+    assert(joined.count() == 0)
+  }
+
+  test("q_asof_join: matched click precedes its purchase") {
+    val d = SparkEntry.queries("q_asof_join")(spark, dir)
+    import org.apache.spark.sql.functions._
+    assert(d.count() > 0)
+    assert(d.filter(col("click_ts_us") =!= -1L &&
+      col("click_ts_us") > col("purchase_ts_us")).count() == 0)
+  }
 }
