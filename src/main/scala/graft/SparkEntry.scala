@@ -56,6 +56,8 @@ object SparkEntry {
     "q_rollup" -> (Extras.regionRollup _),
     "q_distinct_counts" -> (Extras.distinctCounts _),
     "q_asof_join" -> (Extras.asofJoin _),
+    "q_percentiles" -> (Extras.percentiles _),
+    "q_approx_distinct" -> (Extras.approxDistinct _),
     // B: headline analytics
     "q1_pricing" -> (Analytics.q1Pricing _),
     "q3_topk" -> (Analytics.q3TopK _),
@@ -96,6 +98,8 @@ object SparkEntry {
     "q_rollup" -> Extras.regionRollupSql,
     "q_distinct_counts" -> Extras.distinctCountsSql,
     "q_asof_join" -> Extras.asofJoinSql,
+    "q_percentiles" -> Extras.percentilesSql,
+    "q_token_bpe" -> TextAnalysis.tokenBpeSql,
     "q1_pricing" -> Analytics.q1PricingSql,
     "q3_topk" -> Analytics.q3TopKSql,
     "q5_join5" -> Analytics.q5Join5Sql,

@@ -127,6 +127,37 @@ object Extras {
         countDistinct(col("l_orderkey")).as("n_orders"),
         count(lit(1)).as("n_lines"))
 
+  /** E7: exact interpolated percentiles (median + p90) per return flag.
+    * Both engines define continuous percentiles identically (sort,
+    * index p·(n−1), linear interpolation); rounding to 4 decimals
+    * absorbs last-ulp formula differences.
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(call_function("percentile", col("l_quantity"), lit(0.5)), 4).as("p50_qty"),
+        round(call_function("percentile", col("l_extendedprice"), lit(0.9)), 4).as("p90_price"))
+
+  val percentilesSql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+      |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** E8: sketch-based distinct counting (HyperLogLog++) next to the
+    * exact count — the at-scale substitute for E4's Expand plan
+    * (rows-only: HLL implementations differ by engine; the spec bounds
+    * relative error instead).
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(date_trunc("year", col("l_shipdate")).as("ship_year"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+
   val distinctCountsSql: String =
     """SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
       |  COUNT(DISTINCT l_partkey) AS n_parts,

@@ -134,14 +134,20 @@ object TextAnalysis {
       |FROM documents""".stripMargin
 
   /** C11: BPE-ish token counting — regex word/number/symbol pieces, the
-    * usual pre-tokenizer shape (rows-only: regex dialects are not
-    * oracle-portable).
+    * usual pre-tokenizer shape. The pattern sticks to constructs Java
+    * regex and RE2 read identically (ASCII classes, alternation) so the
+    * DuckDB oracle can state the same tokenizer.
     */
   def tokenBpe(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents.select(
       col("doc_id"),
-      size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+      size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
         .cast("int").as("bpe_token_count"))
+
+  val tokenBpeSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS bpe_token_count
+      |FROM documents""".stripMargin
 
   /** C12: document fingerprint — md5 of case/whitespace-normalized text. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =

@@ -82,6 +82,15 @@ class BuildSpec extends AnyFunSuite {
     assert(joined.count() == 0)
   }
 
+  test("q_approx_distinct: HLL within configured 2% error of exact") {
+    import org.apache.spark.sql.functions._
+    val d = operators.Extras.approxDistinct(spark, dir)
+    val bad = d.filter(
+      abs(col("approx_parts") - col("exact_parts")) >
+        col("exact_parts") * 0.05 + 2)
+    assert(bad.count() == 0)
+  }
+
   test("q_asof_join: matched click precedes its purchase") {
     val d = SparkEntry.queries("q_asof_join")(spark, dir)
     import org.apache.spark.sql.functions._
