@@ -45,6 +45,9 @@ object SparkEntry {
     "q_token_bpe" -> (TextAnalysis.tokenBpe _),
     "q_fingerprint" -> (TextAnalysis.fingerprint _),
     "q_winnow" -> (TextAnalysis.winnow _),
+    "q_vocab" -> (TextAnalysis.vocab _),
+    "q_train_test_split" -> (TextAnalysis.trainTestSplit _),
+    "q_chunk" -> (TextAnalysis.chunk _),
     "q_multimodal_meta" -> (Multimodal.multimodalMeta _),
     "q_multimodal_features" -> (Multimodal.multimodalFeatures _),
     // D: event-time operators (batch face; streaming face in tests)
@@ -90,6 +93,9 @@ object SparkEntry {
     "q_quality_score" -> TextAnalysis.qualityScoreSql,
     "q_token_count" -> TextAnalysis.tokenCountSql,
     "q_fingerprint" -> TextAnalysis.fingerprintSql,
+    "q_vocab" -> TextAnalysis.vocabSql,
+    "q_train_test_split" -> TextAnalysis.trainTestSplitSql,
+    "q_chunk" -> TextAnalysis.chunkSql,
     "q_multimodal_meta" -> Multimodal.multimodalMetaSql,
     "q_hourly_events" -> graft.streaming.Events.qHourlyEventsSql,
     "q_sessionize" -> graft.streaming.Events.qSessionizeSql,

@@ -161,6 +161,72 @@ object TextAnalysis {
       |  CAST(length(text) AS INTEGER) AS n_chars
       |FROM documents""".stripMargin
 
+  /** C16: corpus vocabulary — token frequencies with stable ranks; the
+    * id-assignment step of tokenizer training. One explode + one
+    * groupBy(token) shuffle of (token, partial count) pairs; top-k via
+    * a single-partition window over the (tiny) aggregated frame.
+    */
+  def vocab(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables(spark, dir).documents
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("token"))
+    counts.withColumn("token_id", row_number().over(w))
+      .filter(col("token_id") <= 100)
+  }
+
+  val vocabSql: String =
+    """WITH counts AS (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+      |), agg AS (
+      |  SELECT token, COUNT(*) AS n FROM counts GROUP BY token
+      |), ranked AS (
+      |  SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS token_id FROM agg
+      |)
+      |SELECT token, n, token_id FROM ranked WHERE token_id <= 100""".stripMargin
+
+  /** C17: deterministic train/eval split — pure-integer Knuth
+    * multiplicative hash of the id, portable to any engine; never
+    * rand() (stable across retries, reproducible lineage).
+    */
+  def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .withColumn("split",
+        when((col("doc_id") * 2654435761L) % 100 < 90, "train").otherwise("eval"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+
+  val trainTestSplitSql: String =
+    """SELECT CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train' ELSE 'eval' END AS split,
+      |  COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+      |FROM documents
+      |GROUP BY 1""".stripMargin
+
+  /** C18: fixed-size chunking — split each document into 16-token
+    * training chunks. Map-side generate (explode of an index sequence);
+    * no shuffle; at 100 TB this is the classic pre-tokenization pass.
+    */
+  def chunk(spark: SparkSession, dir: String): DataFrame = {
+    val tk = split(col("text"), " ")
+    Tables(spark, dir).documents
+      .select(col("doc_id"), tk.as("tk"))
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0), ((size(col("tk")) - 1) / 16).cast("int"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        concat_ws(" ", slice(col("tk"), col("chunk_idx") * 16 + 1, lit(16))).as("chunk_text"),
+        least(lit(16), size(col("tk")) - col("chunk_idx") * 16).as("n_tokens"))
+  }
+
+  val chunkSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |)
+      |SELECT doc_id, i AS chunk_idx,
+      |  array_to_string(tk[i*16+1 : i*16+16], ' ') AS chunk_text,
+      |  least(16, len(tk) - i*16) AS n_tokens
+      |FROM toks, unnest(range(0, (len(tk) - 1) // 16 + 1)) AS t(i)""".stripMargin
+
   /** C13: winnowing fingerprints (Schleimer et al., SIGMOD'03): hash the
     * ordered 3-gram sequence, take the min hash of each sliding window
     * of 8, keep the distinct minima. Map-only via HOFs — no explode, no
