@@ -171,9 +171,13 @@ object TextAnalysis {
     val counts = Tables(spark, dir).documents
       .select(explode(split(col("text"), " ")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
+    // top-k FIRST (distributed TakeOrdered — no global sort), then the
+    // id-assigning window runs over only k rows. A bare global
+    // row_number window would funnel the whole vocabulary through one
+    // partition at scale.
+    val top = counts.orderBy(col("n").desc, col("token")).limit(100)
     val w = Window.orderBy(col("n").desc, col("token"))
-    counts.withColumn("token_id", row_number().over(w))
-      .filter(col("token_id") <= 100)
+    top.withColumn("token_id", row_number().over(w))
   }
 
   val vocabSql: String =
