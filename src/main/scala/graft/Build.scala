@@ -71,7 +71,8 @@ object Build {
   /** CLI: `runMain graft.Build <sfDir> <warehouseDir>` */
   def main(args: Array[String]): Unit = {
     val Array(sfDir, out) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString).toInt
     val spark = graft.core.Graft.tune(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

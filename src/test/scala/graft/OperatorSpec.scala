@@ -26,6 +26,18 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("SURVEY §2 inventory and SparkEntry.queries stay in sync") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val section = survey.substring(
+      survey.indexOf("## §2"), survey.indexOf("## §3"))
+    val surveyKeys = "`(q[0-9_][0-9a-z_]*)`".r.findAllMatchIn(section)
+      .map(_.group(1)).toSet
+    val codeKeys = SparkEntry.queries.keySet
+    assert(surveyKeys == codeKeys,
+      s"survey-only=${surveyKeys -- codeKeys} code-only=${codeKeys -- surveyKeys}")
+  }
+
   test("q_window_dedup: dedup key is unique afterwards") {
     val d = run("q_window_dedup")
     assert(d.count() == d.select("user_id", "event_type").distinct().count())
