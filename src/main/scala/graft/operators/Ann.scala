@@ -40,9 +40,16 @@ object Ann {
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
       .repartition(spark.sparkContext.defaultParallelism)
-    val q = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    annTopK(e, e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+  }
+
+  /** Library face: top-k neighbors of each (query_id, q_emb) query in a
+    * (vec_id, embedding float[]) corpus — queries broadcast, corpus
+    * streams map-side.
+    */
+  def annTopK(corpus: DataFrame, queries: DataFrame): DataFrame = {
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(NativeExprs.cosine_f32(col("q_emb"), col("embedding")), 3).as("cosine"))
     rank(scored)

@@ -20,16 +20,20 @@ object Dedup {
   private val MinhashK = 32 // permutations
   private val Bands = 8     // 8 bands × 4 rows: s-curve knee ≈ 0.55 jaccard
 
-  /** (doc_id, lang, distinct 3-gram hash set). The repartition spreads
-    * the single-row-group local test file across all cores — on a real
-    * cluster the source arrives pre-split and this coalesces to a no-op
-    * exchange of (id, lang, text) only.
+  /** (doc_id, lang, distinct 3-gram hash set) from a (doc_id, lang,
+    * text) frame. The repartition spreads the single-row-group local
+    * test file across all cores — on a real cluster the source arrives
+    * pre-split and this coalesces to a no-op exchange of (id, lang,
+    * text) only.
     */
-  private def tokenized(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).documents
-      .repartition(spark.sparkContext.defaultParallelism)
+  private def tokenized(docs: DataFrame): DataFrame =
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"),
         graft.functions.NativeExprs.gram_hashes(split(col("text"), " "), 3).as("sh"))
+
+  private def tokenized(spark: SparkSession, dir: String): DataFrame =
+    tokenized(Tables(spark, dir).documents)
 
   /** C2: MinHash + LSH banding near-dup pairs.
     * Pipeline: signature (map-only, native [[NativeExprs.MinHashSig]]
@@ -39,10 +43,14 @@ object Dedup {
     * Output: every candidate pair with its verified jaccard and an
     * `is_dup` verdict at 0.5.
     */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLsh(Tables(spark, dir).documents)
+
+  /** Library face: near-dup pairs over any (doc_id, lang, text) frame. */
+  def minhashLsh(docs: DataFrame): DataFrame = {
     import graft.functions.NativeExprs.minhash_sig
-    val sig = Tables(spark, dir).documents
-      .repartition(spark.sparkContext.defaultParallelism)
+    val sig = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), minhash_sig(split(col("text"), " "), 3, MinhashK).as("sig"))
     val bandStructs = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
@@ -58,7 +66,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    val sets = tokenized(spark, dir).select(col("doc_id"), col("sh"))
+    val sets = tokenized(docs).select(col("doc_id"), col("sh"))
     val verified = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -75,13 +83,17 @@ object Dedup {
     * one of 4 bands identical, so a band-equality join finds ALL such
     * pairs). Output: per-doc signature bands + near-neighbor count.
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhash(Tables(spark, dir).documents)
+
+  /** Library face: simhash near-dup summary over any (doc_id, text) frame. */
+  def simhash(docs: DataFrame): DataFrame = {
     import graft.functions.NativeExprs.{simhash64 => simhash64e}
     // native single-pass signature; bands are 16-bit slices of it
     // (pigeonhole over 4 bands covers hamming ≤ 3)
     val sigExpr = simhash64e(array_distinct(split(col("text"), " ")))
-    val sig = Tables(spark, dir).documents
-      .repartition(spark.sparkContext.defaultParallelism)
+    val sig = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id") +: (0 until 4).map(k =>
         shiftrightunsigned(sigExpr, 16 * k).bitwiseAND(0xffffL).as(s"b$k")): _*)
 
@@ -119,8 +131,12 @@ object Dedup {
     * (the zone analog of blocking) — the oracle-checkable exact
     * baseline that C2 approximates at scale.
     */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = tokenized(spark, dir)
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccard(Tables(spark, dir).documents)
+
+  /** Library face: exact jaccard pairs over any (doc_id, lang, text) frame. */
+  def ngramJaccard(docs: DataFrame): DataFrame = {
+    val sh = tokenized(docs)
       .select(col("doc_id"), col("lang"), explode(col("sh")).as("s"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
@@ -159,9 +175,15 @@ object Dedup {
     * Cosine is rounded to 3 decimals before the threshold compare so
     * engine-level float fold order can't flip boundary rows.
     */
-  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir).embeddings
-      .repartition(spark.sparkContext.defaultParallelism)
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDup(Tables(spark, dir).embeddings)
+
+  /** Library face: cosine near-dup pairs over any (vec_id, label,
+    * embedding float[]) frame.
+    */
+  def embeddingNearDup(embeddings: DataFrame): DataFrame = {
+    val e = embeddings
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
     val a = e.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = e.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
