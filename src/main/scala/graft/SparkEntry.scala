@@ -61,6 +61,7 @@ object SparkEntry {
     "q_asof_join" -> (Extras.asofJoin _),
     "q_percentiles" -> (Extras.percentiles _),
     "q_approx_distinct" -> (Extras.approxDistinct _),
+    "q_subqueries" -> (Extras.subqueries _),
     // B: headline analytics
     "q1_pricing" -> (Analytics.q1Pricing _),
     "q3_topk" -> (Analytics.q3TopK _),
@@ -106,6 +107,7 @@ object SparkEntry {
     "q_asof_join" -> Extras.asofJoinSql,
     "q_percentiles" -> Extras.percentilesSql,
     "q_token_bpe" -> TextAnalysis.tokenBpeSql,
+    "q_subqueries" -> Extras.subqueriesSql,
     "q1_pricing" -> Analytics.q1PricingSql,
     "q3_topk" -> Analytics.q3TopKSql,
     "q5_join5" -> Analytics.q5Join5Sql,

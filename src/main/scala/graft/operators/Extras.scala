@@ -146,6 +146,31 @@ object Extras {
       |FROM lineitem
       |GROUP BY l_returnflag""".stripMargin
 
+  /** E9: correlated subqueries — EXISTS (→ left-semi join) and a
+    * correlated scalar count (→ left outer aggregate join) over
+    * customers/orders. Written in SQL to exercise Catalyst's
+    * decorrelation; the oracle states the identical SQL.
+    */
+  def subqueries(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer.createOrReplaceTempView("customer_v")
+    t.orders.createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT c_custkey, c_mktsegment,
+        |  (SELECT COUNT(*) FROM orders_v WHERE o_custkey = c_custkey) AS n_orders
+        |FROM customer_v
+        |WHERE EXISTS (SELECT 1 FROM orders_v
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |""".stripMargin)
+  }
+
+  val subqueriesSql: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin
+
   /** E8: sketch-based distinct counting (HyperLogLog++) next to the
     * exact count — the at-scale substitute for E4's Expand plan
     * (rows-only: HLL implementations differ by engine; the spec bounds
