@@ -74,6 +74,19 @@ class KernelsSpec extends AnyFunSuite {
     assert(Kernels.gramHashes(arr(), 3).numElements() == 0)
   }
 
+  test("topCellsByDot: picks the max-dot cells in order") {
+    val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(-1.0, 0.0))
+    val cells = Kernels.topCellsByDot(farr(0.9f, 0.4f), centroids, 2)
+    assert(cells.getInt(0) == 0 && cells.getInt(1) == 1)
+  }
+
+  test("hyperplaneBucket: sign bits set per plane") {
+    val planes = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    assert(Kernels.hyperplaneBucket(farr(1f, 1f), planes) == 3)
+    assert(Kernels.hyperplaneBucket(farr(1f, -1f), planes) == 1)
+    assert(Kernels.hyperplaneBucket(farr(-1f, -1f), planes) == 0)
+  }
+
   test("winnow: window minima are a subset of gram hashes; deterministic") {
     val toks = Seq("q", "w", "e", "r", "t", "y", "u", "i", "o", "p", "a", "s")
     val fps = Kernels.winnow(arr(toks: _*), 3, 8)

@@ -98,6 +98,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(exact.subsetOf(lsh), s"LSH missed ${exact -- lsh}")
   }
 
+  test("q_dedup_simhash: planted near-dup docs have nonzero neighbor counts") {
+    val planted = run("q_ngram_jaccard").filter(col("jaccard") >= 0.9)
+      .select("doc_a", "doc_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(planted.nonEmpty)
+    val near = run("q_dedup_simhash")
+      .filter(col("doc_id").isin(planted.toSeq: _*))
+      .select("n_near").collect().map(_.getLong(0))
+    // simhash(hamming<=3) should flag most >=0.9-jaccard docs
+    assert(near.count(_ > 0) >= planted.size / 2,
+      s"simhash flagged ${near.count(_ > 0)}/${planted.size}")
+  }
+
   test("q_ann_topk: 10 queries × ranks 1..10, self excluded") {
     val d = run("q_ann_topk").cache()
     assert(d.count() == 100)

@@ -91,6 +91,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming sink: windowed agg lands in parquet with checkpointing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("sink").toString
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val agg = Events.hourlyAgg(
+      mem.toDF().toDF("event_ts", "event_type", "value")
+        .withWatermark("event_ts", "10 minutes"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$outDir/data")
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .start()
+    mem.addData((ts(0), "click", 1.0), (ts(30), "click", 2.0))
+    q.processAllAvailable()
+    // advance the watermark far enough to close the first hour's window
+    mem.addData((ts(180), "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(s"$outDir/data")
+    assert(rows.count() >= 1)
+    assert(rows.filter(col("n_events") === 2 && col("total_value") === 3.0).count() == 1)
+  }
+
   test("sessionizeStateful in batch mode agrees with session_window counts") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
