@@ -45,11 +45,15 @@ object Build {
     // core layer (materialized='table'), dependency order
     table("dim_zones", Staging.seedDim(spark, sfDir))
     val fact = table("fact_lineitem", Facts.factLineitem(spark, sfDir))
-    table("dm_monthly_zone_revenue", Facts.monthlyRollupFrom(fact))
+    val revenue = table("dm_monthly_zone_revenue", Facts.monthlyRollupFrom(fact))
     table("dm_monthly_zone_statistics", Facts.monthlyStatsFrom(fact))
 
-    // dbt test analog (severities per reference schema.yml)
+    // dbt test analog (severities per reference schema.yml; the core
+    // model's not_null on the monthly total is the one error-severity
+    // test — models/core/schema.yml:21-27)
     val checks = Seq(
+      CheckResult("not_null_revenue_monthly_total",
+        revenue.filter(revenue("revenue_monthly_total").isNull).count(), Error),
       CheckResult("unique_stg_events_key",
         Checks.checkUnique(spark, sfDir).count(), Warn),
       CheckResult("not_null_events_key",
