@@ -35,6 +35,16 @@ class BucketingSpec extends AnyFunSuite {
     val t = Tables(spark, "/root/testdata/sf0.001")
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
+    // the in-memory catalog forgets tables across JVMs while their
+    // warehouse directories persist — clear the locations as well
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("li_b", "ord_b").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(d).deleteRecursively()
+      }
+    }
     t.lineitem.select("l_orderkey", "l_extendedprice")
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .format("parquet").saveAsTable("li_b")
