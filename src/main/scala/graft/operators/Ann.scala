@@ -27,8 +27,23 @@ object Ann {
 
   /** Per-query top-k by (rounded cosine desc, vec_id) — rounding makes
     * rank order engine-portable; vec_id breaks the remaining ties.
+    * Ranked with the bounded-heap [[graft.functions.TopKAgg]] aggregate:
+    * partial aggregation ships ≤ k pairs per query per map task,
+    * instead of window-sorting every scored row through one reducer
+    * per query.
     */
-  private def rank(scored: DataFrame): DataFrame = {
+  private def rank(scored: DataFrame): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.top_k(
+        struct(col("cosine"), col("vec_id")), TopK).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("idx", "e")))
+      .select(col("query_id"), (col("idx") + 1).as("rank"),
+        col("e.id").as("vec_id"), col("e.score").as("cosine"))
+
+  /** Window-based reference formulation of [[rank]] (plan comparison /
+    * testing; identical results).
+    */
+  private[operators] def rankViaWindow(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -48,11 +63,21 @@ object Ann {
     * (vec_id, embedding float[]) corpus — queries broadcast, corpus
     * streams map-side.
     */
-  def annTopK(corpus: DataFrame, queries: DataFrame): DataFrame = {
-    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+  def annTopK(corpus: DataFrame, queries: DataFrame): DataFrame =
+    rank(scoreAll(corpus, queries))
+
+  private def scoreAll(corpus: DataFrame, queries: DataFrame): DataFrame =
+    corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(NativeExprs.cosine_f32(col("q_emb"), col("embedding")), 3).as("cosine"))
-    rank(scored)
+
+  /** Window-ranked variant (result-identical; used by tests to pin the
+    * TopKAgg ranking to the row_number formulation).
+    */
+  def annTopKViaWindow(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    rankViaWindow(scoreAll(e, e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))))
   }
 
   val annTopKSql: String =

@@ -73,4 +73,29 @@ class PlanSpec extends AnyFunSuite {
     val s = planString("q_winnow")
     assert(s.contains("codegen id"), s.take(1500))
   }
+
+  test("partitioned output: month filter prunes partitions at the scan") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("partitioned").toString + "/fact"
+    SparkEntry.queries("q_fact_join")(spark, dir)
+      .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .write.partitionBy("ship_month").parquet(out)
+    val pruned = spark.read.parquet(out).filter(col("ship_month") === "1996-03")
+    val s = pruned.queryExecution.executedPlan.toString
+    assert(s.contains("PartitionFilters") && s.contains("ship_month"), s.take(1200))
+    // the plan reads only the one matching partition directory
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }.sum
+    assert(scanned == 1, s"expected 1 partition scanned, got $scanned")
+  }
+
+  test("TopKAgg ranking equals the window row_number formulation") {
+    val agg = SparkEntry.queries("q_ann_topk")(spark, dir)
+      .collect().map(_.toString).sorted
+    // rebuild the scored frame and rank via window for comparison
+    val viaWindow = graft.operators.Ann.annTopKViaWindow(spark, dir)
+      .collect().map(_.toString).sorted
+    assert(agg.sameElements(viaWindow))
+  }
 }
