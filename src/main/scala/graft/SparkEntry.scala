@@ -26,6 +26,7 @@ object SparkEntry {
     "q_monthly_stats" -> (Facts.monthlyStats _),
     "q_metric_timegrain" -> (Facts.metricMonthly _),
     "q_metric_grains" -> (Facts.metricYearly _),
+    "q_metric_quarter" -> (Facts.metricQuarterly _),
     "q_check_unique" -> (Checks.checkUnique _),
     "q_check_not_null" -> (Checks.checkNotNull _),
     "q_check_relationships" -> (Checks.checkRelationships _),
@@ -82,6 +83,7 @@ object SparkEntry {
     "q_monthly_stats" -> Facts.monthlyStatsSql,
     "q_metric_timegrain" -> Facts.metricMonthlySql,
     "q_metric_grains" -> Facts.metricYearlySql,
+    "q_metric_quarter" -> Facts.metricQuarterlySql,
     "q_check_unique" -> Checks.checkUniqueSql,
     "q_check_not_null" -> Checks.checkNotNullSql,
     "q_check_relationships" -> Checks.checkRelationshipsSql,

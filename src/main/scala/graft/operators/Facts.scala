@@ -193,6 +193,24 @@ object Facts {
       |WHERE supp_region = 'EUROPE' AND cust_region = 'EUROPE'
       |GROUP BY 1""".stripMargin
 
+  /** A10b: quarter grain of the same metric. */
+  def metricQuarterly(spark: SparkSession, dir: String): DataFrame =
+    metricQuarterlyFrom(factLineitem(spark, dir))
+
+  def metricQuarterlyFrom(fact: DataFrame): DataFrame =
+    fact
+      .filter(col("supp_region") === "EUROPE" && col("cust_region") === "EUROPE")
+      .groupBy(date_trunc("quarter", col("l_shipdate")).as("grain_quarter"))
+      .agg(decAvg(col("l_quantity")).as("average_quantity"))
+
+  val metricQuarterlySql: String = factCte +
+    """
+      |SELECT CAST(date_trunc('quarter', l_shipdate) AS TIMESTAMP) AS grain_quarter,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS average_quantity
+      |FROM fact
+      |WHERE supp_region = 'EUROPE' AND cust_region = 'EUROPE'
+      |GROUP BY 1""".stripMargin
+
   /** A10: same metric at year grain (time_grains: [month, quarter,
     * year] parameterization).
     */
