@@ -63,6 +63,8 @@ object SparkEntry {
     "q_percentiles" -> (Extras.percentiles _),
     "q_approx_distinct" -> (Extras.approxDistinct _),
     "q_subqueries" -> (Extras.subqueries _),
+    "q_pivot" -> (Extras.pivotServiceType _),
+    "q_cube" -> (Extras.cubeRegionStatus _),
     // B: headline analytics
     "q1_pricing" -> (Analytics.q1Pricing _),
     "q3_topk" -> (Analytics.q3TopK _),
@@ -110,6 +112,8 @@ object SparkEntry {
     "q_percentiles" -> Extras.percentilesSql,
     "q_token_bpe" -> TextAnalysis.tokenBpeSql,
     "q_subqueries" -> Extras.subqueriesSql,
+    "q_pivot" -> Extras.pivotServiceTypeSql,
+    "q_cube" -> Extras.cubeRegionStatusSql,
     "q1_pricing" -> Analytics.q1PricingSql,
     "q3_topk" -> Analytics.q3TopKSql,
     "q5_join5" -> Analytics.q5Join5Sql,

@@ -114,6 +114,64 @@ object Extras {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
 
+  /** E11: pivot — monthly revenue spread across service-type columns
+    * (wide report shape). The oracle states the equivalent conditional
+    * aggregation, which is also exactly how Catalyst lowers `pivot`.
+    */
+  def pivotServiceType(spark: SparkSession, dir: String): DataFrame =
+    Facts.factLineitem(spark, dir)
+      .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+      .pivot("service_type", Seq("Open", "Final"))
+      .agg(decSum(col("l_extendedprice")))
+      .withColumnRenamed("Open", "open_revenue")
+      .withColumnRenamed("Final", "final_revenue")
+
+  val pivotServiceTypeSql: String =
+    """WITH fact AS (
+      |  SELECT l_shipdate, l_extendedprice,
+      |    CASE l_linestatus WHEN 'O' THEN 'Open' ELSE 'Final' END AS service_type
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN (SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+      |        WHERE r_name != 'AFRICA') supp ON s_nationkey = supp.n_nationkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN (SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+      |        WHERE r_name != 'AFRICA') cust ON c_nationkey = cust.n_nationkey
+      |)
+      |SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+      |  CAST(SUM(CASE WHEN service_type = 'Open' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS open_revenue,
+      |  CAST(SUM(CASE WHEN service_type = 'Final' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS final_revenue
+      |FROM fact
+      |GROUP BY 1""".stripMargin
+
+  /** E12: CUBE — all grouping combinations of (region, status) with
+    * labeled totals.
+    */
+  def cubeRegionStatus(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .join(broadcast(t.customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("total_price"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n_orders"), col("total_price"))
+  }
+
+  val cubeRegionStatusSql: String =
+    """SELECT coalesce(r_name, 'ALL') AS region, coalesce(o_orderstatus, 'ALL') AS status,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY CUBE(r_name, o_orderstatus)""".stripMargin
+
   /** E4: multi-distinct aggregation — distinct parts/suppliers/orders
     * per month (Catalyst plans this as Expand + two-phase aggregation;
     * at scale each distinct column shuffles once on (month, value)).
