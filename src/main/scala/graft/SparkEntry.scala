@@ -65,6 +65,7 @@ object SparkEntry {
     "q_subqueries" -> (Extras.subqueries _),
     "q_pivot" -> (Extras.pivotServiceType _),
     "q_cube" -> (Extras.cubeRegionStatus _),
+    "q_set_ops" -> (Extras.setOps _),
     // B: headline analytics
     "q1_pricing" -> (Analytics.q1Pricing _),
     "q3_topk" -> (Analytics.q3TopK _),
@@ -114,6 +115,7 @@ object SparkEntry {
     "q_subqueries" -> Extras.subqueriesSql,
     "q_pivot" -> Extras.pivotServiceTypeSql,
     "q_cube" -> Extras.cubeRegionStatusSql,
+    "q_set_ops" -> Extras.setOpsSql,
     "q1_pricing" -> Analytics.q1PricingSql,
     "q3_topk" -> Analytics.q3TopKSql,
     "q5_join5" -> Analytics.q5Join5Sql,

@@ -172,6 +172,36 @@ object Extras {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY CUBE(r_name, o_orderstatus)""".stripMargin
 
+  /** E13: set operations — customers active in 1996 vs 1997 compared
+    * via INTERSECT / EXCEPT / UNION (distinct). Catalyst plans these as
+    * semi/anti joins and distinct aggregations.
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+    def custs(year: Int) = o
+      .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select("o_custkey")
+    val c96 = custs(1996); val c97 = custs(1997)
+    val both = c96.intersect(c97).count()
+    val only96 = c96.except(c97).count()
+    val either = c96.union(c97).distinct().count()
+    import spark.implicits._
+    Seq((both, only96, either)).toDF("n_both", "n_only_1996", "n_either")
+  }
+
+  val setOpsSql: String =
+    """WITH c96 AS (SELECT o_custkey FROM orders
+      |             WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |               AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+      |     c97 AS (SELECT o_custkey FROM orders
+      |             WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |               AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+      |SELECT
+      |  (SELECT COUNT(*) FROM (SELECT * FROM c96 INTERSECT SELECT * FROM c97)) AS n_both,
+      |  (SELECT COUNT(*) FROM (SELECT * FROM c96 EXCEPT SELECT * FROM c97)) AS n_only_1996,
+      |  (SELECT COUNT(*) FROM (SELECT * FROM c96 UNION SELECT * FROM c97)) AS n_either""".stripMargin
+
   /** E4: multi-distinct aggregation — distinct parts/suppliers/orders
     * per month (Catalyst plans this as Expand + two-phase aggregation;
     * at scale each distinct column shuffles once on (month, value)).
