@@ -74,6 +74,12 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("codegen id"), s.take(1500))
   }
 
+  test("q_monthly_rollup: map-side partial aggregation precedes the exchange") {
+    val s = planString("q_monthly_rollup")
+    // formatted plans show partial_<agg> in the pre-shuffle HashAggregate
+    assert(s.contains("partial_"), s.take(1500))
+  }
+
   test("partitioned output: month filter prunes partitions at the scan") {
     import org.apache.spark.sql.functions._
     val out = java.nio.file.Files.createTempDirectory("partitioned").toString + "/fact"
