@@ -23,6 +23,11 @@ object Graft {
   /** Apply graft's planning confs to any builder (local or cluster). */
   def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder = b
     .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    // The events feed carries nanosecond parquet timestamps, which
+    // Spark's µs TimestampType cannot hold; read them as raw ns longs
+    // (session-wide, declared at construction — NOT flipped inside a
+    // table getter, so no read-order-dependent behavior).
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -20,21 +20,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 }
 
-/** Optimizer rule: cosine(x, x) is 1.0 for any non-null x — fold it
-  * away so self-similarity guards cost nothing. Demonstrates the
+/** Optimizer rule: `cosine(x, x)` → `self_cosine(x)` — a strength
+  * reduction that halves the array reads of self-similarity guards.
+  * Semantics-preserving by construction: [[NativeExprs.SelfCosineF32]]
+  * evaluates bit-identically to the two-argument kernel on a duplicated
+  * child (NaN for zero-norm/empty vectors, null for null — a literal
+  * 1.0 fold would silently change those). Demonstrates the
   * `Rule[LogicalPlan]` + injectOptimizerRule tier of SURVEY §3.
   */
 object SimplifySelfCosine
     extends org.apache.spark.sql.catalyst.rules.Rule[
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
-  import org.apache.spark.sql.catalyst.expressions.{If, IsNull, Literal}
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-  import org.apache.spark.sql.types.DoubleType
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case NativeExprs.CosineSimF32(a, b) if a.deterministic && a.semanticEquals(b) =>
-        If(IsNull(a), Literal(null, DoubleType), Literal(1.0, DoubleType))
+        NativeExprs.SelfCosineF32(a)
     }
 }
 

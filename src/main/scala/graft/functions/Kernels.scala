@@ -36,6 +36,26 @@ object Kernels {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Bit-identical to `cosineF32(a, a)` at half the array reads: with
+    * x == y the three accumulators of [[cosineF32]] run the identical
+    * fp-add sequence, so dot == na == nb and the result is
+    * `na / (sqrt(na) * sqrt(na))` — including NaN for zero-norm or
+    * empty vectors (0/0) and the same last-ulp rounding for the rest.
+    * This is what makes [[graft.core.SimplifySelfCosine]] a
+    * semantics-preserving rewrite rather than a value-changing fold.
+    */
+  def selfCosineF32(a: ArrayData): Double = {
+    val n = a.numElements()
+    var na = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      na += x * x
+      i += 1
+    }
+    na / (math.sqrt(na) * math.sqrt(na))
+  }
+
   /** Hash of the n-gram starting at token `j` under permutation seed
     * `seed`: token hashes chained (h = xxh64(tok, prev)) — no gram
     * string is ever materialized.

@@ -27,6 +27,22 @@ object NativeExprs {
       copy(left = l, right = r)
   }
 
+  /** self_cosine(float32[]) → double; the single-argument strength
+    * reduction of `CosineSimF32(x, x)` installed by
+    * [[graft.core.SimplifySelfCosine]]. Evaluates bit-identically to
+    * the two-argument form on a duplicated child (see
+    * [[Kernels.selfCosineF32]]) — NaN for zero-norm/empty input, null
+    * for null input.
+    */
+  case class SelfCosineF32(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any): Any =
+      Kernels.selfCosineF32(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.functions.Kernels.selfCosineF32($a)")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** minhash(string[] tokens, ngram, k) → long[k] signature. */
   case class MinHashSig(child: Expression, ngram: Int, k: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -30,6 +30,26 @@ case class TopKAgg(
     StructType(Seq(StructField("score", DoubleType), StructField("id", LongType))),
     containsNull = false)
 
+  // Analysis-time contract: update() reads getDouble(0)/getLong(1), so
+  // anything but struct(double, long) must fail BEFORE execution (a
+  // float/int struct would otherwise misread unsafe-row bytes at
+  // runtime); k < 1 would silently return empty arrays.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (k < 1)
+      TypeCheckResult.TypeCheckFailure(s"top_k requires k >= 1, got $k")
+    else child.dataType match {
+      case StructType(fields)
+          if fields.length == 2 && fields(0).dataType == DoubleType &&
+            fields(1).dataType == LongType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          "top_k expects struct(score: double, id: bigint), got " +
+            other.catalogString)
+    }
+  }
+
   override def createAggregationBuffer(): TopKAgg.Heap = new TopKAgg.Heap(k)
 
   override def update(buf: TopKAgg.Heap, input: InternalRow): TopKAgg.Heap = {

@@ -39,11 +39,14 @@ object Checks {
         sum(when(col("ts").isNull, 1L).otherwise(0L)).as("null_ts"),
         count(lit(1)).as("total_rows"))
 
+  // DuckDB SUM(BIGINT) yields HUGEINT, which the python client narrows
+  // to float64 — CAST to BIGINT so the oracle's dtype matches Spark's
+  // int64 (COUNT needs no cast: it is already BIGINT).
   val checkNotNullSql: String =
     """SELECT
-      |  SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user_id,
-      |  SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS null_event_type,
-      |  SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS null_ts,
+      |  CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+      |  CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+      |  CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts,
       |  COUNT(*) AS total_rows
       |FROM events""".stripMargin
 

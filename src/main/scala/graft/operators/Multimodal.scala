@@ -69,12 +69,23 @@ object Multimodal {
   /** C15: partition-parallel feature extraction over binary payloads —
     * the `mapPartitions` shape a real decoder (batched, per-executor
     * codec init) would use. Narrow, no shuffle; scales with executors.
+    *
+    * The vector/frame columns are flattened to scalars for the output
+    * contract (fixed dims, so lossless) — compare harnesses sort rows by
+    * value, which array cells don't support portably.
     */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     val rows = Tables(spark, dir).documents
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as(Encoders.product[MediaRow])
-    rows.mapPartitions(it => it.map(decodeStub))(Encoders.product[MediaFeatures])
+    val feats = rows
+      .mapPartitions(it => it.map(decodeStub))(Encoders.product[MediaFeatures])
       .toDF()
+    // get() is 0-based and null-on-missing (a <4-byte payload yields a
+    // short frame_sample) — element_at would throw under ANSI mode.
+    val featCols = (0 until 8).map(i => get(col("features"), lit(i)).as(s"f$i"))
+    val frameCols = (0 until 4).map(i =>
+      get(col("frame_sample"), lit(i)).as(s"frame$i"))
+    feats.select(col("doc_id") +: col("n_bytes") +: (featCols ++ frameCols): _*)
   }
 }

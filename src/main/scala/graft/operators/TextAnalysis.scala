@@ -193,17 +193,26 @@ object TextAnalysis {
   /** C17: deterministic train/eval split — pure-integer Knuth
     * multiplicative hash of the id, portable to any engine; never
     * rand() (stable across retries, reproducible lineage).
+    *
+    * Wrap-safety: `(doc_id % 100) * K % 100` equals `doc_id * K % 100`
+    * by modular arithmetic, but the reduced product is ≤ 99·K < 2^63 —
+    * no silent int64 wrap in Spark and no overflow error in engines
+    * that trap it (DuckDB), at ANY doc_id.
     */
   def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .withColumn("split",
-        when((col("doc_id") * 2654435761L) % 100 < 90, "train").otherwise("eval"))
+        when((col("doc_id") % 100) * 2654435761L % 100 < 90, "train")
+          .otherwise("eval"))
       .groupBy("split")
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
 
+  // CAST(SUM(int) AS BIGINT): DuckDB SUM(BIGINT) is HUGEINT → float64
+  // in the compare harness; BIGINT matches Spark's int64.
   val trainTestSplitSql: String =
-    """SELECT CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train' ELSE 'eval' END AS split,
-      |  COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    """SELECT CASE WHEN (doc_id % 100) * 2654435761 % 100 < 90 THEN 'train' ELSE 'eval' END AS split,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM documents
       |GROUP BY 1""".stripMargin
 

@@ -25,13 +25,20 @@ final case class Tables(spark: SparkSession, dir: String) {
   def lineitem: DataFrame   = t("lineitem")
 
   /** The events feed carries nanosecond parquet timestamps, which Spark's
-    * TimestampType (µs) cannot hold; read `ts` as a raw nanosecond long
-    * (lossless) and let operators derive µs/timestamps via
-    * [[graft.functions.Fns.nsToUs]] — flooring exactly like engines that
-    * narrow ns→µs on read.
+    * TimestampType (µs) cannot hold; `ts` arrives as a raw nanosecond
+    * long (lossless — `spark.sql.legacy.parquet.nanosAsLong`, set at
+    * session construction in [[graft.core.Graft.tune]]) and operators
+    * derive µs/timestamps via [[graft.functions.Fns.nsToUs]] — flooring
+    * exactly like engines that narrow ns→µs on read.
     */
   def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Defensive: sessions not built via Graft.tune would otherwise fail
+    // with PARQUET_TYPE_ILLEGAL. conf.set is idempotent here, but the
+    // contract is that Graft.tune already declared it.
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      throw new IllegalStateException(
+        "events requires spark.sql.legacy.parquet.nanosAsLong=true — " +
+          "build the session with graft.core.Graft.tune")
     t("events")
   }
   def documents: DataFrame  = t("documents")

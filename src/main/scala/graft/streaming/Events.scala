@@ -62,40 +62,95 @@ object Events {
       n_events: Long, total_value: Double)
   final case class SessState(startUs: Long, lastUs: Long,
       n: Long, total: Double)
+  /** [[Ev]] plus the watermark-tagged timestamp column: the streaming
+    * checker requires the watermarked attribute to still be present in
+    * the child of flatMapGroupsWithState, so it must ride through the
+    * groupByKey rather than be projected away.
+    */
+  final case class EvW(user_id: Long, ts_us: Long, value: Double,
+      event_ts: java.sql.Timestamp)
 
   /** D3: custom-state sessionization via
     * `KeyValueGroupedDataset.flatMapGroupsWithState` — the
     * Structured-Streaming-native form of D2's session_window, for when
     * session logic outgrows what session_window expresses (per-session
-    * custom accumulators, mid-session emission, etc.). Emits a session
-    * when a ≥gap silence closes it; the open session rides in
-    * GroupState across micro-batches. Works identically in batch mode
-    * (single invocation, empty initial state).
+    * custom accumulators, mid-session emission, etc.).
+    *
+    * Session closure is complete in BOTH execution modes — an idle
+    * user's last session is never silently dropped:
+    *   - streaming: `EventTimeTimeout` + `setTimeoutTimestamp(last +
+    *     gap)` closes the open session when the watermark passes the
+    *     gap (the function injects a watermark on `ts_us` if the caller
+    *     hasn't declared one);
+    *   - batch: the single invocation sees the key's complete history,
+    *     so end-of-input closes the trailing session directly (there is
+    *     no watermark to wait for).
     */
-  def sessionizeStateful(ds: Dataset[Ev], gapUs: Long = 30L * 60 * 1000000)(
+  def sessionizeStateful(
+      ds: Dataset[Ev],
+      gapUs: Long = 30L * 60 * 1000000,
+      watermarkDelay: String = "0 seconds")(
       implicit enc: Encoder[SessionOut]): Dataset[SessionOut] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    ds.groupByKey(_.user_id)(Encoders.scalaLong)
-      .flatMapGroupsWithState[SessState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uid: Long, events: Iterator[Ev], state: GroupState[SessState]) =>
-          val sorted = events.toIndexedSeq.sortBy(e => (e.ts_us, e.value))
-          var cur = state.getOption
-          val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
-          sorted.foreach { e =>
-            cur = cur match {
-              case Some(s) if e.ts_us - s.lastUs < gapUs =>
-                Some(s.copy(lastUs = e.ts_us, n = s.n + 1, total = s.total + e.value))
-              case Some(s) =>
-                closed += SessionOut(uid, s.startUs, s.n, s.total)
-                Some(SessState(e.ts_us, e.ts_us, 1, e.value))
-              case None =>
-                Some(SessState(e.ts_us, e.ts_us, 1, e.value))
+    val func = (uid: Long, events: Iterator[Ev], state: GroupState[SessState]) => {
+          def close(s: SessState) = SessionOut(uid, s.startUs, s.n, s.total)
+          if (state.hasTimedOut) {
+            // watermark passed last+gap with no new events: silence
+            // closes the open session
+            val out = state.getOption.map(close)
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = events.toIndexedSeq.sortBy(e => (e.ts_us, e.value))
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
+            sorted.foreach { e =>
+              cur = cur match {
+                case Some(s) if e.ts_us - s.lastUs < gapUs =>
+                  Some(s.copy(lastUs = e.ts_us, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed += close(s)
+                  Some(SessState(e.ts_us, e.ts_us, 1, e.value))
+                case None =>
+                  Some(SessState(e.ts_us, e.ts_us, 1, e.value))
+              }
             }
+            // batch mode has no watermark (getCurrentWatermarkMs throws):
+            // the input is the complete history, close the trailing
+            // session now instead of scheduling a timeout.
+            val wmMs = try Some(state.getCurrentWatermarkMs())
+              catch { case _: UnsupportedOperationException => None }
+            (cur, wmMs) match {
+              case (Some(s), Some(wm)) =>
+                state.update(s)
+                state.setTimeoutTimestamp(
+                  math.max((s.lastUs + gapUs) / 1000, wm + 1))
+              case (Some(s), None) =>
+                closed += close(s)
+              case (None, _) =>
+            }
+            closed.iterator
           }
-          cur.foreach(state.update)
-          closed.iterator
-      }(Encoders.product[SessState], enc)
+    }
+    // EventTimeTimeout needs an event-time watermark in streaming mode;
+    // Ev carries event time as a µs long, so tag a projected timestamp
+    // and keep it in the grouped row (EvW) — the checker requires the
+    // watermarked attribute in flatMapGroupsWithState's child output.
+    if (ds.isStreaming)
+      ds.withColumn("event_ts", timestamp_micros(col("ts_us")))
+        .withWatermark("event_ts", watermarkDelay)
+        .as(Encoders.product[EvW])
+        .groupByKey(_.user_id)(Encoders.scalaLong)
+        .flatMapGroupsWithState[SessState, SessionOut](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          (uid: Long, events: Iterator[EvW], state: GroupState[SessState]) =>
+            func(uid, events.map(e => Ev(e.user_id, e.ts_us, e.value)), state)
+        }(Encoders.product[SessState], enc)
+    else
+      ds.groupByKey(_.user_id)(Encoders.scalaLong)
+        .flatMapGroupsWithState[SessState, SessionOut](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(func)(
+          Encoders.product[SessState], enc)
   }
 
   val qSessionizeSql: String =

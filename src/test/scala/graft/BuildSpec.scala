@@ -50,17 +50,42 @@ class BuildSpec extends AnyFunSuite {
     assert(r.getInt(3) == 2)
   }
 
-  test("SimplifySelfCosine rule folds cosine(x,x) to a literal") {
+  test("SimplifySelfCosine strength-reduces cosine(x,x), preserving semantics") {
     import org.apache.spark.sql.functions._
     val s2 = spark.newSession()
     s2.experimental.extraOptimizations = Seq(graft.core.SimplifySelfCosine)
     val df = sources.Tables(s2, dir).embeddings
-      .select(graft.functions.NativeExprs.cosine_f32(
+      .select(col("vec_id"), graft.functions.NativeExprs.cosine_f32(
         col("embedding"), col("embedding")).as("c"))
     val optimized = df.queryExecution.optimizedPlan.toString
-    assert(!optimized.toLowerCase.contains("cosinesimf32"), optimized)
-    // exact 1.0 — the kernel itself would give 0.999…x for most vectors
-    assert(df.collect().forall(_.getDouble(0) == 1.0))
+    assert(!optimized.toLowerCase.contains("cosinesimf32(embedding"), optimized)
+    assert(optimized.toLowerCase.contains("selfcosinef32"), optimized)
+    // rewritten plan must produce bit-identical values to the
+    // unoptimized two-argument evaluation
+    val plain = sources.Tables(spark, dir).embeddings
+      .select(col("vec_id"), graft.functions.NativeExprs.cosine_f32(
+        col("embedding"), col("embedding")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    df.collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(plain(r.getLong(0))))
+    }
+    // the NaN / null edge cases the rewrite must NOT change
+    import s2.implicits._
+    val edge = Seq(
+      (1L, Some(Array(0.0f, 0.0f))), // zero norm → NaN (0/0)
+      (2L, Some(Array.empty[Float])), // empty → NaN
+      (3L, None), // null in → null out
+      (4L, Some(Array(3.0f, 4.0f))) // regular
+    ).toDF("id", "embedding")
+    val got = edge.select(col("id"), graft.functions.NativeExprs.cosine_f32(
+        col("embedding"), col("embedding")).as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1)))
+      .toMap
+    assert(got(1L).asInstanceOf[Double].isNaN)
+    assert(got(2L).asInstanceOf[Double].isNaN)
+    assert(got(3L) == null)
+    assert(got(4L) == 1.0)
   }
 
   test("E-block invariants: rollup grand total and running totals agree") {

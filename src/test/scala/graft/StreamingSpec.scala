@@ -49,9 +49,13 @@ class StreamingSpec extends AnyFunSuite {
   test("sessionizeStateful: state carries open sessions across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val us = (min: Int) => min * 60L * 1000000L
+    // offset from epoch 0: the stateful operator's late-row filter
+    // drops event_ts <= watermark, and the initial watermark is 0 —
+    // an event AT epoch zero is degenerate "late" data by definition
+    val us = (min: Int) => (min + 60) * 60L * 1000000L
+    val gap = 30 * 60L * 1000000L
     val mem = MemoryStream[Events.Ev]
-    val q = Events.sessionizeStateful(mem.toDS(), gapUs = us(30)).writeStream
+    val q = Events.sessionizeStateful(mem.toDS(), gapUs = gap).writeStream
       .outputMode("append").format("memory").queryName("sess_out").start()
 
     // batch 1: user 1 events at t=0,10 (one open session)
@@ -63,6 +67,34 @@ class StreamingSpec extends AnyFunSuite {
     mem.addData(Events.Ev(1, us(100), 5.0))
     q.processAllAvailable()
     val closed = spark.table("sess_out").as[Events.SessionOut].collect()
+    q.stop()
+
+    assert(closed.toSeq == Seq(Events.SessionOut(1, us(0), 2, 3.0)))
+  }
+
+  test("sessionizeStateful: watermark timeout closes an idle user's session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // offset from epoch 0: the stateful operator's late-row filter
+    // drops event_ts <= watermark, and the initial watermark is 0 —
+    // an event AT epoch zero is degenerate "late" data by definition
+    val us = (min: Int) => (min + 60) * 60L * 1000000L
+    val gap = 30 * 60L * 1000000L
+    val mem = MemoryStream[Events.Ev]
+    val q = Events.sessionizeStateful(mem.toDS(), gapUs = gap).writeStream
+      .outputMode("append").format("memory").queryName("sess_idle_out").start()
+
+    // user 1 goes idle after t=10; user 1 never sends another event
+    mem.addData(Events.Ev(1, us(0), 1.0), Events.Ev(1, us(10), 2.0))
+    q.processAllAvailable()
+    assert(spark.table("sess_idle_out").count() == 0) // watermark still at 10
+
+    // another USER's event pushes the watermark past 10+30 — the
+    // event-time timeout must now close user 1's session (under
+    // NoTimeout it would have stayed open forever)
+    mem.addData(Events.Ev(2, us(200), 9.0))
+    q.processAllAvailable()
+    val closed = spark.table("sess_idle_out").as[Events.SessionOut].collect()
     q.stop()
 
     assert(closed.toSeq == Seq(Events.SessionOut(1, us(0), 2, 3.0)))
@@ -126,14 +158,15 @@ class StreamingSpec extends AnyFunSuite {
       .as[Events.Ev]
     val stateful = Events.sessionizeStateful(evs).collect()
     val native = Events.qSessionize(spark, dir).collect()
-    // stateful emits only CLOSED sessions; session_window emits all —
-    // every stateful session must appear in the native result.
+    // batch closure is COMPLETE (end-of-input closes trailing sessions),
+    // so the stateful result must equal session_window's, not just be a
+    // subset. (Values compared on the session key/count triple — the
+    // two paths accumulate value totals in different numeric types.)
     val nativeSet = native.map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val statefulSet = stateful.map(s =>
+      (s.user_id, s.session_start_us, s.n_events)).toSet
     assert(stateful.nonEmpty)
-    stateful.foreach { s =>
-      assert(nativeSet.contains((s.user_id, s.session_start_us, s.n_events)),
-        s"missing $s")
-    }
+    assert(statefulSet == nativeSet)
   }
 }
