@@ -23,6 +23,10 @@ object Bench {
       // warm-up pass absorbs one-time planning/codegen/JIT; the timed
       // pass measures steady-state engine throughput
       try { once() } catch { case _: Throwable => return -1.0 }
+      // 100 query executions share this JVM: collect the previous
+      // queries' garbage OUTSIDE the timing window, so query N's number
+      // doesn't pay for query N-1's allocations
+      System.gc()
       val t0 = System.nanoTime()
       once()
       (System.nanoTime() - t0) / 1e9
