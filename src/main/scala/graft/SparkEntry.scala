@@ -66,6 +66,17 @@ object SparkEntry {
     "q_pivot" -> (Extras.pivotServiceType _),
     "q_cube" -> (Extras.cubeRegionStatus _),
     "q_set_ops" -> (Extras.setOps _),
+    "q_range_join" -> (Extras.rangeJoin _),
+    "q_grouping_sets" -> (Extras.groupingSetsQ _),
+    "q_window_funcs" -> (Extras.windowFuncs _),
+    "q_semi_anti" -> (Extras.semiAnti _),
+    "q_skew_agg" -> (Extras.skewSaltedTotals _),
+    "q_incremental" -> (Extras.incrementalMerge _),
+    "q_stratified_sample" -> (TextAnalysis.stratifiedSample _),
+    "q_quality_filter" -> (TextAnalysis.qualityFilter _),
+    "q_pii_scrub" -> (TextAnalysis.piiScrub _),
+    "q_embed_norm" -> (Ann.embedNorm _),
+    "q_dedup_clusters" -> (Dedup.dedupClusters _),
     // B: headline analytics
     "q1_pricing" -> (Analytics.q1Pricing _),
     "q3_topk" -> (Analytics.q3TopK _),
@@ -116,6 +127,16 @@ object SparkEntry {
     "q_pivot" -> Extras.pivotServiceTypeSql,
     "q_cube" -> Extras.cubeRegionStatusSql,
     "q_set_ops" -> Extras.setOpsSql,
+    "q_range_join" -> Extras.rangeJoinSql,
+    "q_grouping_sets" -> Extras.groupingSetsSql,
+    "q_window_funcs" -> Extras.windowFuncsSql,
+    "q_semi_anti" -> Extras.semiAntiSql,
+    "q_skew_agg" -> Extras.skewSaltedTotalsSql,
+    "q_incremental" -> Extras.incrementalMergeSql,
+    "q_stratified_sample" -> TextAnalysis.stratifiedSampleSql,
+    "q_quality_filter" -> TextAnalysis.qualityFilterSql,
+    "q_pii_scrub" -> TextAnalysis.piiScrubSql,
+    "q_embed_norm" -> Ann.embedNormSql,
     "q1_pricing" -> Analytics.q1PricingSql,
     "q3_topk" -> Analytics.q3TopKSql,
     "q5_join5" -> Analytics.q5Join5Sql,

@@ -165,6 +165,26 @@ object Ann {
     rank(scored)
   }
 
+  /** C22: embedding normalization — per-vector L2 norm and dimension,
+    * the standard pre-index hygiene pass (unit-normalizing makes cosine
+    * a dot product). Map-only, zero shuffle; float elements are widened
+    * to double before squaring on both engines and the norm rounded to 4
+    * decimals so sequential-sum ulp differences can't flip a bit.
+    */
+  def embedNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings.select(
+      col("vec_id"), col("label"),
+      size(col("embedding")).cast("int").as("dim"),
+      round(sqrt(aggregate(
+        transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, x) => acc + x)), 4).as("l2_norm"))
+
+  val embedNormSql: String =
+    """SELECT vec_id, label,
+      |  CAST(len(embedding) AS INTEGER) AS dim,
+      |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2_norm
+      |FROM embeddings""".stripMargin
+
   /** C7: LSH-bucketed ANN — queries only score their own bucket
     * (rows-only: bucketing hashes aren't oracle-portable).
     */

@@ -197,4 +197,48 @@ object Dedup {
       |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 3) AS cosine
       |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
       |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 3) >= 0.4""".stripMargin
+
+  /** C23: dedup clustering — connected components over the verified
+    * MinHash near-dup pairs (C2), turning pairwise matches into
+    * keep-one-per-cluster groups. Algorithm: iterative min-label
+    * propagation (the standard large-graph CC — O(diameter) rounds,
+    * each one join + one groupBy keyed on doc_id; state per round is
+    * (doc_id, label) pairs only). `localCheckpoint` cuts the growing
+    * lineage each round — on a cluster this would be `checkpoint` to
+    * durable storage. Driver sees only the per-round change count
+    * (a scalar), never data. Output: one row per cluster with its
+    * canonical (min) doc and size. Rows-only check: minhash
+    * signatures aren't oracle-portable.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir).filter(col("is_dup"))
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("label").as("nbr_label")), "doc_b")
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min(col("nbr_label")).as("nbr_min"))
+      val updated = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = updated
+        .join(labels.withColumnRenamed("label", "old_label"), "doc_id")
+        .filter(col("label") =!= col("old_label")).count()
+      labels = updated
+      converged = changed == 0
+      rounds += 1
+    }
+    labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+  }
 }

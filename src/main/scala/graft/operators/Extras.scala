@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Fns._
@@ -279,4 +279,200 @@ object Extras {
       |  COUNT(*) AS n_lines
       |FROM lineitem
       |GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------- round-2 surface
+
+  private val HourUs = 3600L * 1000000L
+
+  /** E14: time-range join — each purchase counts the same user's clicks
+    * in the preceding hour. Spark has no range-join operator; a naive
+    * inequality join degenerates to a per-user cross product. The scale
+    * path is the bucketed equi-join: both sides bucket to the hour,
+    * purchases probe buckets {h−1, h} (a 1-hour range spans at most two
+    * hour buckets), and the range predicate filters inside the bounded
+    * candidate set. The exchange is keyed on (user, bucket) — uniform,
+    * bounded, never quadratic. The oracle states the same semantics as
+    * a correlated range count.
+    */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    def hourBucket(c: Column): Column = call_function("div", c, lit(HourUs))
+    val ev = Tables(spark, dir).events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        nsToUs(col("ts")).as("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us").as("click_us"),
+        hourBucket(col("ts_us")).as("bucket"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_event_id"),
+        col("ts_us").as("purchase_us"))
+      .withColumn("bucket", explode(array(
+        hourBucket(col("purchase_us")) - 1, hourBucket(col("purchase_us")))))
+    purchases.join(clicks, Seq("user_id", "bucket"), "left")
+      .groupBy(col("user_id"), col("purchase_event_id"), col("purchase_us"))
+      .agg(sum(
+        when(col("click_us") >= col("purchase_us") - HourUs &&
+          col("click_us") <= col("purchase_us"), 1L).otherwise(0L))
+        .as("n_clicks_1h"))
+  }
+
+  val rangeJoinSql: String =
+    """SELECT p.user_id, p.event_id AS purchase_event_id,
+      |  epoch_us(p.ts) AS purchase_us,
+      |  (SELECT COUNT(*) FROM events c
+      |   WHERE c.event_type = 'click' AND c.user_id = p.user_id
+      |     AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+      |     AND epoch_us(c.ts) <= epoch_us(p.ts)) AS n_clicks_1h
+      |FROM events p WHERE p.event_type = 'purchase'""".stripMargin
+
+  /** E15: GROUPING SETS — the general form behind ROLLUP/CUBE (E3/E12):
+    * per-region totals, per-status totals, and the grand total in one
+    * pass (Catalyst plans a single Expand + partial aggregation, not
+    * three scans).
+    */
+  def groupingSetsQ(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders.createOrReplaceTempView("orders_gs")
+    t.customer.createOrReplaceTempView("customer_gs")
+    t.nation.createOrReplaceTempView("nation_gs")
+    t.region.createOrReplaceTempView("region_gs")
+    spark.sql(
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        |  coalesce(o_orderstatus, 'ALL') AS status,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders_gs
+        |JOIN customer_gs ON o_custkey = c_custkey
+        |JOIN nation_gs ON c_nationkey = n_nationkey
+        |JOIN region_gs ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (o_orderstatus), ())""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT coalesce(r_name, 'ALL') AS region,
+      |  coalesce(o_orderstatus, 'ALL') AS status,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY GROUPING SETS ((r_name), (o_orderstatus), ())""".stripMargin
+
+  /** E16: analytic window functions beyond row_number — lag/lead
+    * neighbors, rank, ntile quartiles per customer order history. The
+    * window order (o_orderdate, o_orderkey) is total, so every function
+    * is deterministic and engine-portable (ntile's definition is the
+    * same floor-division split in both engines).
+    */
+  def windowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables(spark, dir).orders.select(
+      col("o_custkey"), col("o_orderkey"),
+      rank().over(w).cast("long").as("rnk"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      lag(dec(col("o_totalprice")), 1).over(w).cast("double").as("prev_price"),
+      lead(dec(col("o_totalprice")), 1).over(w).cast("double").as("next_price"))
+  }
+
+  val windowFuncsSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  rank() OVER w AS rnk,
+      |  ntile(4) OVER w AS quartile,
+      |  CAST(lag(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w AS DOUBLE) AS prev_price,
+      |  CAST(lead(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w AS DOUBLE) AS next_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
+  /** E17: semi/anti join surface — customers with a finished ('F') order
+    * but no pending ('P') order, as explicit left-semi + left-anti joins
+    * (what Catalyst decorrelates EXISTS/NOT EXISTS into; stated that way
+    * in the oracle). Both joins ship only the key column of the probe
+    * side.
+    */
+  def semiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val f = t.orders.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val p = t.orders.filter(col("o_orderstatus") === "P").select(col("o_custkey"))
+    t.customer
+      .join(f, col("c_custkey") === f("o_custkey"), "left_semi")
+      .join(p, col("c_custkey") === p("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_customers"),
+        decSum(col("c_acctbal")).as("total_balance"))
+  }
+
+  val semiAntiSql: String =
+    """SELECT COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""".stripMargin
+
+  /** E18: skew-resistant aggregation — event totals by type via
+    * [[Skew.saltedAgg]]: event_type is tiny-cardinality (every key is
+    * hot), so rows first combine under (type, salt-of-event_id) across
+    * 16 reducers, then the ≤16 partials per type combine. Results are
+    * exactly the plain groupBy (the oracle states that form); only the
+    * exchange shape differs.
+    */
+  def skewSaltedTotals(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedAgg(
+      Tables(spark, dir).events.select(col("event_type"), col("event_id"), col("value")),
+      key = Seq(col("event_type")),
+      saltSource = col("event_id"),
+      factor = 16,
+      aggs = Seq(
+        ("n_events", (_: Column) => count(lit(1)), (c: Column) => sum(c)),
+        ("total_value", (c: Column) => sum(dec(c)), (c: Column) => sum(c))),
+      valueCols = Seq(col("event_id"), col("value")))
+      .select(col("event_type"), col("n_events"),
+        col("total_value").cast("double").as("total_value"))
+
+  val skewSaltedTotalsSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY event_type""".stripMargin
+
+  /** E19: incremental merge — the dbt incremental-model analog: an
+    * existing table (orders before 1997-09) merged with a reprocessing
+    * batch (orders since 1997-06, batch wins on key collision) via a
+    * per-key latest-source window. At scale this is the
+    * partition-overwrite / MERGE pattern: only the overlap window
+    * shuffles on the merge key.
+    */
+  def incrementalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+    val existing = o
+      .filter(col("o_orderdate") < lit("1997-09-01").cast("timestamp"))
+      .withColumn("src", lit(0))
+    val batch = o
+      .filter(col("o_orderdate") >= lit("1997-06-01").cast("timestamp"))
+      .withColumn("src", lit(1))
+    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("src").desc)
+    existing.unionByName(batch)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_orders"),
+        decSum(col("o_totalprice")).as("total_price"))
+  }
+
+  val incrementalMergeSql: String =
+    """WITH existing AS (
+      |  SELECT *, 0 AS src FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1997-09-01 00:00:00'),
+      |batch AS (
+      |  SELECT *, 1 AS src FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'),
+      |merged AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn
+      |  FROM (SELECT * FROM existing UNION ALL SELECT * FROM batch))
+      |SELECT src, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM merged WHERE rn = 1
+      |GROUP BY src""".stripMargin
 }

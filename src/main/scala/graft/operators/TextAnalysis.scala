@@ -253,4 +253,91 @@ object TextAnalysis {
       size(fps).cast("int").as("n_fingerprints"),
       array_min(fps).as("min_fingerprint"))
   }
+
+  /** C19: deterministic stratified sampling — per-language sampling
+    * rates (10% en, 50% others) via the wrap-safe multiplicative hash of
+    * C17 (never rand(): stable across retries/speculation). Map-only
+    * filter — the 100 TB downsampling pass; rates per stratum are just
+    * a CASE over the blocking column.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = (col("doc_id") % 100) * 2654435761L % 100
+    val rate = when(col("lang") === "en", 10L).otherwise(50L)
+    Tables(spark, dir).documents
+      .filter(bucket < rate)
+      .select(col("doc_id"), col("lang"), bucket.as("sample_bucket"))
+  }
+
+  val stratifiedSampleSql: String =
+    """SELECT doc_id, lang, (doc_id % 100) * 2654435761 % 100 AS sample_bucket
+      |FROM documents
+      |WHERE (doc_id % 100) * 2654435761 % 100 <
+      |  (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)""".stripMargin
+
+  /** C20: quality filtering — keep the top quartile of documents per
+    * language by the C9 composite quality score. The ntile split runs
+    * over a total order (score desc, doc_id), so quartile membership is
+    * engine-deterministic; per-lang partitions bound the window state at
+    * scale.
+    */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spaces = substrCount(col("text"), " ")
+    val words = (spaces + 1).cast("int")
+    val stops = hits(enStops)
+    val score = stops / words * lit(0.5) + least(words, lit(100)) / lit(100) * lit(0.5)
+    val w = Window.partitionBy(col("lang")).orderBy(col("quality_score").desc, col("doc_id"))
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"), score.as("quality_score"))
+      .withColumn("q4", ntile(4).over(w))
+      .filter(col("q4") === 1)
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+  }
+
+  val qualityFilterSql: String = {
+    val spaces = "CAST((length(text) - length(replace(text, ' ', ''))) AS INTEGER)"
+    val words = s"CAST($spaces + 1 AS INTEGER)"
+    val stops = hitsSql(enStops)
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    $stops / $words * 0.5 + least($words, 100) / 100 * 0.5 AS quality_score
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT *, ntile(4) OVER (PARTITION BY lang
+       |    ORDER BY quality_score DESC, doc_id) AS q4 FROM scored)
+       |SELECT doc_id, lang, quality_score FROM ranked WHERE q4 = 1""".stripMargin
+  }
+
+  /** C21: PII scrubbing / text normalization — lowercase, mask emails
+    * and URLs, collapse digit runs; the standard pre-training scrub
+    * pass. Patterns stick to constructs Java regex and RE2 read
+    * identically (ASCII classes, `{m,}` bounds). Map-only; output is the
+    * scrub fingerprint + length so the oracle hash-checks the exact
+    * scrubbed bytes without shipping full text.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(col("text")),
+            "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<email>"),
+          "https?://[^ ]+", "<url>"),
+        "[0-9]+", "0")
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      md5(scrubbed).as("scrub_hash"),
+      length(scrubbed).cast("int").as("scrub_len"))
+  }
+
+  val piiScrubSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(lower(text),
+      |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
+      |    'https?://[^ ]+', '<url>', 'g'),
+      |    '[0-9]+', '0', 'g')) AS scrub_hash,
+      |  CAST(length(regexp_replace(regexp_replace(regexp_replace(lower(text),
+      |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
+      |    'https?://[^ ]+', '<url>', 'g'),
+      |    '[0-9]+', '0', 'g')) AS INTEGER) AS scrub_len
+      |FROM documents""".stripMargin
 }

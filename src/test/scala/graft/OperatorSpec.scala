@@ -150,4 +150,121 @@ class OperatorSpec extends AnyFunSuite {
     assert(d.filter(col("n_bytes") <= 0).count() == 0)
     d.unpersist()
   }
+
+  test("q_range_join: bucketed range join equals the naive inequality join") {
+    import graft.functions.Fns.nsToUs
+    val got = run("q_range_join")
+    val ev = graft.sources.Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        nsToUs(col("ts")).as("ts_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_event_id"),
+        col("ts_us").as("purchase_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts_us").as("click_us"))
+    val naive = p.join(c,
+        col("user_id") === col("cu") &&
+          col("click_us") >= col("purchase_us") - 3600L * 1000000L &&
+          col("click_us") <= col("purchase_us"), "left")
+      .groupBy("user_id", "purchase_event_id", "purchase_us")
+      .agg(sum(when(col("click_us").isNotNull, 1L).otherwise(0L)).as("n_clicks_1h"))
+    assert(got.exceptAll(naive).count() == 0 && naive.exceptAll(got).count() == 0)
+  }
+
+  test("q_grouping_sets: region subtotals sum to the grand total") {
+    val d = run("q_grouping_sets").cache()
+    val grand = d.filter(col("region") === "ALL" && col("status") === "ALL")
+      .select("n_orders").head.getLong(0)
+    val byRegion = d.filter(col("region") =!= "ALL")
+      .agg(sum("n_orders")).head.getLong(0)
+    val byStatus = d.filter(col("status") =!= "ALL")
+      .agg(sum("n_orders")).head.getLong(0)
+    assert(grand == byRegion && grand == byStatus)
+    d.unpersist()
+  }
+
+  test("q_window_funcs: rank 1 has no lag; quartiles cover 1..4") {
+    val d = run("q_window_funcs").cache()
+    assert(d.filter(col("rnk") === 1 && col("prev_price").isNotNull).count() == 0)
+    assert(d.filter(!col("quartile").between(1, 4)).count() == 0)
+    d.unpersist()
+  }
+
+  test("q_semi_anti: matches set-algebra recomputation") {
+    val t = graft.sources.Tables(spark, dir)
+    val f = t.orders.filter(col("o_orderstatus") === "F").select("o_custkey").distinct()
+    val p = t.orders.filter(col("o_orderstatus") === "P").select("o_custkey").distinct()
+    val expected = f.except(p).count()
+    assert(run("q_semi_anti").head.getLong(0) == expected)
+  }
+
+  test("q_skew_agg: salted two-phase equals plain groupBy") {
+    import graft.functions.Fns.decSum
+    val plain = graft.sources.Tables(spark, dir).events
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("total_value"))
+    val got = run("q_skew_agg")
+    assert(got.exceptAll(plain).count() == 0 && plain.exceptAll(got).count() == 0)
+  }
+
+  test("q_incremental: merged keys unique, batch wins the overlap") {
+    val d = run("q_incremental").cache()
+    val total = d.agg(sum("n_orders")).head.getLong(0)
+    val allKeys = graft.sources.Tables(spark, dir).orders
+      .select("o_orderkey").distinct().count()
+    assert(total == allKeys)
+    // every order in the batch window must come from src=1
+    val srcRows = d.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val batchN = graft.sources.Tables(spark, dir).orders
+      .filter(col("o_orderdate") >= lit("1997-06-01").cast("timestamp")).count()
+    assert(srcRows(1) == batchN)
+    d.unpersist()
+  }
+
+  test("q_stratified_sample: every sampled row is under its stratum rate") {
+    val d = run("q_stratified_sample").cache()
+    assert(d.filter(col("lang") === "en" && col("sample_bucket") >= 10).count() == 0)
+    assert(d.filter(col("sample_bucket") >= 50).count() == 0)
+    d.unpersist()
+  }
+
+  test("q_quality_filter: keeps ceil(n/4) docs per lang, top-scored first") {
+    val docs = graft.sources.Tables(spark, dir).documents
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = run("q_quality_filter").groupBy("lang").agg(count(lit(1)).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    docs.foreach { case (lang, n) =>
+      assert(kept.getOrElse(lang, 0L) == (n + 3) / 4, s"lang=$lang n=$n kept=$kept")
+    }
+  }
+
+  test("q_pii_scrub: digit runs collapse, hash is md5-shaped") {
+    val d = run("q_pii_scrub").cache()
+    assert(d.filter(length(col("scrub_hash")) =!= 32).count() == 0)
+    val docs = graft.sources.Tables(spark, dir).documents
+      .select(col("doc_id"), length(col("text")).as("n"))
+    assert(d.join(docs, "doc_id").filter(col("scrub_len") > col("n")).count() == 0)
+    d.unpersist()
+  }
+
+  test("q_embed_norm: norms positive, dim constant") {
+    val d = run("q_embed_norm").cache()
+    assert(d.filter(col("l2_norm") <= 0).count() == 0)
+    assert(d.select("dim").distinct().count() == 1)
+    d.unpersist()
+  }
+
+  test("q_dedup_clusters: every dup pair lands in one cluster; sizes conserve") {
+    val d = run("q_dedup_clusters").cache()
+    // conservation: cluster sizes sum to the number of distinct dup-pair nodes
+    val pairs = SparkEntry.queries("q_dedup_minhash")(spark, dir)
+      .filter(col("is_dup")).select("doc_a", "doc_b").cache()
+    val nodes = pairs.select(col("doc_a").as("id"))
+      .unionByName(pairs.select(col("doc_b").as("id"))).distinct().count()
+    assert(d.agg(sum("n_docs")).head.getLong(0) == nodes)
+    // no singleton clusters (every node has at least one partner)
+    assert(d.filter(col("n_docs") < 2).count() == 0)
+    pairs.unpersist(); d.unpersist()
+  }
 }
