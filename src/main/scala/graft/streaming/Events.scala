@@ -153,6 +153,23 @@ object Events {
           Encoders.product[SessState], enc)
   }
 
+  /** D4: streaming deduplication — the streaming face of A1's keep-first
+    * dedup. Exact dedup over an unbounded stream needs unbounded state;
+    * `dropDuplicatesWithinWatermark` is the scale contract: state for a
+    * key is retained only while the watermark can still admit a
+    * duplicate (the `delay` horizon), so memory is bounded by the late
+    * window, not the stream length. Batch callers get the exact
+    * whole-input dedup on the same keys.
+    */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      keys: Seq[String],
+      delay: String = "10 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("event_ts", delay).dropDuplicatesWithinWatermark(keys)
+    else
+      events.dropDuplicates(keys)
+
   val qSessionizeSql: String =
     """WITH e AS (
       |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events

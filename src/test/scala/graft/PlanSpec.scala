@@ -53,9 +53,11 @@ class PlanSpec extends AnyFunSuite {
     val nodes = collectAll(plan)
     val bhj = nodes.count(_.isInstanceOf[BroadcastHashJoinExec])
     assert(bhj >= 3, s"expected >=3 broadcast joins, got $bhj")
-    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
     // lineitem⋈orders + final agg ordering: shuffles stay bounded
-    assert(shuffles <= 4, s"expected <=4 shuffles, got $shuffles")
+    // (counted in the explain text — see hashExchanges note)
+    val shuffles = """\(\d+\) Exchange\b""".r
+      .findAllIn(planString("q5_join5")).length
+    assert(shuffles > 0 && shuffles <= 4, s"expected 1..4 shuffles, got $shuffles")
   }
 
   test("q_fact_join: dim and enrichment joins broadcast") {
@@ -94,6 +96,41 @@ class PlanSpec extends AnyFunSuite {
       .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
         f.selectedPartitions.partitionCount }.sum
     assert(scanned == 1, s"expected 1 partition scanned, got $scanned")
+  }
+
+  test("q_range_join: bucketed plan has no cartesian/nested-loop join") {
+    val s = planString("q_range_join")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s.take(2000))
+  }
+
+  test("q_grouping_sets: one Expand feeds a single aggregation pass") {
+    val s = planString("q_grouping_sets")
+    val expands = s.linesIterator.count(_.matches(".*\\bExpand\\b.*"))
+    assert(expands >= 1, s.take(2000))
+    // one scan of orders, not one per grouping set
+    val orderScans = s.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("orders"))
+    assert(orderScans <= 1, s"orders scanned $orderScans times")
+  }
+
+  // NOTE: exchange counting goes through the formatted explain, NOT
+  // AdaptiveSparkPlanExec.inputPlan — with AQE on, inputPlan is the
+  // pre-EnsureRequirements plan and contains no exchanges at all, so a
+  // node-type count there is vacuously zero.
+  // formatted mode prints shuffle exchanges as "(n) Exchange" tree nodes
+  // (broadcasts are "(n) BroadcastExchange" — excluded by the \b match)
+  private def hashExchanges(name: String): Int =
+    """\(\d+\) Exchange\b""".r.findAllIn(planString(name)).length
+
+  test("q_skew_agg: two aggregation exchanges — (key,salt) then key") {
+    val n = hashExchanges("q_skew_agg")
+    assert(n == 2, s"expected exactly 2 hash exchanges, got $n")
+  }
+
+  test("q_incremental: bounded exchanges — merge-key window + partial-agg'd src grouping") {
+    val n = hashExchanges("q_incremental")
+    assert(n <= 2, s"expected <=2 hash exchanges, got $n")
   }
 
   test("TopKAgg ranking equals the window row_number formulation") {

@@ -19,6 +19,33 @@ class StreamingSpec extends AnyFunSuite {
 
   private def ts(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
 
+  test("dedupWithinWatermark: duplicates dropped within the watermark horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val streamDf = mem.toDF().toDF("event_ts", "user_id", "event_type")
+    val q = Events.dedupWithinWatermark(streamDf, Seq("user_id", "event_type"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    // batch 1: a same-batch duplicate; batch 2: a cross-batch duplicate
+    // arriving within the 10-minute horizon plus one genuinely new key
+    mem.addData((ts(0), 1L, "click"), (ts(1), 1L, "click"), (ts(2), 2L, "view"))
+    q.processAllAvailable()
+    mem.addData((ts(3), 1L, "click"), (ts(4), 3L, "click"))
+    q.processAllAvailable()
+    val out = spark.table("dedup_out").select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    q.stop()
+    assert(out == Seq((1L, "click"), (2L, "view"), (3L, "click")))
+
+    // batch face: same keys, exact dedup
+    val batch = Events.dedupWithinWatermark(
+      Seq((ts(0), 1L, "click"), (ts(1), 1L, "click"), (ts(2), 2L, "view"))
+        .toDF("event_ts", "user_id", "event_type"),
+      Seq("user_id", "event_type"))
+    assert(batch.count() == 2)
+  }
+
   test("hourlyAgg: streaming (watermark, complete mode) equals batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
