@@ -47,6 +47,7 @@ object SparkEntry {
     "q_fingerprint" -> (TextAnalysis.fingerprint _),
     "q_winnow" -> (TextAnalysis.winnow _),
     "q_vocab" -> (TextAnalysis.vocab _),
+    "q_vocab_approx" -> (TextAnalysis.vocabApprox _),
     "q_train_test_split" -> (TextAnalysis.trainTestSplit _),
     "q_chunk" -> (TextAnalysis.chunk _),
     "q_multimodal_meta" -> (Multimodal.multimodalMeta _),

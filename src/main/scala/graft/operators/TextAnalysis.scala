@@ -254,6 +254,21 @@ object TextAnalysis {
       array_min(fps).as("min_fingerprint"))
   }
 
+  /** C24: approximate vocabulary via the Misra–Gries heavy-hitters
+    * sketch ([[graft.functions.FreqAgg]]) — C16's 100 TB path. The
+    * exact vocab shuffles every (token, partial count) pair; the sketch
+    * ships ≤ 64 counters per map task into a single mergeable reduce,
+    * with the MG guarantee that no token of frequency > n/65 is missed.
+    * Rows-only check (approximation isn't oracle-SQL); the spec pins
+    * the guarantee against the exact counts.
+    */
+  def vocabApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(explode(split(col("text"), " ")).as("token"))
+      .agg(graft.functions.FreqAgg.freq_items(col("token"), 64).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.token").as("token"), col("e.est").as("est_count"))
+
   /** C19: deterministic stratified sampling — per-language sampling
     * rates (10% en, 50% others) via the wrap-safe multiplicative hash of
     * C17 (never rand(): stable across retries/speculation). Map-only

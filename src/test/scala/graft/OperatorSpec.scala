@@ -255,6 +255,26 @@ class OperatorSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("q_vocab_approx: Misra–Gries guarantee holds against exact counts") {
+    val exact = graft.sources.Tables(spark, dir).documents
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    val bound = total / 65 // capacity 64 ⇒ error ≤ n/(cap+1)
+    val est = run("q_vocab_approx")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // completeness: every token above the threshold is present
+    exact.foreach { case (t, n) =>
+      if (n > bound) assert(est.contains(t), s"missing heavy hitter $t (n=$n, bound=$bound)")
+    }
+    // soundness: estimates never exceed truth, never undershoot by > bound
+    est.foreach { case (t, e) =>
+      val truth = exact.getOrElse(t, 0L)
+      assert(e <= truth && e >= truth - bound, s"token $t est=$e true=$truth bound=$bound")
+    }
+  }
+
   test("q_dedup_clusters: every dup pair lands in one cluster; sizes conserve") {
     val d = run("q_dedup_clusters").cache()
     // conservation: cluster sizes sum to the number of distinct dup-pair nodes
