@@ -77,6 +77,8 @@ object SparkEntry {
     "q_quality_filter" -> (TextAnalysis.qualityFilter _),
     "q_pii_scrub" -> (TextAnalysis.piiScrub _),
     "q_embed_norm" -> (Ann.embedNorm _),
+    "q_embed_quantize" -> (Ann.embedQuantize _),
+    "q_scd2" -> (Snapshot.qScd2 _),
     "q_dedup_clusters" -> (Dedup.dedupClusters _),
     // B: headline analytics
     "q1_pricing" -> (Analytics.q1Pricing _),
@@ -138,6 +140,8 @@ object SparkEntry {
     "q_quality_filter" -> TextAnalysis.qualityFilterSql,
     "q_pii_scrub" -> TextAnalysis.piiScrubSql,
     "q_embed_norm" -> Ann.embedNormSql,
+    "q_embed_quantize" -> Ann.embedQuantizeSql,
+    "q_scd2" -> Snapshot.qScd2Sql,
     "q1_pricing" -> Analytics.q1PricingSql,
     "q3_topk" -> Analytics.q3TopKSql,
     "q5_join5" -> Analytics.q5Join5Sql,

@@ -185,6 +185,38 @@ object Ann {
       |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2_norm
       |FROM embeddings""".stripMargin
 
+  /** C25: int8 embedding quantization — per-vector symmetric scale
+    * (127/max|x|), the standard storage/SIMD compression before
+    * indexing. Map-only. Rounding is spelled as floor(x·scale + 0.5) —
+    * identical in both engines — rather than engine-native round()
+    * (whose half-way rule differs); all arithmetic is on exact
+    * float→double widenings, so every output bit matches the oracle.
+    */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val absMax = aggregate(
+      transform(col("embedding"), x => abs(x.cast("double"))),
+      lit(0.0), (a, x) => greatest(a, x))
+    val scale = lit(127.0) / col("abs_max")
+    def q(i: Int): Column =
+      floor(element_at(col("embedding"), i + 1).cast("double") * scale + lit(0.5))
+        .cast("long").as(s"q_$i")
+    Tables(spark, dir).embeddings
+      .withColumn("abs_max", absMax)
+      .select(col("vec_id") +: col("label") +: round(scale, 6).as("scale")
+        +: (0 until 4).map(q): _*)
+  }
+
+  val embedQuantizeSql: String = {
+    val absMax = "list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max')"
+    val scale = s"127.0 / $absMax"
+    val qs = (0 until 4).map(i =>
+      s"CAST(floor((CAST(embedding AS DOUBLE[]))[${i + 1}] * ($scale) + 0.5) AS BIGINT) AS q_$i")
+      .mkString(",\n      |  ")
+    s"""SELECT vec_id, label, round($scale, 6) AS scale,
+       |  $qs
+       |FROM embeddings""".stripMargin
+  }
+
   /** C7: LSH-bucketed ANN — queries only score their own bucket
     * (rows-only: bucketing hashes aren't oracle-portable).
     */

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.sources.Tables
 
 /** SCD2 snapshots — the engine's analog of dbt's `snapshots/` directory
   * (present in the reference skeleton; dbt's `check` strategy). Each
@@ -75,4 +76,36 @@ object Snapshot {
       .unionByName(carried)
       .unionByName(opened)
   }
+
+  /** A15 query face: a deterministic two-version fold. Version 1 sees
+    * every order as status 'O'; version 2 sees the real status — so
+    * orders whose true status is 'O' carry their v1 interval, and all
+    * others close the v1 interval at v2 and open a fresh one. The
+    * oracle states the same history as three plain selects (open
+    * intervals encode valid_to as 0 so both engines ship non-null
+    * BIGINT columns).
+    */
+  def qScd2(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+    val v1 = o.select(col("o_orderkey"), lit("O").as("status"))
+    val v2 = o.select(col("o_orderkey"), col("o_orderstatus").as("status"))
+    val h1 = apply(init(v1), v1, Seq("o_orderkey"), Seq("status"), 1L)
+    val h2 = apply(h1, v2, Seq("o_orderkey"), Seq("status"), 2L)
+    h2.select(col("o_orderkey"), col("status"),
+      col(ValidFrom).as("valid_from"),
+      coalesce(col(ValidTo), lit(0L)).as("valid_to"))
+  }
+
+  val qScd2Sql: String =
+    """SELECT o_orderkey, 'O' AS status,
+      |  CAST(1 AS BIGINT) AS valid_from, CAST(2 AS BIGINT) AS valid_to
+      |FROM orders WHERE o_orderstatus <> 'O'
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus AS status,
+      |  CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+      |FROM orders WHERE o_orderstatus <> 'O'
+      |UNION ALL
+      |SELECT o_orderkey, 'O' AS status,
+      |  CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+      |FROM orders WHERE o_orderstatus = 'O'""".stripMargin
 }

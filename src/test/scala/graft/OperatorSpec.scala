@@ -275,6 +275,25 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q_scd2: exactly one open interval per key, closed intervals precede it") {
+    val d = run("q_scd2").cache()
+    val open = d.filter(col("valid_to") === 0)
+    assert(open.count() == open.select("o_orderkey").distinct().count())
+    assert(open.count() ==
+      graft.sources.Tables(spark, dir).orders.select("o_orderkey").distinct().count())
+    assert(d.filter(col("valid_to") =!= 0 && col("valid_to") <= col("valid_from")).count() == 0)
+    d.unpersist()
+  }
+
+  test("q_embed_quantize: quantized values bounded by int8 range") {
+    val d = run("q_embed_quantize").cache()
+    (0 until 4).foreach { i =>
+      assert(d.filter(col(s"q_$i") < -127 || col(s"q_$i") > 127).count() == 0, s"q_$i")
+    }
+    assert(d.filter(col("scale") <= 0).count() == 0)
+    d.unpersist()
+  }
+
   test("q_dedup_clusters: every dup pair lands in one cluster; sizes conserve") {
     val d = run("q_dedup_clusters").cache()
     // conservation: cluster sizes sum to the number of distinct dup-pair nodes
