@@ -292,8 +292,14 @@ object TextAnalysis {
   /** C20: quality filtering — keep the top quartile of documents per
     * language by the C9 composite quality score. The ntile split runs
     * over a total order (score desc, doc_id), so quartile membership is
-    * engine-deterministic; per-lang partitions bound the window state at
-    * scale.
+    * engine-deterministic and oracle-checkable.
+    *
+    * SCALE NOTE: `lang` is low-cardinality, so this window funnels each
+    * language through one reducer — exact per-group ranking is
+    * inherently a per-group sort. At 100 TB use
+    * [[qualityFilterApprox]]: a percentile_approx threshold (partially
+    * aggregable — no single-reducer sort) broadcast back as a map-only
+    * filter. The spec pins the two faces' agreement.
     */
   def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -306,6 +312,29 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), score.as("quality_score"))
       .withColumn("q4", ntile(4).over(w))
       .filter(col("q4") === 1)
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+  }
+
+  /** C20's 100 TB face: per-lang p75 threshold via `percentile_approx`
+    * (a mergeable sketch: map tasks ship digest state, not rows), then
+    * a broadcast of |langs| thresholds and a map-only filter. No
+    * per-group sort anywhere; scales to any rows-per-language. Keeps
+    * every doc scoring at or above the approximate quartile boundary
+    * (ties included — approximate by construction, so slightly
+    * over-selects rather than dropping boundary docs).
+    */
+  def qualityFilterApprox(spark: SparkSession, dir: String): DataFrame = {
+    val spaces = substrCount(col("text"), " ")
+    val words = (spaces + 1).cast("int")
+    val stops = hits(enStops)
+    val score = stops / words * lit(0.5) + least(words, lit(100)) / lit(100) * lit(0.5)
+    val scored = Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"), score.as("quality_score"))
+    val thresholds = scored.groupBy(col("lang"))
+      .agg(percentile_approx(col("quality_score"), lit(0.75), lit(10000))
+        .as("q75"))
+    scored.join(broadcast(thresholds), Seq("lang"))
+      .filter(col("quality_score") >= col("q75"))
       .select(col("doc_id"), col("lang"), col("quality_score"))
   }
 

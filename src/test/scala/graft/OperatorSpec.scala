@@ -239,6 +239,18 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("qualityFilterApprox: scale face agrees with the exact ntile face") {
+    val exact = run("q_quality_filter").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val approx = graft.operators.TextAnalysis.qualityFilterApprox(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // with exact percentiles at this size the approx face keeps every
+    // exact-quartile doc (it over-selects at the boundary, never drops)
+    assert(exact.subsetOf(approx), s"missing=${exact -- approx}")
+    // and over-selection stays bounded (ties at the boundary only)
+    assert(approx.size <= exact.size * 2, s"approx=${approx.size} exact=${exact.size}")
+  }
+
   test("q_pii_scrub: digit runs collapse, hash is md5-shaped") {
     val d = run("q_pii_scrub").cache()
     assert(d.filter(length(col("scrub_hash")) =!= 32).count() == 0)
