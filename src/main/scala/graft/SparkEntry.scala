@@ -79,6 +79,7 @@ object SparkEntry {
     "q_embed_norm" -> (Ann.embedNorm _),
     "q_embed_quantize" -> (Ann.embedQuantize _),
     "q_scd2" -> (Snapshot.qScd2 _),
+    "q_profile" -> (Profile.profileNumeric _),
     "q_dedup_clusters" -> (Dedup.dedupClusters _),
     // B: headline analytics
     "q1_pricing" -> (Analytics.q1Pricing _),
@@ -142,6 +143,7 @@ object SparkEntry {
     "q_embed_norm" -> Ann.embedNormSql,
     "q_embed_quantize" -> Ann.embedQuantizeSql,
     "q_scd2" -> Snapshot.qScd2Sql,
+    "q_profile" -> Profile.profileNumericSql,
     "q1_pricing" -> Analytics.q1PricingSql,
     "q3_topk" -> Analytics.q3TopKSql,
     "q5_join5" -> Analytics.q5Join5Sql,

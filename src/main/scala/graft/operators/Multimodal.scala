@@ -74,6 +74,36 @@ object Multimodal {
     * contract (fixed dims, so lossless) — compare harnesses sort rows by
     * value, which array cells don't support portably.
     */
+  /** STUB resize: stride-sample the payload down to ≤16 bytes — a real
+    * pipeline would decode and bilinear-resize; what's preserved is the
+    * binary→binary per-partition batch shape and determinism.
+    */
+  private[operators] def resizeStub(payload: Array[Byte], target: Int = 16): Array[Byte] =
+    if (payload.length <= target) payload
+    else {
+      val out = new Array[Byte](target)
+      val stride = payload.length.toDouble / target
+      var i = 0
+      while (i < target) { out(i) = payload((i * stride).toInt); i += 1 }
+      out
+    }
+
+  final case class Thumb(doc_id: Long, n_bytes_in: Int, thumb: Array[Byte])
+
+  /** C15b (library+test): resize/thumbnail plumbing — binary in, fixed
+    * small binary out, partition-parallel, no shuffle. Emitted as
+    * (id, input size, thumb bytes); downstream can fingerprint or
+    * re-encode.
+    */
+  def multimodalResize(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as(Encoders.product[MediaRow])
+      .mapPartitions(it => it.map(r =>
+        Thumb(r.doc_id, r.payload.length, resizeStub(r.payload))))(
+        Encoders.product[Thumb])
+      .toDF()
+
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     val rows = Tables(spark, dir).documents
       .select(col("doc_id"), col("text").cast("binary").as("payload"))

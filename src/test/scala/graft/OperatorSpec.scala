@@ -306,6 +306,26 @@ class OperatorSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("q_profile: one row per profiled column, metrics consistent") {
+    val d = run("q_profile").cache()
+    assert(d.count() == 3)
+    assert(d.filter(col("n_null") =!= 0).count() == 0) // synthetic data has no nulls
+    assert(d.filter(col("min_v") > col("avg_v") || col("avg_v") > col("max_v")).count() == 0)
+    assert(d.filter(col("n_distinct") > col("n_rows")).count() == 0)
+    d.unpersist()
+  }
+
+  test("multimodalResize: thumbs capped at 16 bytes, deterministic") {
+    val a = graft.operators.Multimodal.multimodalResize(spark, dir)
+      .select("doc_id", "thumb").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val b = graft.operators.Multimodal.multimodalResize(spark, dir)
+      .select("doc_id", "thumb").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(a == b)
+    assert(a.values.forall(_.size <= 16))
+  }
+
   test("q_dedup_clusters: every dup pair lands in one cluster; sizes conserve") {
     val d = run("q_dedup_clusters").cache()
     // conservation: cluster sizes sum to the number of distinct dup-pair nodes
