@@ -80,6 +80,7 @@ object SparkEntry {
     "q_embed_quantize" -> (Ann.embedQuantize _),
     "q_scd2" -> (Snapshot.qScd2 _),
     "q_profile" -> (Profile.profileNumeric _),
+    "q_histogram" -> (Profile.histogram _),
     "q_dedup_clusters" -> (Dedup.dedupClusters _),
     // B: headline analytics
     "q1_pricing" -> (Analytics.q1Pricing _),
@@ -144,6 +145,7 @@ object SparkEntry {
     "q_embed_quantize" -> Ann.embedQuantizeSql,
     "q_scd2" -> Snapshot.qScd2Sql,
     "q_profile" -> Profile.profileNumericSql,
+    "q_histogram" -> Profile.histogramSql,
     "q1_pricing" -> Analytics.q1PricingSql,
     "q3_topk" -> Analytics.q3TopKSql,
     "q5_join5" -> Analytics.q5Join5Sql,

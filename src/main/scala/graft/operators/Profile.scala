@@ -45,6 +45,37 @@ object Profile {
     one.select(explode(array(structs: _*)).as("p")).select(col("p.*"))
   }
 
+  /** Equi-width histogram (PipeRider's distribution panel): 10 buckets
+    * between the global min/max of l_extendedprice. Bounds stay
+    * in-plan — the 1-row bounds aggregate is broadcast back over the
+    * scan (no driver collect), so the whole profile is two passes over
+    * the table and one tiny exchange regardless of size. Bucket edges
+    * are pure double arithmetic, stated identically in the oracle.
+    */
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables(spark, dir).lineitem.select(col("l_extendedprice").as("v"))
+    val bounds = v.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    v.crossJoin(broadcast(bounds))
+      .select(col("v"),
+        least(floor((col("v") - col("mn")) / ((col("mx") - col("mn")) / lit(10.0))),
+          lit(9L)).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("v")).cast("double").as("min_v"),
+        max(col("v")).cast("double").as("max_v"))
+  }
+
+  val histogramSql: String =
+    """WITH b AS (
+      |  SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx FROM lineitem),
+      |x AS (
+      |  SELECT l_extendedprice AS v,
+      |    CAST(least(floor((l_extendedprice - mn) / ((mx - mn) / 10.0)), 9.0) AS BIGINT) AS bucket
+      |  FROM lineitem, b)
+      |SELECT bucket, COUNT(*) AS n_rows,
+      |  CAST(MIN(v) AS DOUBLE) AS min_v, CAST(MAX(v) AS DOUBLE) AS max_v
+      |FROM x GROUP BY bucket""".stripMargin
+
   val profileNumericSql: String = {
     def m(c: String, short: String, p: Int, s: Int): String =
       s"""CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${short}_nnull,

@@ -315,6 +315,15 @@ class OperatorSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("q_histogram: buckets cover all rows, edges ordered") {
+    val d = run("q_histogram").cache()
+    val total = d.agg(sum("n_rows")).head.getLong(0)
+    assert(total == graft.sources.Tables(spark, dir).lineitem.count())
+    assert(d.filter(col("bucket") < 0 || col("bucket") > 9).count() == 0)
+    assert(d.filter(col("min_v") > col("max_v")).count() == 0)
+    d.unpersist()
+  }
+
   test("multimodalResize: thumbs capped at 16 bytes, deterministic") {
     val a = graft.operators.Multimodal.multimodalResize(spark, dir)
       .select("doc_id", "thumb").collect()
