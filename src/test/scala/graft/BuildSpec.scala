@@ -88,6 +88,39 @@ class BuildSpec extends AnyFunSuite {
     assert(got(4L) == 1.0)
   }
 
+  test("RangeJoinAsBucketJoin: pure range join rewrites off the nested loop, same rows") {
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    s2.experimental.extraOptimizations = Seq(graft.core.RangeJoinAsBucketJoin)
+    import s2.implicits._
+    val av = Seq((1L, 100L), (2L, 250L), (3L, 999L), (4L, -150L))
+    val bv = Seq((10L, 150L), (11L, 300L), (12L, 1500L), (13L, -100L))
+    val W = 100L
+    val a = av.toDF("a_id", "a_ts")
+    val b = bv.toDF("b_id", "b_ts")
+    val joined = a.join(b,
+      col("a_ts") >= col("b_ts") - W && col("a_ts") <= col("b_ts"))
+    // the rule fired: bucket columns in the optimized plan, no BNLJ
+    val opt = joined.queryExecution.optimizedPlan.toString
+    assert(opt.contains("__rj_bucket"), opt)
+    assert(!joined.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    // exact same pairs as the brute-force semantics (incl. negative ts)
+    val got = joined.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exp = (for {
+      (ai, at) <- av; (bi, bt) <- bv
+      if at >= bt - W && at <= bt
+    } yield (ai, bi)).toSet
+    assert(got == exp)
+
+    // with a cross-side equi key the join is already hashable: no rewrite
+    val equi = a.join(b,
+      col("a_id") === col("b_id") &&
+        col("a_ts") >= col("b_ts") - W && col("a_ts") <= col("b_ts"))
+    assert(!equi.queryExecution.optimizedPlan.toString.contains("__rj_bucket"))
+  }
+
   test("E-block invariants: rollup grand total and running totals agree") {
     import org.apache.spark.sql.functions._
     val roll = operators.Extras.regionRollup(spark, dir).cache()
