@@ -269,6 +269,42 @@ object TextAnalysis {
       .select(explode(col("hh")).as("e"))
       .select(col("e.token").as("token"), col("e.est").as("est_count"))
 
+  /** C26: train/eval contamination check — eval-split documents whose
+    * normalized fingerprint (C12) also appears in the train split; the
+    * decontamination pass every training pipeline runs before eval.
+    * Composes C17's deterministic split with C12's fingerprint; the
+    * exchange carries (16-byte hash, id) pairs only — document text
+    * never shuffles, so the check costs one hash-keyed join at any
+    * scale.
+    */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .withColumn("split",
+        when((col("doc_id") % 100) * 2654435761L % 100 < 90, "train")
+          .otherwise("eval"))
+      .select(col("doc_id"), col("split"), md5(lower(trim(col("text")))).as("fp"))
+    val train = docs.filter(col("split") === "train")
+      .select(col("fp"), col("doc_id").as("train_doc_id"))
+    docs.filter(col("split") === "eval")
+      .join(train, "fp")
+      .groupBy(col("doc_id").as("eval_doc_id"))
+      .agg(count(lit(1)).as("n_train_dups"),
+        min(col("train_doc_id")).as("first_train_doc"))
+  }
+
+  val contaminationSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN (doc_id % 100) * 2654435761 % 100 < 90
+      |      THEN 'train' ELSE 'eval' END AS split,
+      |    md5(lower(trim(text))) AS fp
+      |  FROM documents)
+      |SELECT e.doc_id AS eval_doc_id, COUNT(*) AS n_train_dups,
+      |  MIN(t.doc_id) AS first_train_doc
+      |FROM d e JOIN d t ON e.fp = t.fp
+      |WHERE e.split = 'eval' AND t.split = 'train'
+      |GROUP BY e.doc_id""".stripMargin
+
   /** C19: deterministic stratified sampling — per-language sampling
     * rates (10% en, 50% others) via the wrap-safe multiplicative hash of
     * C17 (never rand(): stable across retries/speculation). Map-only

@@ -46,6 +46,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.count() == 2)
   }
 
+  test("stream-stream interval join: purchase matches clicks in the preceding hour") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val purchases = MemoryStream[(Timestamp, Long)]
+    val c = clicks.toDF().toDF("click_ts", "c_user")
+      .withWatermark("click_ts", "2 hours")
+    val p = purchases.toDF().toDF("purchase_ts", "p_user")
+      .withWatermark("purchase_ts", "2 hours")
+    // the event-time range bounds BOTH the match window and the join
+    // state retention (clicks older than the watermark horizon drop)
+    val joined = p.join(c, expr(
+      """c_user = p_user AND
+        |click_ts >= purchase_ts - interval 1 hour AND
+        |click_ts <= purchase_ts""".stripMargin))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssj_out").start()
+    clicks.addData((ts(0), 1L), (ts(30), 2L))
+    q.processAllAvailable()
+    // user 1: purchase 40 min after its click (matches);
+    // user 2: purchase 70 min after its click (outside the hour)
+    purchases.addData((ts(40), 1L), (ts(100), 2L))
+    q.processAllAvailable()
+    val out = spark.table("ssj_out").select("p_user").collect()
+      .map(_.getLong(0)).toSeq
+    q.stop()
+    assert(out == Seq(1L))
+  }
+
   test("hourlyAgg: streaming (watermark, complete mode) equals batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
