@@ -23,6 +23,10 @@ object Graft {
   /** Apply graft's planning confs to any builder (local or cluster). */
   def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder = b
     .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    // graft sessions run with the engine's own extensions: SQL-exposed
+    // native functions + the SimplifySelfCosine / RangeJoinAsBucketJoin
+    // optimizer rules (both semantics-preserving, both spec-pinned).
+    .config("spark.sql.extensions", "graft.core.GraftExtensions")
     // The events feed carries nanosecond parquet timestamps, which
     // Spark's µs TimestampType cannot hold; read them as raw ns longs
     // (session-wide, declared at construction — NOT flipped inside a
