@@ -26,7 +26,13 @@ object Profile {
 
   /** One profile row per numeric lineitem column. */
   def profileNumeric(spark: SparkSession, dir: String): DataFrame = {
+    // the multi-distinct Expand multiplies rows ×(columns+1); spread the
+    // single-row-group local file across cores first, shipping only the
+    // profiled columns (on a cluster the scan arrives pre-split and this
+    // is the same narrow exchange)
     val li = Tables(spark, dir).lineitem
+      .select(Cols.map { case (c, _, _) => col(c) }: _*)
+      .repartition(spark.sparkContext.defaultParallelism)
     def metrics(c: String, p: Int, s: Int): Seq[Column] = Seq(
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nnull"),
       countDistinct(col(c)).as(s"${c}_ndist"),
