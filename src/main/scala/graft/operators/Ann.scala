@@ -192,15 +192,22 @@ object Ann {
     * (whose half-way rule differs); all arithmetic is on exact
     * float→double widenings, so every output bit matches the oracle.
     */
-  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame =
+    embedQuantize(Tables(spark, dir).embeddings)
+
+  /** Library face: quantize any (vec_id, label, embedding float[]) frame. */
+  def embedQuantize(embeddings: DataFrame): DataFrame = {
     val absMax = aggregate(
       transform(col("embedding"), x => abs(x.cast("double"))),
       lit(0.0), (a, x) => greatest(a, x))
-    val scale = lit(127.0) / col("abs_max")
+    // all-zero vector: 127/0 would be Infinity (and NaN→null per
+    // element); scale 0 quantizes it to all zeros instead
+    val scale = when(col("abs_max") === 0.0, lit(0.0))
+      .otherwise(lit(127.0) / col("abs_max"))
     def q(i: Int): Column =
       floor(element_at(col("embedding"), i + 1).cast("double") * scale + lit(0.5))
         .cast("long").as(s"q_$i")
-    Tables(spark, dir).embeddings
+    embeddings
       .withColumn("abs_max", absMax)
       .select(col("vec_id") +: col("label") +: round(scale, 6).as("scale")
         +: (0 until 4).map(q): _*)
@@ -208,7 +215,7 @@ object Ann {
 
   val embedQuantizeSql: String = {
     val absMax = "list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max')"
-    val scale = s"127.0 / $absMax"
+    val scale = s"(CASE WHEN $absMax = 0 THEN 0.0 ELSE 127.0 / $absMax END)"
     val qs = (0 until 4).map(i =>
       s"CAST(floor((CAST(embedding AS DOUBLE[]))[${i + 1}] * ($scale) + 0.5) AS BIGINT) AS q_$i")
       .mkString(",\n      |  ")

@@ -221,7 +221,8 @@ object Dedup {
       .localCheckpoint(true)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    val maxRounds = 50 // propagation needs diameter(graph) rounds
+    while (!converged && rounds < maxRounds) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("doc_b"), col("label").as("nbr_label")), "doc_b")
         .groupBy(col("doc_a").as("doc_id"))
@@ -237,6 +238,11 @@ object Dedup {
       converged = changed == 0
       rounds += 1
     }
+    // a silent partial result would mis-assign canonical docs; a
+    // component of diameter > maxRounds must fail loudly instead
+    if (!converged) throw new IllegalStateException(
+      s"dedupClusters: label propagation did not converge in $maxRounds rounds " +
+        "(dup-pair graph has a component with larger diameter)")
     labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"),
         max(col("doc_id")).as("max_doc_id"))

@@ -74,6 +74,21 @@ object Multimodal {
     * contract (fixed dims, so lossless) — compare harnesses sort rows by
     * value, which array cells don't support portably.
     */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as(Encoders.product[MediaRow])
+    val feats = rows
+      .mapPartitions(it => it.map(decodeStub))(Encoders.product[MediaFeatures])
+      .toDF()
+    // get() is 0-based and null-on-missing (a <4-byte payload yields a
+    // short frame_sample) — element_at would throw under ANSI mode.
+    val featCols = (0 until 8).map(i => get(col("features"), lit(i)).as(s"f$i"))
+    val frameCols = (0 until 4).map(i =>
+      get(col("frame_sample"), lit(i)).as(s"frame$i"))
+    feats.select(col("doc_id") +: col("n_bytes") +: (featCols ++ frameCols): _*)
+  }
+
   /** STUB resize: stride-sample the payload down to ≤16 bytes — a real
     * pipeline would decode and bilinear-resize; what's preserved is the
     * binary→binary per-partition batch shape and determinism.
@@ -103,19 +118,4 @@ object Multimodal {
         Thumb(r.doc_id, r.payload.length, resizeStub(r.payload))))(
         Encoders.product[Thumb])
       .toDF()
-
-  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val rows = Tables(spark, dir).documents
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as(Encoders.product[MediaRow])
-    val feats = rows
-      .mapPartitions(it => it.map(decodeStub))(Encoders.product[MediaFeatures])
-      .toDF()
-    // get() is 0-based and null-on-missing (a <4-byte payload yields a
-    // short frame_sample) — element_at would throw under ANSI mode.
-    val featCols = (0 until 8).map(i => get(col("features"), lit(i)).as(s"f$i"))
-    val frameCols = (0 until 4).map(i =>
-      get(col("frame_sample"), lit(i)).as(s"frame$i"))
-    feats.select(col("doc_id") +: col("n_bytes") +: (featCols ++ frameCols): _*)
-  }
 }

@@ -49,6 +49,23 @@ object TextAnalysis {
       s"CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' $w ', ''))) / ${w.length + 2} AS INTEGER)")
       .mkString("(", " + ", ")")
 
+  // Shared deterministic split bucket (C17 / C19 / C26 all key off the
+  // SAME split — one definition so the faces can't drift). Wrap-safe:
+  // reduced mod-100 first, so the product stays < 2^63 (C17 scaladoc).
+  private def splitBucket: Column = (col("doc_id") % 100) * 2654435761L % 100
+  private val splitBucketSql: String = "(doc_id % 100) * 2654435761 % 100"
+
+  // Shared C9 composite quality score (C9 / C20 exact / C20 approx —
+  // the spec pins face agreement, so the formula lives once).
+  private val spacesSql = "CAST((length(text) - length(replace(text, ' ', ''))) AS INTEGER)"
+  private val wordsSql = s"CAST($spacesSql + 1 AS INTEGER)"
+  private def compositeScore: Column = {
+    val words = (substrCount(col("text"), " ") + 1).cast("int")
+    hits(enStops) / words * lit(0.5) + least(words, lit(100)) / lit(100) * lit(0.5)
+  }
+  private def compositeScoreSql: String =
+    s"${hitsSql(enStops)} / $wordsSql * 0.5 + least($wordsSql, 100) / 100 * 0.5"
+
   /** C8: language ID via stopword-marker hits — the classic cheap n-gram
     * heuristic (fastText-style lists reduced to 3 markers/language).
     * Deterministic precedence CASE picks the winner; 'und' when no
@@ -97,13 +114,12 @@ object TextAnalysis {
       (stops / words).as("stopword_ratio"),
       (punct / words).as("punct_ratio"),
       ((nChars - spaces) / words).as("avg_word_len"),
-      (stops / words * lit(0.5) + least(words, lit(100)) / lit(100) * lit(0.5))
-        .as("quality_score"))
+      compositeScore.as("quality_score"))
   }
 
   val qualityScoreSql: String = {
-    val spaces = "CAST((length(text) - length(replace(text, ' ', ''))) AS INTEGER)"
-    val words = s"CAST($spaces + 1 AS INTEGER)"
+    val spaces = spacesSql
+    val words = wordsSql
     val punct = ("CAST(" + Seq(".", ",", "!").map(c =>
       s"(length(text) - length(replace(text, '$c', '')))").mkString(" + ") +
       " AS INTEGER)")
@@ -116,7 +132,7 @@ object TextAnalysis {
        |  $stops / $words AS stopword_ratio,
        |  $punct / $words AS punct_ratio,
        |  (CAST(length(text) AS INTEGER) - $spaces) / $words AS avg_word_len,
-       |  $stops / $words * 0.5 + least($words, 100) / 100 * 0.5 AS quality_score
+       |  $compositeScoreSql AS quality_score
        |FROM documents""".stripMargin
   }
 
@@ -202,8 +218,7 @@ object TextAnalysis {
   def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .withColumn("split",
-        when((col("doc_id") % 100) * 2654435761L % 100 < 90, "train")
-          .otherwise("eval"))
+        when(splitBucket < 90, "train").otherwise("eval"))
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"))
@@ -211,10 +226,10 @@ object TextAnalysis {
   // CAST(SUM(int) AS BIGINT): DuckDB SUM(BIGINT) is HUGEINT → float64
   // in the compare harness; BIGINT matches Spark's int64.
   val trainTestSplitSql: String =
-    """SELECT CASE WHEN (doc_id % 100) * 2654435761 % 100 < 90 THEN 'train' ELSE 'eval' END AS split,
-      |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
-      |FROM documents
-      |GROUP BY 1""".stripMargin
+    s"""SELECT CASE WHEN $splitBucketSql < 90 THEN 'train' ELSE 'eval' END AS split,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |FROM documents
+       |GROUP BY 1""".stripMargin
 
   /** C18: fixed-size chunking — split each document into 16-token
     * training chunks. Map-side generate (explode of an index sequence);
@@ -280,8 +295,7 @@ object TextAnalysis {
   def contamination(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
       .withColumn("split",
-        when((col("doc_id") % 100) * 2654435761L % 100 < 90, "train")
-          .otherwise("eval"))
+        when(splitBucket < 90, "train").otherwise("eval"))
       .select(col("doc_id"), col("split"), md5(lower(trim(col("text")))).as("fp"))
     val train = docs.filter(col("split") === "train")
       .select(col("fp"), col("doc_id").as("train_doc_id"))
@@ -293,9 +307,9 @@ object TextAnalysis {
   }
 
   val contaminationSql: String =
-    """WITH d AS (
+    s"""WITH d AS (
       |  SELECT doc_id,
-      |    CASE WHEN (doc_id % 100) * 2654435761 % 100 < 90
+      |    CASE WHEN $splitBucketSql < 90
       |      THEN 'train' ELSE 'eval' END AS split,
       |    md5(lower(trim(text))) AS fp
       |  FROM documents)
@@ -312,7 +326,7 @@ object TextAnalysis {
     * a CASE over the blocking column.
     */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = (col("doc_id") % 100) * 2654435761L % 100
+    val bucket = splitBucket
     val rate = when(col("lang") === "en", 10L).otherwise(50L)
     Tables(spark, dir).documents
       .filter(bucket < rate)
@@ -320,10 +334,10 @@ object TextAnalysis {
   }
 
   val stratifiedSampleSql: String =
-    """SELECT doc_id, lang, (doc_id % 100) * 2654435761 % 100 AS sample_bucket
-      |FROM documents
-      |WHERE (doc_id % 100) * 2654435761 % 100 <
-      |  (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)""".stripMargin
+    s"""SELECT doc_id, lang, $splitBucketSql AS sample_bucket
+       |FROM documents
+       |WHERE $splitBucketSql <
+       |  (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)""".stripMargin
 
   /** C20: quality filtering — keep the top quartile of documents per
     * language by the C9 composite quality score. The ntile split runs
@@ -339,13 +353,9 @@ object TextAnalysis {
     */
   def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spaces = substrCount(col("text"), " ")
-    val words = (spaces + 1).cast("int")
-    val stops = hits(enStops)
-    val score = stops / words * lit(0.5) + least(words, lit(100)) / lit(100) * lit(0.5)
     val w = Window.partitionBy(col("lang")).orderBy(col("quality_score").desc, col("doc_id"))
     Tables(spark, dir).documents
-      .select(col("doc_id"), col("lang"), score.as("quality_score"))
+      .select(col("doc_id"), col("lang"), compositeScore.as("quality_score"))
       .withColumn("q4", ntile(4).over(w))
       .filter(col("q4") === 1)
       .select(col("doc_id"), col("lang"), col("quality_score"))
@@ -360,12 +370,8 @@ object TextAnalysis {
     * over-selects rather than dropping boundary docs).
     */
   def qualityFilterApprox(spark: SparkSession, dir: String): DataFrame = {
-    val spaces = substrCount(col("text"), " ")
-    val words = (spaces + 1).cast("int")
-    val stops = hits(enStops)
-    val score = stops / words * lit(0.5) + least(words, lit(100)) / lit(100) * lit(0.5)
     val scored = Tables(spark, dir).documents
-      .select(col("doc_id"), col("lang"), score.as("quality_score"))
+      .select(col("doc_id"), col("lang"), compositeScore.as("quality_score"))
     val thresholds = scored.groupBy(col("lang"))
       .agg(percentile_approx(col("quality_score"), lit(0.75), lit(10000))
         .as("q75"))
@@ -375,12 +381,9 @@ object TextAnalysis {
   }
 
   val qualityFilterSql: String = {
-    val spaces = "CAST((length(text) - length(replace(text, ' ', ''))) AS INTEGER)"
-    val words = s"CAST($spaces + 1 AS INTEGER)"
-    val stops = hitsSql(enStops)
     s"""WITH scored AS (
        |  SELECT doc_id, lang,
-       |    $stops / $words * 0.5 + least($words, 100) / 100 * 0.5 AS quality_score
+       |    $compositeScoreSql AS quality_score
        |  FROM documents),
        |ranked AS (
        |  SELECT *, ntile(4) OVER (PARTITION BY lang

@@ -164,9 +164,10 @@ object Events {
   def dedupWithinWatermark(
       events: DataFrame,
       keys: Seq[String],
-      delay: String = "10 minutes"): DataFrame =
+      delay: String = "10 minutes",
+      tsCol: String = "event_ts"): DataFrame =
     if (events.isStreaming)
-      events.withWatermark("event_ts", delay).dropDuplicatesWithinWatermark(keys)
+      events.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
     else
       events.dropDuplicates(keys)
 

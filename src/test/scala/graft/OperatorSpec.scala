@@ -335,6 +335,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(a.values.forall(_.size <= 16))
   }
 
+  test("embedQuantize: all-zero vector quantizes to zeros, not Infinity") {
+    import spark.implicits._
+    val d = graft.operators.Ann.embedQuantize(
+      Seq((1L, 0, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+        (2L, 0, Array(1.0f, -2.0f, 0.5f, 2.0f)))
+        .toDF("vec_id", "label", "embedding"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), (3 to 6).map(r.getLong))).toMap
+    assert(d(1L) == ((0.0, Seq(0L, 0L, 0L, 0L))))
+    assert(d(2L)._2 == Seq(64L, -127L, 32L, 127L))
+  }
+
   test("q_dedup_clusters: every dup pair lands in one cluster; sizes conserve") {
     val d = run("q_dedup_clusters").cache()
     // conservation: cluster sizes sum to the number of distinct dup-pair nodes

@@ -55,8 +55,7 @@ class PlanSpec extends AnyFunSuite {
     assert(bhj >= 3, s"expected >=3 broadcast joins, got $bhj")
     // lineitem⋈orders + final agg ordering: shuffles stay bounded
     // (counted in the explain text — see hashExchanges note)
-    val shuffles = """\(\d+\) Exchange\b""".r
-      .findAllIn(planString("q5_join5")).length
+    val shuffles = hashExchanges("q5_join5")
     assert(shuffles > 0 && shuffles <= 4, s"expected 1..4 shuffles, got $shuffles")
   }
 
