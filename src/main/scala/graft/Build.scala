@@ -72,6 +72,39 @@ object Build {
       checks = checks)
   }
 
+  /** dbt `materialized='incremental'` analog: the fact is written
+    * month-partitioned, and an incremental run recomputes ONLY the
+    * partitions at or after `sinceMonth`, overwriting just those via
+    * dynamic partition overwrite. This is the 100 TB refresh contract:
+    * a daily rebuild touches the recent months' partitions (GBs), never
+    * the historical ones (the other ~99% of the table), and readers
+    * prune on `ship_month` (see the PlanSpec partition-pruning test).
+    *
+    * `sinceMonth = None` is the full-refresh face (initial build).
+    */
+  def buildFactIncremental(
+      spark: SparkSession,
+      sfDir: String,
+      warehouseDir: String,
+      sinceMonth: Option[String]): String = {
+    import org.apache.spark.sql.functions._
+    val path = s"$warehouseDir/fact_lineitem_monthly"
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val fact = Facts.factLineitem(spark, sfDir)
+        .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      val slice = sinceMonth.fold(fact)(m => fact.filter(col("ship_month") >= m))
+      slice.write.mode("overwrite").partitionBy("ship_month").parquet(path)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    path
+  }
+
   /** CLI: `runMain graft.Build <sfDir> <warehouseDir>` */
   def main(args: Array[String]): Unit = {
     val Array(sfDir, out) = args
