@@ -319,6 +319,40 @@ object TextAnalysis {
       |WHERE e.split = 'eval' AND t.split = 'train'
       |GROUP BY e.doc_id""".stripMargin
 
+  /** C27: intra-document repetition — the duplicate 3-gram fraction
+    * (the Gopher-family repetition filter): 1 − |distinct grams| /
+    * |grams|. Map-only via the native distinct-gram kernel (the same
+    * one C2/C4 share); the total gram count is pure arithmetic, so no
+    * gram list ever materializes and nothing shuffles.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val tk = split(col("text"), " ")
+    val total = greatest(size(tk) - 2, lit(1)).cast("int")
+    Tables(spark, dir).documents
+      .select(
+        col("doc_id"),
+        total.as("n_grams"),
+        size(graft.functions.NativeExprs.gram_hashes(tk, 3)).cast("int")
+          .as("n_distinct_grams"))
+      .withColumn("dup_ratio",
+        lit(1.0) - col("n_distinct_grams") / col("n_grams"))
+  }
+
+  val repetitionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+      |  FROM toks, unnest(range(1, greatest(len(tk) - 1, 2))) AS t(i)
+      |), d AS (
+      |  SELECT doc_id, COUNT(*) AS nd FROM sh GROUP BY doc_id
+      |)
+      |SELECT t.doc_id,
+      |  CAST(greatest(len(tk) - 2, 1) AS INTEGER) AS n_grams,
+      |  CAST(nd AS INTEGER) AS n_distinct_grams,
+      |  1.0 - CAST(nd AS INTEGER) / CAST(greatest(len(tk) - 2, 1) AS INTEGER) AS dup_ratio
+      |FROM toks t JOIN d ON t.doc_id = d.doc_id""".stripMargin
+
   /** C19: deterministic stratified sampling — per-language sampling
     * rates (10% en, 50% others) via the wrap-safe multiplicative hash of
     * C17 (never rand(): stable across retries/speculation). Map-only

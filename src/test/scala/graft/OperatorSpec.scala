@@ -251,6 +251,13 @@ class OperatorSpec extends AnyFunSuite {
     assert(approx.size <= exact.size * 2, s"approx=${approx.size} exact=${exact.size}")
   }
 
+  test("q_repetition: ratio bounded, distinct never exceeds total") {
+    val d = run("q_repetition").cache()
+    assert(d.filter(col("n_distinct_grams") > col("n_grams")).count() == 0)
+    assert(d.filter(col("dup_ratio") < 0 || col("dup_ratio") >= 1).count() == 0)
+    d.unpersist()
+  }
+
   test("q_pii_scrub: digit runs collapse, hash is md5-shaped") {
     val d = run("q_pii_scrub").cache()
     assert(d.filter(length(col("scrub_hash")) =!= 32).count() == 0)
