@@ -149,9 +149,14 @@ object Ann {
     * only those cells' vectors (rows-only: kmeans isn't oracle-SQL).
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    // persist the working set across the Lloyd iterations (each round
+    // is a separate job; without this every round re-reads + reshuffles
+    // the corpus — the standard iterative-training persist pattern)
     val e = Tables(spark, dir).embeddings
       .repartition(spark.sparkContext.defaultParallelism)
-    val centroids = ivfCentroids(e, c = 8, iters = 2)
+      .persist()
+    val centroids = try ivfCentroids(e, c = 8, iters = 2)
+    finally e.unpersist(blocking = false)
     val indexed = e.withColumn("cell",
       NativeExprs.cell_probe(col("embedding"), centroids, 1)(0))
     // queries probe nprobe=2 cells (their own + runner-up)
