@@ -437,6 +437,71 @@ object Extras {
       |FROM events
       |GROUP BY event_type""".stripMargin
 
+  /** E21: per-group mode — each user's most frequent event type.
+    * Engine-native `mode()` is tie-arbitrary (not portable); this is the
+    * deterministic form: count per (user, type), rank by (count desc,
+    * type), keep rank 1. Two exchanges: the (user,type) count partials
+    * and the per-user window — the window partitions on user_id
+    * (high-cardinality), so no reducer hot-spot at scale.
+    */
+  def modePerUser(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir).events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("top_event_type"), col("n"))
+  }
+
+  val modePerUserSql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY n DESC, event_type) AS rn FROM c)
+      |SELECT user_id, event_type AS top_event_type, n FROM r WHERE rn = 1""".stripMargin
+
+  /** E22: argmin/argmax — each user's first and last event value in
+    * event-time order (the arg_min/arg_max pattern with a total
+    * (ts, event_id) tiebreak so both engines agree on equal
+    * timestamps). One shuffle on user_id; first/last ride the same
+    * sorted window pass.
+    */
+  def firstLastPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), nsToUs(col("ts")).as("ts_us"),
+        dec(col("value")).as("v"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ev.select(col("user_id"),
+        first(col("v")).over(w).as("first_value"),
+        last(col("v")).over(w).as("last_value"))
+      .distinct()
+      .select(col("user_id"),
+        col("first_value").cast("double").as("first_value"),
+        col("last_value").cast("double").as("last_value"))
+  }
+
+  val firstLastPerUserSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id,
+      |    first_value(v) OVER w AS first_value,
+      |    last_value(v) OVER w AS last_value
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      |SELECT DISTINCT user_id,
+      |  CAST(first_value AS DOUBLE) AS first_value,
+      |  CAST(last_value AS DOUBLE) AS last_value
+      |FROM r""".stripMargin
+
   /** E19: incremental merge — the dbt incremental-model analog: an
     * existing table (orders before 1997-09) merged with a reprocessing
     * batch (orders since 1997-06, batch wins on key collision) via a

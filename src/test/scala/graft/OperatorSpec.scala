@@ -221,6 +221,32 @@ class OperatorSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("q_mode: one row per user, count is the max per-type count") {
+    val d = run("q_mode").cache()
+    assert(d.count() == d.select("user_id").distinct().count())
+    val maxN = graft.sources.Tables(spark, dir).events
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .groupBy("user_id").agg(max("n").as("mx"))
+    assert(d.join(maxN, "user_id").filter(col("n") =!= col("mx")).count() == 0)
+    d.unpersist()
+  }
+
+  test("q_first_last: one row per user; equals min/max-ts lookups") {
+    import graft.functions.Fns.nsToUs
+    val d = run("q_first_last").cache()
+    assert(d.count() == d.select("user_id").distinct().count())
+    // spot-check one user end-to-end
+    val u = d.select("user_id").head.getLong(0)
+    val ev = graft.sources.Tables(spark, dir).events
+      .filter(col("user_id") === u)
+      .select(nsToUs(col("ts")).as("t"), col("event_id"), col("value"))
+      .orderBy("t", "event_id").collect()
+    val row = d.filter(col("user_id") === u).head
+    assert(row.getDouble(1) == ev.head.getDouble(2))
+    assert(row.getDouble(2) == ev.last.getDouble(2))
+    d.unpersist()
+  }
+
   test("q_stratified_sample: every sampled row is under its stratum rate") {
     val d = run("q_stratified_sample").cache()
     assert(d.filter(col("lang") === "en" && col("sample_bucket") >= 10).count() == 0)
