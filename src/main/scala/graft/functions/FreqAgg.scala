@@ -118,7 +118,7 @@ object FreqAgg {
     def entries: Iterator[(String, Long)] = counts.iterator
 
     /** Restore a counter (deserialization path — no MG step). */
-    private[FreqAgg] def put(token: String, c: Long): Unit = counts(token) = c
+    private[graft] def put(token: String, c: Long): Unit = counts(token) = c
 
     /** MG update: increment if tracked or if a slot is free; otherwise
       * decrement every counter (the "pay one from everyone" step) and

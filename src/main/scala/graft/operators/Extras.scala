@@ -502,6 +502,49 @@ object Extras {
       |  CAST(last_value AS DOUBLE) AS last_value
       |FROM r""".stripMargin
 
+  /** E23: month-over-month growth — the BI staple composed from the
+    * reference's own pieces: fact build → monthly revenue per service
+    * type → lag window for the previous month → growth percentage.
+    * The window partitions by service_type over ~|months| aggregated
+    * rows — post-aggregation window state is tiny at any input scale.
+    * Division is spelled on exact decimal sums cast once to double,
+    * then rounded, so both engines agree bitwise.
+    */
+  def momGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Facts.factLineitem(spark, dir)
+      .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"),
+        col("service_type"))
+      .agg(decSum(col("l_extendedprice")).as("revenue"))
+    val w = Window.partitionBy(col("service_type")).orderBy(col("ship_month"))
+    monthly
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("mom_pct",
+        round((col("revenue") - col("prev_revenue")) / col("prev_revenue") * 100, 4))
+  }
+
+  val momGrowthSql: String =
+    """WITH fact AS (
+      |  SELECT l_shipdate, l_extendedprice,
+      |    CASE l_linestatus WHEN 'O' THEN 'Open' ELSE 'Final' END AS service_type
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN (SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+      |        WHERE r_name != 'AFRICA') supp ON s_nationkey = supp.n_nationkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN (SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+      |        WHERE r_name != 'AFRICA') cust ON c_nationkey = cust.n_nationkey
+      |), monthly AS (
+      |  SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+      |    service_type,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |  FROM fact GROUP BY 1, 2)
+      |SELECT ship_month, service_type, revenue,
+      |  lag(revenue, 1) OVER w AS prev_revenue,
+      |  round((revenue - lag(revenue, 1) OVER w) / lag(revenue, 1) OVER w * 100, 4) AS mom_pct
+      |FROM monthly
+      |WINDOW w AS (PARTITION BY service_type ORDER BY ship_month)""".stripMargin
+
   /** E19: incremental merge — the dbt incremental-model analog: an
     * existing table (orders before 1997-09) merged with a reprocessing
     * batch (orders since 1997-06, batch wins on key collision) via a

@@ -87,6 +87,26 @@ class KernelsSpec extends AnyFunSuite {
     assert(Kernels.hyperplaneBucket(farr(-1f, -1f), planes) == 0)
   }
 
+  test("FreqAgg.Sketch: MG eviction and mergeable cut preserve the bound") {
+    import graft.functions.FreqAgg
+    // update path: capacity 2, stream a,a,b,c — c finds no slot and
+    // pays one from everyone (a:2→1, b:1→0 evicted, c not inserted)
+    val s = new FreqAgg.Sketch(2)
+    Seq("a", "a", "b", "c").foreach(s.offer)
+    assert(s.entries.toMap == Map("a" -> 1L))
+    // freed slot admits the next newcomer
+    s.offer("c")
+    assert(s.entries.toMap == Map("a" -> 1L, "c" -> 1L))
+
+    // merge path: cut = (capacity+1)-th largest subtracted from all
+    val x = new FreqAgg.Sketch(3)
+    x.put("a", 5L); x.put("b", 3L)
+    val y = new FreqAgg.Sketch(3)
+    y.put("c", 4L); y.put("d", 2L)
+    x.mergeIn(y) // {a5,b3,c4,d2} over capacity → cut 2 → {a3,b1,c2}
+    assert(x.entries.toMap == Map("a" -> 3L, "b" -> 1L, "c" -> 2L))
+  }
+
   test("winnow: window minima are a subset of gram hashes; deterministic") {
     val toks = Seq("q", "w", "e", "r", "t", "y", "u", "i", "o", "p", "a", "s")
     val fps = Kernels.winnow(arr(toks: _*), 3, 8)
