@@ -545,6 +545,71 @@ object Extras {
       |FROM monthly
       |WINDOW w AS (PARTITION BY service_type ORDER BY ship_month)""".stripMargin
 
+  /** E24: conversion funnel — users progressing view → click →
+    * purchase in event-time order (each stage strictly at or after the
+    * user's first qualifying event of the previous stage). Three
+    * per-user min-aggregations chained by joins — every exchange is
+    * keyed on user_id; the three stage counts are bounded scalars
+    * (driver-side assembly, same as E13's set counts).
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"), nsToUs(col("ts")).as("t"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("t")).as("tv"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("t") >= col("tv"))
+      .groupBy("user_id").agg(min(col("t")).as("tc"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("t") >= col("tc"))
+      .groupBy("user_id").agg(min(col("t")).as("tp"))
+    import spark.implicits._
+    Seq((v.count(), c.count(), p.count()))
+      .toDF("n_view", "n_view_click", "n_full_funnel")
+  }
+
+  val funnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+      |v AS (SELECT user_id, MIN(t) AS tv FROM e
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(t) AS tc FROM e JOIN v ON e.user_id = v.user_id
+      |      WHERE event_type = 'click' AND t >= tv GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(t) AS tp FROM e JOIN c ON e.user_id = c.user_id
+      |      WHERE event_type = 'purchase' AND t >= tc GROUP BY e.user_id)
+      |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+      |       (SELECT COUNT(*) FROM c) AS n_view_click,
+      |       (SELECT COUNT(*) FROM p) AS n_full_funnel""".stripMargin
+
+  /** E25: retention cohorts — users grouped by their first active
+    * month; per (cohort, months-since) count of still-active users.
+    * Distinct (user, month) first (the only full-width exchange), then
+    * a per-user min and a tiny grouped count — the classic retention
+    * triangle at any scale.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val um = Tables(spark, dir).events
+      .select(col("user_id"),
+        date_trunc("month", nsToTimestamp(col("ts"))).as("m"))
+      .distinct()
+    val firstM = um.groupBy("user_id").agg(min(col("m")).as("m0"))
+    um.join(firstM, "user_id")
+      .groupBy(col("m0").as("cohort_month"),
+        months_between(col("m"), col("m0")).cast("int").as("months_since"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
+  val retentionSql: String =
+    """WITH um AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('month', ts) AS TIMESTAMP) AS m
+      |  FROM events),
+      |f AS (SELECT user_id, MIN(m) AS m0 FROM um GROUP BY user_id)
+      |SELECT m0 AS cohort_month,
+      |  CAST(datediff('month', m0, m) AS INTEGER) AS months_since,
+      |  COUNT(*) AS n_active
+      |FROM um JOIN f ON um.user_id = f.user_id
+      |GROUP BY 1, 2""".stripMargin
+
   /** E19: incremental merge — the dbt incremental-model analog: an
     * existing table (orders before 1997-09) merged with a reprocessing
     * batch (orders since 1997-06, batch wins on key collision) via a

@@ -247,6 +247,22 @@ class OperatorSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("q_funnel: stage counts monotonically shrink") {
+    val r = run("q_funnel").head
+    assert(r.getLong(0) >= r.getLong(1) && r.getLong(1) >= r.getLong(2))
+    assert(r.getLong(0) > 0)
+  }
+
+  test("q_retention: cohort month-0 count equals cohort size; counts shrink vs month 0") {
+    val d = run("q_retention").cache()
+    // months_since 0 row exists for every cohort and is the max count
+    val m0 = d.filter(col("months_since") === 0)
+      .select(col("cohort_month"), col("n_active").as("n0"))
+    assert(d.join(m0, "cohort_month").filter(col("n_active") > col("n0")).count() == 0)
+    assert(d.filter(col("months_since") < 0).count() == 0)
+    d.unpersist()
+  }
+
   test("q_stratified_sample: every sampled row is under its stratum rate") {
     val d = run("q_stratified_sample").cache()
     assert(d.filter(col("lang") === "en" && col("sample_bucket") >= 10).count() == 0)
