@@ -465,42 +465,34 @@ object Extras {
       |SELECT user_id, event_type AS top_event_type, n FROM r WHERE rn = 1""".stripMargin
 
   /** E22: argmin/argmax — each user's first and last event value in
-    * event-time order (the arg_min/arg_max pattern with a total
-    * (ts, event_id) tiebreak so both engines agree on equal
-    * timestamps). One shuffle on user_id; first/last ride the same
-    * sorted window pass.
+    * event-time order, via min/max over a (ts, event_id, value) struct:
+    * lexicographic struct ordering makes the unique (ts, event_id)
+    * prefix the sort key and carries the value along. ONE
+    * partially-aggregated shuffle on user_id (map-side min/max structs
+    * per task) — no per-partition window sort, no distinct pass; both
+    * engines order structs lexicographically, so the (ts, id) total
+    * order keeps them in exact agreement.
     */
   def firstLastPerUser(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events
       .select(col("user_id"), col("event_id"), nsToUs(col("ts")).as("ts_us"),
         dec(col("value")).as("v"))
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_us"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    ev.select(col("user_id"),
-        first(col("v")).over(w).as("first_value"),
-        last(col("v")).over(w).as("last_value"))
-      .distinct()
-      .select(col("user_id"),
-        col("first_value").cast("double").as("first_value"),
-        col("last_value").cast("double").as("last_value"))
+    val tagged = struct(col("ts_us"), col("event_id"), col("v"))
+    ev.groupBy(col("user_id"))
+      .agg(
+        min(tagged).getField("v").cast("double").as("first_value"),
+        max(tagged).getField("v").cast("double").as("last_value"))
   }
 
   val firstLastPerUserSql: String =
     """WITH e AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
       |    CAST(value AS DECIMAL(18,2)) AS v
-      |  FROM events),
-      |r AS (
-      |  SELECT user_id,
-      |    first_value(v) OVER w AS first_value,
-      |    last_value(v) OVER w AS last_value
-      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
-      |SELECT DISTINCT user_id,
-      |  CAST(first_value AS DOUBLE) AS first_value,
-      |  CAST(last_value AS DOUBLE) AS last_value
-      |FROM r""".stripMargin
+      |  FROM events)
+      |SELECT user_id,
+      |  CAST((MIN(struct_pack(t := ts_us, i := event_id, v := v))).v AS DOUBLE) AS first_value,
+      |  CAST((MAX(struct_pack(t := ts_us, i := event_id, v := v))).v AS DOUBLE) AS last_value
+      |FROM e GROUP BY user_id""".stripMargin
 
   /** E23: month-over-month growth — the BI staple composed from the
     * reference's own pieces: fact build → monthly revenue per service
@@ -563,9 +555,17 @@ object Extras {
     val p = ev.filter(col("event_type") === "purchase")
       .join(c, "user_id").filter(col("t") >= col("tc"))
       .groupBy("user_id").agg(min(col("t")).as("tp"))
-    import spark.implicits._
-    Seq((v.count(), c.count(), p.count()))
-      .toDF("n_view", "n_view_click", "n_full_funnel")
+    // the counts are chained actions (p depends on c depends on v):
+    // without persisting, p.count() would re-execute v and c from the
+    // scan — cache the two intermediate stage frames for the round
+    v.persist(); c.persist()
+    try {
+      import spark.implicits._
+      Seq((v.count(), c.count(), p.count()))
+        .toDF("n_view", "n_view_click", "n_full_funnel")
+    } finally {
+      v.unpersist(blocking = false); c.unpersist(blocking = false)
+    }
   }
 
   val funnelSql: String =

@@ -255,9 +255,11 @@ class OperatorSpec extends AnyFunSuite {
 
   test("q_retention: cohort month-0 count equals cohort size; counts shrink vs month 0") {
     val d = run("q_retention").cache()
-    // months_since 0 row exists for every cohort and is the max count
     val m0 = d.filter(col("months_since") === 0)
       .select(col("cohort_month"), col("n_active").as("n0"))
+    // every cohort has its months_since=0 row (guards the join below
+    // from vacuously dropping cohorts)
+    assert(m0.count() == d.select("cohort_month").distinct().count())
     assert(d.join(m0, "cohort_month").filter(col("n_active") > col("n0")).count() == 0)
     assert(d.filter(col("months_since") < 0).count() == 0)
     d.unpersist()
