@@ -537,6 +537,82 @@ object Extras {
       |FROM monthly
       |WINDOW w AS (PARTITION BY service_type ORDER BY ship_month)""".stripMargin
 
+  /** E26: top-N per group through the bounded-heap
+    * [[graft.functions.TopKAgg]] aggregate — top-3 orders per market
+    * segment by (price, orderkey). This is the oracle-checked face of
+    * the partial top-k path (each map task ships ≤ 3 pairs per
+    * segment, vs a window sort of every row); the oracle states the
+    * same result as the row_number formulation.
+    */
+  def topNPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val joined = t.orders
+      .join(broadcast(t.customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        dec(col("o_totalprice")).cast("double").as("price"),
+        col("o_orderkey"))
+    joined.groupBy(col("c_mktsegment"))
+      .agg(graft.functions.TopKAgg.top_k(
+        struct(col("price"), col("o_orderkey")), 3).as("top"))
+      .select(col("c_mktsegment"), posexplode(col("top")).as(Seq("idx", "e")))
+      .select(col("c_mktsegment"), (col("idx") + 1).cast("long").as("rank"),
+        col("e.id").as("o_orderkey"), col("e.score").as("price"))
+  }
+
+  val topNPerGroupSql: String =
+    """WITH j AS (
+      |  SELECT c_mktsegment,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+      |    o_orderkey
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+      |    ORDER BY price DESC, o_orderkey) AS rank FROM j)
+      |SELECT c_mktsegment, rank, o_orderkey, price FROM r WHERE rank <= 3""".stripMargin
+
+  /** E27: z-score outlier detection per event type — the classic
+    * data-cleaning pass, with ENGINE-EXACT moments: sum(v) and sum(v²)
+    * are exact decimals (order-independent), converted to double once;
+    * mean/variance/z are then pure IEEE arithmetic, so the outlier set
+    * is bit-identical in both engines regardless of partitioning. One
+    * partial-agg shuffle for the moments, broadcast back, map-only
+    * flagging.
+    */
+  def outliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_type"), col("event_id"), dec(col("value")).as("v"))
+    val moments = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("v")).cast("double").as("s"),
+      sum(col("v") * col("v")).cast("double").as("sq"))
+    ev.join(broadcast(moments), "event_type")
+      .withColumn("mean", col("s") / col("n"))
+      .withColumn("variance",
+        (col("sq") - col("s") * col("s") / col("n")) / col("n"))
+      .withColumn("z",
+        (col("v").cast("double") - col("mean")) / sqrt(col("variance")))
+      .filter(abs(col("z")) > 3.0)
+      .select(col("event_type"), col("event_id"),
+        col("v").cast("double").as("value"), round(col("z"), 4).as("z"))
+  }
+
+  val outliersSql: String =
+    """WITH e AS (
+      |  SELECT event_type, event_id, CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(v) AS DOUBLE) AS s,
+      |    CAST(SUM(v * v) AS DOUBLE) AS sq
+      |  FROM e GROUP BY event_type),
+      |z AS (
+      |  SELECT e.event_type, event_id, CAST(v AS DOUBLE) AS value,
+      |    (CAST(v AS DOUBLE) - s / n) / sqrt((sq - s * s / n) / n) AS z
+      |  FROM e JOIN m ON e.event_type = m.event_type)
+      |SELECT event_type, event_id, value, round(z, 4) AS z
+      |FROM z WHERE abs(z) > 3.0""".stripMargin
+
   /** E24: conversion funnel — users progressing view → click →
     * purchase in event-time order (each stage strictly at or after the
     * user's first qualifying event of the previous stage). Three

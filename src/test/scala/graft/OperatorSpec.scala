@@ -247,6 +247,30 @@ class OperatorSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("q_topn_group: TopKAgg face equals the window row_number formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val got = run("q_topn_group")
+    val t = graft.sources.Tables(spark, dir)
+    val j = t.orders
+      .join(t.customer.select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"),
+        col("o_orderkey"))
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("price").desc, col("o_orderkey"))
+    val ref = j.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("c_mktsegment", "rank", "o_orderkey", "price")
+    assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0)
+  }
+
+  test("q_outliers: every flagged row is beyond 3 sigma; flags exist") {
+    val d = run("q_outliers").cache()
+    assert(d.count() > 0)
+    assert(d.filter(abs(col("z")) <= 3.0).count() == 0)
+    d.unpersist()
+  }
+
   test("q_funnel: stage counts monotonically shrink") {
     val r = run("q_funnel").head
     assert(r.getLong(0) >= r.getLong(1) && r.getLong(1) >= r.getLong(2))
