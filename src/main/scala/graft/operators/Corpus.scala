@@ -1,0 +1,268 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Corpus-assembly operators — the ordering / packing / sampling /
+  * decontamination passes that turn a cleaned document set into
+  * training input. These are the steps AFTER dedup+filtering
+  * (Dedup/TextAnalysis) and BEFORE the tokenizer: fix a reproducible
+  * order, pack documents into fixed-length sequences, draw bounded
+  * samples, and prune eval contamination at scale.
+  *
+  * The common engine piece is the distributed prefix primitive
+  * ([[globalIndex]] / [[prefixSum]]): a global total order WITHOUT a
+  * single-partition window. Stock `row_number() OVER (ORDER BY …)`
+  * funnels the whole table through one reducer (Spark warns
+  * "No Partition Defined"); here range-partitioning gives each task its
+  * key slice and a two-phase offset pass (per-partition counts/sums →
+  * bounded driver collect → broadcast offsets) makes the index global.
+  * That is the textbook distributed prefix-sum, and the only shape that
+  * survives 100 TB.
+  */
+object Corpus {
+
+  /** Wrap-safe multiplicative hash on a bounded domain (same family as
+    * TextAnalysis's split bucket, wider range): `doc_id % 1e6` first, so
+    * the product stays ≤ 1e6·2654435761 ≈ 2.7e15 — no int64 overflow in
+    * either engine; % 1000003 (prime) spreads buckets.
+    */
+  private def shuffleKey: Column =
+    (col("doc_id") % 1000000L) * 2654435761L % 1000003L
+  private val shuffleKeySql: String =
+    "(doc_id % 1000000) * 2654435761 % 1000003"
+
+  private def rangeParts(spark: SparkSession): Int =
+    spark.sessionState.conf.numShufflePartitions
+
+  /** Contiguous global row index 0..n−1 in `order`-sorted order,
+    * appended as `indexCol` — the scale-path replacement for an
+    * unpartitioned `row_number()` window.
+    *
+    * Plan: `repartitionByRange(order)` + `sortWithinPartitions` (Spark's
+    * distributed sort: sampled range boundaries, each task sorts its
+    * slice), then `zipWithIndex` — which runs the two-phase offset pass:
+    * a count job over the partitions, driver holds ONE long per
+    * partition, and a map job adds each partition's start offset. No
+    * stage ever sees more than its own slice; driver state is
+    * O(partitions).
+    *
+    * `order` must be a total order (include a unique tiebreak column)
+    * for the index to be deterministic.
+    */
+  def globalIndex(df: DataFrame, order: Seq[Column], indexCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df
+      .repartitionByRange(rangeParts(spark), order: _*)
+      .sortWithinPartitions(order: _*)
+    val schema = StructType(
+      sorted.schema.fields :+ StructField(indexCol, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Exclusive running sum of `valueCol` (LongType) in `order`-sorted
+    * order, appended as `sumCol` — the distributed prefix-sum.
+    *
+    * Two passes over the range-partitioned sort: (1) per-partition sums
+    * aggregated by `spark_partition_id()` → driver collects ≤ one row
+    * per partition and folds them into exclusive start offsets;
+    * (2) `mapPartitionsWithIndex` streams each slice, accumulating from
+    * its broadcast offset. Both passes re-plan the same deterministic
+    * range partitioning (explicit partition count → AQE does not
+    * re-coalesce; the range sampler is seeded per-partition), so the
+    * offsets line up. `order` must be a total order.
+    */
+  def prefixSum(df: DataFrame, order: Seq[Column], valueCol: String, sumCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = rangeParts(spark)
+    val sorted = df
+      .repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+    require(sorted.schema(valueCol).dataType == LongType,
+      s"prefixSum requires $valueCol: bigint, got ${sorted.schema(valueCol).dataType}")
+    val perPart = sorted
+      .select(spark_partition_id().as("pid"), col(valueCol))
+      .groupBy(col("pid")).agg(sum(col(valueCol)).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = new Array[Long](parts)
+    var acc = 0L
+    var p = 0
+    while (p < parts) {
+      offsets(p) = acc
+      acc += perPart.getOrElse(p, 0L)
+      p += 1
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val schema = StructType(
+      sorted.schema.fields :+ StructField(sumCol, LongType, nullable = false))
+    val rdd = sorted.rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var running = bc.value(pid)
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ running)
+        running += r.getLong(vIdx)
+        out
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** C28: deterministic corpus shuffle — a reproducible pseudorandom
+    * training order. Order key = wrap-safe hash of doc_id (stable across
+    * retries and speculative tasks — never `rand()`), position =
+    * [[globalIndex]] over (key, doc_id). Re-running the pipeline, on any
+    * cluster size, yields the same order — the property data-loading
+    * reproducibility depends on.
+    */
+  def corpusShuffle(spark: SparkSession, dir: String): DataFrame =
+    globalIndex(
+      Tables(spark, dir).documents
+        .select(col("doc_id"), shuffleKey.as("shuffle_key")),
+      Seq(col("shuffle_key"), col("doc_id")), "pos")
+
+  val corpusShuffleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, $shuffleKeySql AS shuffle_key FROM documents)
+       |SELECT doc_id, shuffle_key,
+       |  row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS pos
+       |FROM d""".stripMargin
+
+  /** C29: sequence packing — the GPT-style pre-tokenization layout:
+    * documents are concatenated in corpus order and chopped into
+    * fixed-capacity (256-token) training sequences; each document's
+    * placement is fully determined by the exclusive [[prefixSum]] of
+    * token counts. Emits per-doc (start_tok, seq_id, seq_off); a doc
+    * spanning a boundary continues into the next sequence, exactly like
+    * the packed-token pipeline.
+    */
+  def seqPack(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    prefixSum(d, Seq(col("doc_id")), "n_tokens", "start_tok")
+      .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+        expr("start_tok DIV 256").as("seq_id"),
+        (col("start_tok") % 256).as("seq_off"))
+  }
+
+  val seqPackSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS start_tok
+      |  FROM d)
+      |SELECT doc_id, n_tokens, start_tok,
+      |  start_tok // 256 AS seq_id, start_tok % 256 AS seq_off
+      |FROM p""".stripMargin
+
+  /** C30: bounded per-stratum sample — exactly k=20 docs per language,
+    * chosen by smallest deterministic hash (min-k sampling: the
+    * distributed reservoir). Rides [[graft.functions.TopKAgg]] with
+    * score = −hash, so each map task ships ≤ k pairs per language and no
+    * per-group sort ever runs — versus the `row_number` face, which
+    * shuffles and sorts every row. The oracle states that face.
+    */
+  def reservoirSample(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("lang"), col("doc_id"), shuffleKey.as("k"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.TopKAgg.top_k(
+        struct(-col("k").cast("double"), col("doc_id")), 20).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("idx", "e")))
+      .select(col("lang"), (col("idx") + 1).cast("long").as("rank"),
+        col("e.id").as("doc_id"), (-col("e.score")).cast("long").as("sample_key"))
+
+  val reservoirSampleSql: String =
+    s"""WITH d AS (
+       |  SELECT lang, doc_id, $shuffleKeySql AS k FROM documents),
+       |r AS (
+       |  SELECT lang, doc_id, k, row_number() OVER (PARTITION BY lang
+       |    ORDER BY k, doc_id) AS rank FROM d)
+       |SELECT lang, rank, doc_id, CAST(k AS BIGINT) AS sample_key
+       |FROM r WHERE rank <= 20""".stripMargin
+
+  /** C31: span-level dedup — duplicated 8-token spans across documents
+    * (the hashed-window approximation of suffix-array ExactSubstr dedup,
+    * Lee et al. 2022's "Deduplicating Training Data Makes Language
+    * Models Better"). Every token position opens a window; the exchange
+    * carries (16-byte span hash, doc_id) pairs — document text never
+    * shuffles, and span hashes are near-uniform so no hot partitions.
+    */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 8)
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0), size(col("tk")) - 8)).as("i"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("tk"), col("i") + 1, lit(8)))).as("span_hash"))
+    d.groupBy(col("span_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+  }
+
+  val spanDedupSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8),
+      |spans AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(tk[i+1 : i+8], ' ')) AS span_hash
+      |  FROM toks, unnest(range(0, len(tk) - 7)) AS t(i))
+      |SELECT span_hash,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+      |  MIN(doc_id) AS first_doc
+      |FROM spans GROUP BY span_hash
+      |HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin
+
+  /** C32: Bloom-pruned contamination check — same result as the exact
+    * pass (TextAnalysis C26; the verify join removes every false
+    * positive, so the oracle is C26's SQL), but the eval side is
+    * pre-filtered through a Bloom sketch of the train fingerprints
+    * BEFORE the join. At 100 TB that ordering is the whole game: the
+    * sketch is built by Spark's native mergeable `BloomFilterAggregate`
+    * (map tasks ship bit-array state, never rows), one bounded sketch
+    * (~1.2 MB/million keys at 3% fpp) comes to the driver and re-enters
+    * the plan as a codegen'd literal predicate, and ~99% of clean eval
+    * docs die map-side — the fingerprint join probes a sliver.
+    */
+  def bloomContamination(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
+    val docs = Tables(spark, dir).documents
+      .withColumn("split",
+        when((col("doc_id") % 100) * 2654435761L % 100 < 90, "train").otherwise("eval"))
+      .select(col("doc_id"), col("split"), md5(lower(trim(col("text")))).as("fp"))
+    val train = docs.filter(col("split") === "train")
+      .select(col("fp"), col("doc_id").as("train_doc_id"))
+
+    val sketch: Array[Byte] = train
+      .agg(column(new BloomFilterAggregate(
+        expression(xxhash64(col("fp"))), 1000000L).toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val mightContain = column(new BloomFilterMightContain(
+      Literal(sketch, BinaryType), expression(xxhash64(col("fp")))))
+
+    docs.filter(col("split") === "eval")
+      .filter(mightContain)
+      .join(train, "fp")
+      .groupBy(col("doc_id").as("eval_doc_id"))
+      .agg(count(lit(1)).as("n_train_dups"),
+        min(col("train_doc_id")).as("first_train_doc"))
+  }
+}

@@ -422,6 +422,66 @@ class OperatorSpec extends AnyFunSuite {
     assert(d(2L)._2 == Seq(64L, -127L, 32L, 127L))
   }
 
+  test("q_corpus_shuffle: pos is a contiguous permutation matching the window face") {
+    import org.apache.spark.sql.expressions.Window
+    val got = run("q_corpus_shuffle").cache()
+    val n = got.count()
+    // contiguous 0..n-1, no gaps or dups
+    assert(got.agg(min("pos"), max("pos"), countDistinct("pos")).head ==
+      org.apache.spark.sql.Row(0L, n - 1, n))
+    // identical to the (non-scalable) single-window formulation
+    val ref = got.select("doc_id", "shuffle_key")
+      .withColumn("pos", row_number()
+        .over(Window.orderBy(col("shuffle_key"), col("doc_id"))).cast("long") - 1)
+    assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0)
+    got.unpersist()
+  }
+
+  test("q_seq_pack: prefix sums equal the window cumsum; totals conserve") {
+    import org.apache.spark.sql.expressions.Window
+    val got = run("q_seq_pack").cache()
+    val ref = got.select("doc_id", "n_tokens")
+      .withColumn("start_tok",
+        coalesce(sum("n_tokens").over(Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    assert(got.select("doc_id", "n_tokens", "start_tok")
+      .exceptAll(ref).count() == 0)
+    // seq_id/seq_off consistent with start_tok
+    assert(got.filter(col("seq_id") * 256 + col("seq_off") =!= col("start_tok"))
+      .count() == 0)
+    got.unpersist()
+  }
+
+  test("q_reservoir_sample: at most k per stratum; matches the window face") {
+    import org.apache.spark.sql.expressions.Window
+    val got = run("q_reservoir_sample").cache()
+    assert(got.groupBy("lang").count().filter(col("count") > 20).count() == 0)
+    val t = graft.sources.Tables(spark, dir)
+    val w = Window.partitionBy("lang").orderBy(col("sample_key"), col("doc_id"))
+    val ref = t.documents
+      .select(col("lang"), col("doc_id"),
+        ((col("doc_id") % 1000000L) * 2654435761L % 1000003L).as("sample_key"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 20)
+      .select("lang", "rank", "doc_id", "sample_key")
+    assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0)
+    got.unpersist()
+  }
+
+  test("q_span_dedup: flagged spans are cross-doc and counts are sane") {
+    val d = run("q_span_dedup").cache()
+    assert(d.filter(col("n_docs") < 2).count() == 0)
+    assert(d.filter(col("n_occurrences") < col("n_docs")).count() == 0)
+    d.unpersist()
+  }
+
+  test("q_contamination_bloom equals the exact contamination pass") {
+    val bloom = run("q_contamination_bloom")
+    val exact = run("q_contamination")
+    assert(bloom.exceptAll(exact).count() == 0 &&
+      exact.exceptAll(bloom).count() == 0)
+  }
+
   test("q_dedup_clusters: every dup pair lands in one cluster; sizes conserve") {
     val d = run("q_dedup_clusters").cache()
     // conservation: cluster sizes sum to the number of distinct dup-pair nodes
