@@ -228,6 +228,59 @@ object Corpus {
       |FROM spans GROUP BY span_hash
       |HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin
 
+  /** C33: unigram log-probability scoring — the perplexity-proxy
+    * quality signal: avg over tokens of ln(corpus_freq(token)), the
+    * cheap stand-in for an LM perplexity filter (low avg ⇒ rare-token
+    * gibberish). Two shuffles, both on aggregation keys: (doc, token)
+    * partial counts and the (token) vocabulary; the model join is keyed
+    * on token so AQE picks broadcast while the vocab is small and
+    * shuffle-hash once it isn't. The corpus total enters the plan as a
+    * 1-row broadcast (no driver collect).
+    *
+    * Float portability: each token's log-term is computed ONCE from the
+    * same rational cnt/N in both engines, rounded to 6 dp, and fixed as
+    * DECIMAL(18,6); per-doc sums are then exact decimal arithmetic —
+    * order-independent under any partitioning — and only the final
+    * average is IEEE (one cast, one divide).
+    */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val docTok = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("n_total"))
+    val terms = vocab.crossJoin(broadcast(total))
+      .select(col("token"),
+        round(log(col("cnt").cast("double") / col("n_total")), 6)
+          .cast("decimal(18,6)").as("term"))
+    docTok.join(terms, "token")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("term")).as("sum_lp"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("sum_lp").cast("double") / col("n_tokens")).as("avg_logprob"))
+  }
+
+  val unigramLogprobSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |dt AS (
+      |  SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+      |v AS (
+      |  SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM v),
+      |terms AS (
+      |  SELECT token,
+      |    CAST(round(ln(CAST(cnt AS DOUBLE) / n_total), 6)
+      |      AS DECIMAL(18,6)) AS term
+      |  FROM v, tot)
+      |SELECT dt.doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(c * term) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS avg_logprob
+      |FROM dt JOIN terms ON dt.token = terms.token
+      |GROUP BY dt.doc_id""".stripMargin
+
   /** C32: Bloom-pruned contamination check — same result as the exact
     * pass (TextAnalysis C26; the verify join removes every false
     * positive, so the oracle is C26's SQL), but the eval side is

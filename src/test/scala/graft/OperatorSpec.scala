@@ -482,6 +482,42 @@ class OperatorSpec extends AnyFunSuite {
       exact.exceptAll(bloom).count() == 0)
   }
 
+  test("bloom contamination finds planted cross-split duplicates") {
+    // sf0.001 has no cross-split dups (the test above is vacuously
+    // equal there), so plant some: doc_ids 13/18 land in the eval
+    // bucket of C17's split, 1/2 in train; give them matching text.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_contam").toString
+    Seq(
+      (1L, "the quick brown fox jumps", "en", "web", 25L),
+      (2L, "lorem ipsum dolor sit amet", "en", "web", 26L),
+      (3L, "unique train only text", "en", "web", 22L),
+      (13L, "the quick brown fox jumps", "en", "web", 25L), // dup of 1
+      (18L, "lorem ipsum dolor sit amet", "en", "web", 26L), // dup of 2
+      (31L, "clean eval document text", "en", "web", 24L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val bloom = SparkEntry.queries("q_contamination_bloom")(spark, tmp)
+      .orderBy("eval_doc_id").collect()
+    val exact = SparkEntry.queries("q_contamination")(spark, tmp)
+      .orderBy("eval_doc_id").collect()
+    assert(bloom.toSeq == exact.toSeq)
+    assert(bloom.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((13L, 1L, 1L), (18L, 1L, 2L)))
+  }
+
+  test("q_unigram_logprob: probabilities are negative and bounded by corpus size") {
+    val d = run("q_unigram_logprob").cache()
+    val nDocs = graft.sources.Tables(spark, dir).documents.count()
+    assert(d.count() == nDocs)
+    // every token has cnt >= 1 and cnt < N, so ln(cnt/N) in (−∞, 0)
+    assert(d.filter(col("avg_logprob") >= 0.0).count() == 0)
+    // a doc of tokens each appearing once scores ln(1/N) — the floor
+    val n = d.agg(sum("n_tokens")).head.getLong(0)
+    assert(d.filter(col("avg_logprob") < math.log(1.0 / n) - 1e-6).count() == 0)
+    d.unpersist()
+  }
+
   test("q_dedup_clusters: every dup pair lands in one cluster; sizes conserve") {
     val d = run("q_dedup_clusters").cache()
     // conservation: cluster sizes sum to the number of distinct dup-pair nodes
