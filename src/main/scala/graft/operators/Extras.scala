@@ -106,6 +106,32 @@ object Extras {
         coalesce(col("last_click_ts_us"), lit(-1L)).as("click_ts_us"))
   }
 
+  /** E5b: the same as-of attribution through the NATIVE sort-merge
+    * as-of operator ([[graft.plans.AsOf]]) — two key shuffles, one
+    * streaming merge pass, one buffered right row; no union, no window
+    * sort over both event types together. Same oracle as E5 (DuckDB
+    * ASOF LEFT JOIN): the two faces must agree bit-for-bit.
+    */
+  def asofNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        nsToUs(col("ts")).as("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_event_id"),
+        col("ts_us").as("purchase_ts_us"))
+    // clicks carry only (key, time): equal-time duplicates collapse to
+    // the same click_ts_us, so the as-of tie has one observable value
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user_id"),
+        col("ts_us").as("click_ts"))
+    graft.plans.AsOf.joinAsOf(
+      purchases, clicks,
+      Seq(purchases("user_id")), Seq(clicks("click_user_id")),
+      purchases("purchase_ts_us"), clicks("click_ts"))
+      .select(col("user_id"), col("purchase_event_id"), col("purchase_ts_us"),
+        coalesce(col("click_ts"), lit(-1L)).as("click_ts_us"))
+  }
+
   val asofJoinSql: String =
     """SELECT p.user_id, p.event_id AS purchase_event_id,
       |  epoch_us(p.ts) AS purchase_ts_us,
