@@ -281,6 +281,70 @@ object Corpus {
       |FROM dt JOIN terms ON dt.token = terms.token
       |GROUP BY dt.doc_id""".stripMargin
 
+  /** C34: data-mixture composition — token and document counts per
+    * (source, lang) cell with each cell's share of the corpus; the
+    * report every mixture-weighting decision reads. One partial-agg
+    * shuffle to the tiny cell grid; the corpus total re-enters as a
+    * 1-row broadcast (in-plan, no driver collect).
+    */
+  def mixture(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir).documents
+      .select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val total = cells.agg(sum(col("n_tokens")).as("n_total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_total")).as("token_share"))
+  }
+
+  val mixtureSql: String =
+    """WITH cells AS (
+      |  SELECT source, lang, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1, 2),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS n_total FROM cells)
+      |SELECT source, lang, n_docs, n_tokens,
+      |  CAST(n_tokens AS DOUBLE) / n_total AS token_share
+      |FROM cells, tot""".stripMargin
+
+  /** C35: out-of-vocabulary rate — per doc, the fraction of tokens
+    * outside the top-100 corpus vocabulary (C16); the tokenizer-coverage
+    * screen. The 100-row vocab broadcasts; the explode's (doc, token)
+    * partials aggregate map-side before the one keyed shuffle.
+    */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(col("n").desc, col("token")).limit(100)
+      .select(col("token"), lit(1).as("in_vocab"))
+    toks.join(broadcast(top), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+  }
+
+  val oovRateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |counts AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY 1),
+      |ranked AS (
+      |  SELECT token, row_number() OVER (ORDER BY n DESC, token) AS r
+      |  FROM counts),
+      |top AS (SELECT token FROM ranked WHERE r <= 100)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(CASE WHEN top.token IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+      |  CAST(COUNT(CASE WHEN top.token IS NULL THEN 1 END) AS DOUBLE)
+      |    / COUNT(*) AS oov_rate
+      |FROM toks LEFT JOIN top ON toks.token = top.token
+      |GROUP BY doc_id""".stripMargin
+
   /** C32: Bloom-pruned contamination check — same result as the exact
     * pass (TextAnalysis C26; the verify join removes every false
     * positive, so the oracle is C26's SQL), but the eval side is

@@ -563,6 +563,33 @@ object Extras {
       |FROM monthly
       |WINDOW w AS (PARTITION BY service_type ORDER BY ship_month)""".stripMargin
 
+  /** E28: sliding event-time window — per-event trailing-hour mean of
+    * `value` via a RANGE frame over µs timestamps. Decimal-exact frame
+    * sums (order-independent under tied timestamps, where the two
+    * engines may order peers differently) divided once by the frame
+    * count. Shuffles once on user_id; frame evaluation is per-task.
+    */
+  def movingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), nsToUs(col("ts")).as("ts_us"),
+        dec(col("value")).as("v"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        count(lit(1)).over(w).as("n_win"),
+        (sum(col("v")).over(w).cast("double") / count(lit(1)).over(w))
+          .as("avg_val"))
+  }
+
+  val movingAvgSql: String =
+    """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |  COUNT(*) OVER w AS n_win,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |    / COUNT(*) OVER w AS avg_val
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
   /** E26: top-N per group through the bounded-heap
     * [[graft.functions.TopKAgg]] aggregate — top-3 orders per market
     * segment by (price, orderkey). This is the oracle-checked face of

@@ -518,6 +518,31 @@ class OperatorSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("q_mixture: shares sum to 1 and counts conserve") {
+    val d = run("q_mixture").cache()
+    assert(math.abs(d.agg(sum("token_share")).head.getDouble(0) - 1.0) < 1e-9)
+    assert(d.agg(sum("n_docs")).head.getLong(0) ==
+      graft.sources.Tables(spark, dir).documents.count())
+    d.unpersist()
+  }
+
+  test("q_oov_rate: rates bounded, token totals match q_token_count") {
+    val d = run("q_oov_rate").cache()
+    assert(d.filter(col("oov_rate") < 0 || col("oov_rate") > 1).count() == 0)
+    assert(d.filter(col("n_oov") > col("n_tokens")).count() == 0)
+    val tc = run("q_token_count")
+      .select(col("doc_id"), col("ws_token_count").cast("long"))
+    assert(d.select("doc_id", "n_tokens").exceptAll(tc).count() == 0)
+    d.unpersist()
+  }
+
+  test("q_moving_avg: trailing-hour frame always includes the current row") {
+    val d = run("q_moving_avg").cache()
+    assert(d.count() == graft.sources.Tables(spark, dir).events.count())
+    assert(d.filter(col("n_win") < 1).count() == 0)
+    d.unpersist()
+  }
+
   test("q_dedup_clusters: every dup pair lands in one cluster; sizes conserve") {
     val d = run("q_dedup_clusters").cache()
     // conservation: cluster sizes sum to the number of distinct dup-pair nodes
