@@ -132,6 +132,35 @@ class PlanSpec extends AnyFunSuite {
     assert(n <= 2, s"expected <=2 hash exchanges, got $n")
   }
 
+  test("q_reservoir_sample: single exchange — bounded heaps ship, rows don't sort") {
+    val s = planString("q_reservoir_sample")
+    val n = """\(\d+\) Exchange\b""".r.findAllIn(s).length
+    assert(n == 1, s"expected exactly 1 hash exchange, got $n")
+    assert(!s.contains("Window"), "no per-group window sort in the heap path")
+  }
+
+  test("q_oov_rate: vocab joins broadcast; one keyed shuffle for the doc agg") {
+    val s = planString("q_oov_rate")
+    assert(s.contains("BroadcastHashJoin"), s.take(2000))
+  }
+
+  test("q_outliers: moments broadcast back — flagging is map-only after one agg") {
+    val s = planString("q_outliers")
+    assert(s.contains("BroadcastHashJoin"), s.take(2000))
+    val n = """\(\d+\) Exchange\b""".r.findAllIn(s).length
+    assert(n <= 1, s"expected <=1 hash exchange, got $n")
+  }
+
+  test("q_unigram_logprob: aggregation-keyed exchanges only, total is in-plan") {
+    val s = planString("q_unigram_logprob")
+    // (doc,token) partials, token vocab, join re-key by token, final doc
+    // agg, plus the single-partition total (carries one partial per
+    // task, not rows) — and nothing else
+    val n = """\(\d+\) Exchange\b""".r.findAllIn(s).length
+    assert(n <= 5, s"expected <=5 hash exchanges, got $n")
+    assert(!s.contains("CartesianProduct"), "1-row total must broadcast")
+  }
+
   test("TopKAgg ranking equals the window row_number formulation") {
     val agg = SparkEntry.queries("q_ann_topk")(spark, dir)
       .collect().map(_.toString).sorted
