@@ -345,6 +345,80 @@ object Corpus {
       |FROM toks LEFT JOIN top ON toks.token = top.token
       |GROUP BY doc_id""".stripMargin
 
+  /** Library face of C36: run `iters` BPE merge rounds over a
+    * (word, freq) table. Classic byte-pair encoding (Sennrich et al.
+    * 2016), distributed: each round is ONE explode+groupBy shuffle of
+    * (adjacent-pair, partial count) — mergeable partial aggs, so map
+    * tasks ship pair counts, not symbol sequences — then the winning
+    * rule (deterministic argmax: count desc, pair asc) comes back as a
+    * 1-row TakeOrdered and the merge applies map-only as a left-to-right
+    * non-overlapping fold over each word's symbols. Driver state is the
+    * rule list (= requested merges), never data; `localCheckpoint` cuts
+    * the growing lambda lineage each round.
+    *
+    * Returns (iter, left, right, merged, pair_count) — the merge table a
+    * tokenizer ships.
+    */
+  def bpeMerges(words: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    val spark = words.sparkSession
+    var syms = words.select(col("word"), col("freq"),
+      concat(split(col("word"), ""), array(lit("</w>"))).as("syms"))
+      .localCheckpoint(true)
+    val rules = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var it = 0
+    var exhausted = false
+    while (it < iters && !exhausted) {
+      // adjacent pairs; guard the fully-merged single-symbol case (a
+      // backwards sequence(1,0) would error, not return empty)
+      val pairs = when(size(col("syms")) < 2,
+        expr("cast(array() as array<struct<l:string,r:string>>)"))
+        .otherwise(expr(
+          "transform(sequence(1, size(syms)-1), i -> struct(syms[i-1] AS l, syms[i] AS r))"))
+      val top = syms
+        .select(col("freq"), explode(pairs).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        rules += Row(it + 1, l, r, l + r, n)
+        val merged = aggregate(
+          col("syms"),
+          array().cast("array<string>"),
+          (acc, x) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(x))))
+        syms = syms.select(col("word"), col("freq"), merged.as("syms"))
+          .localCheckpoint(true)
+        it += 1
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rules.toSeq, 1),
+      StructType(Seq(
+        StructField("iter", IntegerType, false),
+        StructField("left", StringType, false),
+        StructField("right", StringType, false),
+        StructField("merged", StringType, false),
+        StructField("pair_count", LongType, false))))
+  }
+
+  /** C36: BPE tokenizer training — 10 merge rounds over the corpus
+    * word-frequency table. Rows-only check (an iterative driver loop
+    * isn't one SQL statement); the spec pins the merge sequence on a
+    * hand-computed corpus.
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables(spark, dir).documents
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    bpeMerges(words, 10)
+  }
+
   /** C32: Bloom-pruned contamination check — same result as the exact
     * pass (TextAnalysis C26; the verify join removes every false
     * positive, so the oracle is C26's SQL), but the eval side is

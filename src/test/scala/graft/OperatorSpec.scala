@@ -543,6 +543,27 @@ class OperatorSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("bpeMerges reproduces the classic hand-computed merge sequence") {
+    import spark.implicits._
+    // Sennrich-style toy corpus {low:5, lower:2, newest:6}. Round-1
+    // counts: (w,e)=2+6=8 wins; then (l,o)=7; after "we" exists,
+    // (e,we)=6 from n-e-we-s-t; then (ewe,s)=6.
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L))
+      .toDF("word", "freq")
+    val m = graft.operators.Corpus.bpeMerges(words, 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(m(0) == ((1, "w", "e", 8L)))
+    assert(m(1) == ((2, "l", "o", 7L)))
+    assert(m(2) == ((3, "e", "we", 6L)))
+    assert(m(3) == ((4, "ewe", "s", 6L)))
+  }
+
+  test("q_bpe_train returns the requested number of deterministic merges") {
+    val a = run("q_bpe_train").collect()
+    val b = run("q_bpe_train").collect()
+    assert(a.length == 10 && a.toSeq == b.toSeq)
+  }
+
   test("q_dedup_clusters: every dup pair lands in one cluster; sizes conserve") {
     val d = run("q_dedup_clusters").cache()
     // conservation: cluster sizes sum to the number of distinct dup-pair nodes
