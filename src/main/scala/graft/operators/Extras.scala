@@ -590,6 +590,58 @@ object Extras {
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
       |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** E29: FULL OUTER join — top-10 customers by order count against
+    * top-10 by spend; the two rankings overlap partially, so both
+    * unmatched sides are exercised. Completes the join-type matrix
+    * (inner/left/semi/anti/asof elsewhere). Both inputs are bounded
+    * TakeOrdered results, so the outer join itself broadcasts.
+    */
+  def fullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+    val byCount = o.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("o_custkey")).limit(10)
+      .select(col("o_custkey").as("ck_a"), col("n_orders"))
+    val bySpend = o.groupBy(col("o_custkey"))
+      .agg(decSum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_custkey")).limit(10)
+      .select(col("o_custkey").as("ck_b"), col("revenue"))
+    byCount.join(bySpend, col("ck_a") === col("ck_b"), "full_outer")
+      .select(coalesce(col("ck_a"), col("ck_b")).as("o_custkey"),
+        col("n_orders"), col("revenue"))
+  }
+
+  val fullOuterSql: String =
+    """WITH a AS (
+      |  SELECT o_custkey AS ck_a, COUNT(*) AS n_orders FROM orders
+      |  GROUP BY 1 ORDER BY n_orders DESC, ck_a LIMIT 10),
+      |b AS (
+      |  SELECT o_custkey AS ck_b,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |  FROM orders GROUP BY 1 ORDER BY revenue DESC, ck_b LIMIT 10)
+      |SELECT coalesce(ck_a, ck_b) AS o_custkey, n_orders, revenue
+      |FROM a FULL OUTER JOIN b ON ck_a = ck_b""".stripMargin
+
+  /** E30: mergeable distinct sketches — per-day HLL sketches of active
+    * users, unioned into a per-event-type estimate. The warehouse
+    * pattern behind incrementally-maintained distinct counts: daily
+    * partials are STATE (DataSketches HLL, re-aggregable), so a new day
+    * merges in O(sketch) instead of rescanning history — exactly how
+    * E8's approx distinct becomes incremental at 100 TB. Rows-only
+    * (sketch bytes are engine-specific); the spec bounds the estimate
+    * against the exact count.
+    */
+  def hllUnion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events.select(col("event_type"),
+      date_trunc("day", timestamp_micros(nsToUs(col("ts")))).as("day"),
+      col("user_id"))
+    val daily = ev.groupBy(col("event_type"), col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+  }
+
   /** E26: top-N per group through the bounded-heap
     * [[graft.functions.TopKAgg]] aggregate — top-3 orders per market
     * segment by (price, orderkey). This is the oracle-checked face of

@@ -564,6 +564,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(a.length == 10 && a.toSeq == b.toSeq)
   }
 
+  test("q_full_outer: both unmatched sides survive with nulls") {
+    val d = run("q_full_outer").cache()
+    assert(d.count() >= 10)
+    assert(d.filter(col("o_custkey").isNull).count() == 0)
+    // the two top-10s only partially overlap on this data
+    assert(d.filter(col("n_orders").isNull).count() > 0)
+    assert(d.filter(col("revenue").isNull).count() > 0)
+    d.unpersist()
+  }
+
+  test("q_hll_union: merged daily sketches track the exact distinct count") {
+    val approx = run("q_hll_union")
+      .select(col("event_type"), col("approx_users")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.sources.Tables(spark, dir).events
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= math.max(2L, (n * 0.05).toLong),
+        s"$k: approx ${approx(k)} vs exact $n")
+    }
+  }
+
   test("q_dedup_clusters: every dup pair lands in one cluster; sizes conserve") {
     val d = run("q_dedup_clusters").cache()
     // conservation: cluster sizes sum to the number of distinct dup-pair nodes
