@@ -33,6 +33,13 @@ object Profile {
     val li = Tables(spark, dir).lineitem
       .select(Cols.map { case (c, _, _) => col(c) }: _*)
       .repartition(spark.sparkContext.defaultParallelism)
+    profileFrame(li)
+  }
+
+  /** The single-pass profile over an already-projected frame (reused by
+    * [[profileNumeric]] and both sides of [[profileDrift]]).
+    */
+  private def profileFrame(li: DataFrame): DataFrame = {
     def metrics(c: String, p: Int, s: Int): Seq[Column] = Seq(
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nnull"),
       countDistinct(col(c)).as(s"${c}_ndist"),
@@ -49,6 +56,64 @@ object Profile {
         col(s"${c}_avg").as("avg_v"))
     }
     one.select(explode(array(structs: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** PipeRider's compare: profile two snapshots of the fact table (ship
+    * months before/after 1995-06-01 — the base vs target run) and emit
+    * per-column drift metrics. Each side is the same ONE-pass profile;
+    * the join is 3 rows × 3 rows. This is the data-drift gate a
+    * pipeline runs between loads; deltas are plain double arithmetic on
+    * the already-deterministic profile values.
+    */
+  def profileDrift(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select((Cols.map { case (c, _, _) => col(c) } :+ col("l_shipdate")): _*)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val cut = lit("1995-06-01").cast("date")
+    def side(df: DataFrame, tag: String) =
+      profileFrame(df.drop("l_shipdate")).select(
+        col("column_name"),
+        col("n_rows").as(s"${tag}_rows"),
+        col("n_distinct").as(s"${tag}_distinct"),
+        col("avg_v").as(s"${tag}_avg"))
+    side(li.filter(col("l_shipdate") < cut), "base")
+      .join(side(li.filter(col("l_shipdate") >= cut), "target"), "column_name")
+      .select(col("column_name"),
+        col("base_rows"), col("target_rows"),
+        col("base_distinct"), col("target_distinct"),
+        col("base_avg"), col("target_avg"),
+        (col("target_avg") - col("base_avg")).as("avg_shift"),
+        (col("target_distinct").cast("double") / col("base_distinct"))
+          .as("distinct_ratio"))
+  }
+
+  val profileDriftSql: String = {
+    def side(tag: String, cond: String): String =
+      s"""$tag AS (
+         |  SELECT COUNT(*) AS n_rows,
+         |    COUNT(DISTINCT l_quantity) AS q_ndist,
+         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS q_avg,
+         |    CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS q_nnull,
+         |    COUNT(DISTINCT l_extendedprice) AS e_ndist,
+         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS e_avg,
+         |    CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS e_nnull,
+         |    COUNT(DISTINCT l_discount) AS d_ndist,
+         |    CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / COUNT(*) AS d_avg,
+         |    CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_nnull
+         |  FROM lineitem WHERE $cond)""".stripMargin
+    val unions = Seq(("l_quantity", "q"), ("l_extendedprice", "e"), ("l_discount", "d"))
+      .map { case (c, s) =>
+        s"""SELECT '$c' AS column_name,
+           |  b.n_rows AS base_rows, t.n_rows AS target_rows,
+           |  b.${s}_ndist AS base_distinct, t.${s}_ndist AS target_distinct,
+           |  b.${s}_avg AS base_avg, t.${s}_avg AS target_avg,
+           |  t.${s}_avg - b.${s}_avg AS avg_shift,
+           |  CAST(t.${s}_ndist AS DOUBLE) / b.${s}_ndist AS distinct_ratio
+           |FROM b, t""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    s"""WITH ${side("b", "l_shipdate < DATE '1995-06-01'")},
+       |${side("t", "l_shipdate >= DATE '1995-06-01'")}
+       |$unions""".stripMargin
   }
 
   /** Equi-width histogram (PipeRider's distribution panel): 10 buckets

@@ -588,6 +588,16 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q_profile_drift: row totals reconcile with the full profile") {
+    val drift = run("q_profile_drift").cache()
+    assert(drift.count() == 3)
+    val full = run("q_profile").select("column_name", "n_rows")
+    val recon = drift.select(col("column_name"),
+      (col("base_rows") + col("target_rows")).as("n_rows"))
+    assert(recon.exceptAll(full).count() == 0)
+    drift.unpersist()
+  }
+
   test("q_dedup_clusters: every dup pair lands in one cluster; sizes conserve") {
     val d = run("q_dedup_clusters").cache()
     // conservation: cluster sizes sum to the number of distinct dup-pair nodes
