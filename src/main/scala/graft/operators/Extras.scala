@@ -234,6 +234,11 @@ object Extras {
     */
   def distinctCounts(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).lineitem
+      .select(col("l_shipdate"), col("l_partkey"), col("l_suppkey"), col("l_orderkey"))
+      // the multi-distinct Expand multiplies rows ×4 BEFORE the first
+      // exchange; spread the single-row-group local scan so the expand
+      // and partial aggs run wide (a cluster scan arrives pre-split)
+      .repartition(spark.sparkContext.defaultParallelism)
       .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
       .agg(
         countDistinct(col("l_partkey")).as("n_parts"),
@@ -292,6 +297,8 @@ object Extras {
     */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).lineitem
+      .select(col("l_shipdate"), col("l_partkey"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .groupBy(date_trunc("year", col("l_shipdate")).as("ship_year"))
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
