@@ -170,6 +170,26 @@ object Ann {
     rank(scored)
   }
 
+  /** C7c: ANN index evaluation — recall@k of the IVF index (C7b)
+    * against brute-force exact top-k (C6), per query. The quality gate
+    * every approximate index ships with: both inputs are deterministic
+    * here, so the recall table is reproducible; at 100 TB the exact arm
+    * runs on a sampled query set (as here — the 10 probes) while the
+    * index serves the rest. Rows-only (LSH/IVF internals aren't oracle
+    * SQL); the spec bounds mean recall from below.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annTopK(spark, dir).select(col("query_id"), col("vec_id"))
+    val approx = annIvf(spark, dir)
+      .select(col("query_id").as("qi"), col("vec_id").as("vi"))
+    exact.join(approx,
+        col("query_id") === col("qi") && col("vec_id") === col("vi"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"), count(col("vi")).as("n_hit"))
+      .select(col("query_id"), col("k"), col("n_hit"),
+        (col("n_hit").cast("double") / col("k")).as("recall_at_k"))
+  }
+
   /** C22: embedding normalization — per-vector L2 norm and dimension,
     * the standard pre-index hygiene pass (unit-normalizing makes cosine
     * a dot product). Map-only, zero shuffle; float elements are widened

@@ -597,6 +597,37 @@ object Extras {
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
       |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** A20: dbt `source freshness` — per-source-partition staleness
+    * against the feed's high-water mark. dbt checks `max(loaded_at)`
+    * against wall-clock thresholds (`freshness:` config in the source
+    * yml); a deterministic engine states it against the global high-
+    * water mark instead (in-plan 1-row broadcast — no wall clock, no
+    * driver collect): any event type further than 1 day behind the
+    * freshest is stale.
+    */
+  def sourceFreshness(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables(spark, dir).events
+      .select(col("event_type"), nsToUs(col("ts")).as("ts_us"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts_us")).as("max_ts_us"))
+    val global = per.agg(max(col("max_ts_us")).as("as_of_us"))
+    per.crossJoin(broadcast(global))
+      .select(col("event_type"), col("n_events"), col("max_ts_us"),
+        (col("as_of_us") - col("max_ts_us")).as("lag_us"),
+        ((col("as_of_us") - col("max_ts_us")) > 86400000000L).as("is_stale"))
+  }
+
+  val sourceFreshnessSql: String =
+    """WITH per AS (
+      |  SELECT event_type, COUNT(*) AS n_events,
+      |    MAX(epoch_us(ts)) AS max_ts_us
+      |  FROM events GROUP BY 1),
+      |g AS (SELECT MAX(max_ts_us) AS as_of_us FROM per)
+      |SELECT event_type, n_events, max_ts_us,
+      |  as_of_us - max_ts_us AS lag_us,
+      |  (as_of_us - max_ts_us) > 86400000000 AS is_stale
+      |FROM per, g""".stripMargin
+
   /** E29: FULL OUTER join — top-10 customers by order count against
     * top-10 by spend; the two rankings overlap partially, so both
     * unmatched sides are exercised. Completes the join-type matrix

@@ -598,6 +598,23 @@ class OperatorSpec extends AnyFunSuite {
     drift.unpersist()
   }
 
+  test("q_source_freshness: freshest partition has zero lag and is never stale") {
+    val d = run("q_source_freshness").cache()
+    assert(d.filter(col("lag_us") === 0).count() >= 1)
+    assert(d.filter(col("lag_us") === 0 && col("is_stale")).count() == 0)
+    assert(d.filter(col("lag_us") < 0).count() == 0)
+    d.unpersist()
+  }
+
+  test("q_ann_recall: IVF index recalls most exact neighbors") {
+    val d = run("q_ann_recall").cache()
+    assert(d.count() == 10)
+    assert(d.filter(col("recall_at_k") < 0 || col("recall_at_k") > 1).count() == 0)
+    val mean = d.agg(avg("recall_at_k")).head.getDouble(0)
+    assert(mean >= 0.5, s"mean recall@k $mean below 0.5 — index quality regressed")
+    d.unpersist()
+  }
+
   test("q_dedup_clusters: every dup pair lands in one cluster; sizes conserve") {
     val d = run("q_dedup_clusters").cache()
     // conservation: cluster sizes sum to the number of distinct dup-pair nodes
