@@ -597,6 +597,32 @@ object Extras {
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
       |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** E16b: ranking-distribution analytics — percent_rank / cume_dist /
+    * nth_value over each customer's order history (completes E16's
+    * lag/lead/rank/ntile). Total tiebreak order (date, orderkey) keeps
+    * every value engine-deterministic; one shuffle on the partition key.
+    */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables(spark, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        dec(col("o_totalprice")).cast("double").as("price"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        nth_value(col("price"), 2).over(w).as("second_price"))
+  }
+
+  val windowRankSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume,
+      |  nth_value(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2)
+      |    OVER w AS second_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
   /** A20: dbt `source freshness` — per-source-partition staleness
     * against the feed's high-water mark. dbt checks `max(loaded_at)`
     * against wall-clock thresholds (`freshness:` config in the source

@@ -615,6 +615,17 @@ class OperatorSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("q_window_rank: distributions bounded; nth_value null before row 2") {
+    val d = run("q_window_rank").cache()
+    assert(d.filter(col("pct_rank") < 0 || col("pct_rank") > 1).count() == 0)
+    assert(d.filter(col("cume") <= 0 || col("cume") > 1).count() == 0)
+    // a customer's first order (pct_rank 0 of >1 orders, or single) has
+    // no second_price yet when it's the only row seen
+    assert(d.filter(col("pct_rank") === 0 && col("second_price").isNotNull)
+      .count() == 0)
+    d.unpersist()
+  }
+
   test("q_dedup_clusters: every dup pair lands in one cluster; sizes conserve") {
     val d = run("q_dedup_clusters").cache()
     // conservation: cluster sizes sum to the number of distinct dup-pair nodes
