@@ -24,6 +24,62 @@ import graft.sources.Tables
   */
 object Corpus {
 
+  /** C37: the end-to-end corpus pipeline — what "a user of the
+    * reference could switch" actually runs, as ONE library call over
+    * any (doc_id, text, lang) frame:
+    *
+    *   1. exact dedup (normalized fingerprint, keep min doc_id) — C1
+    *   2. quality filter at the per-lang approximate p75 — C20's
+    *      scale face (sketch thresholds broadcast, map-only filter)
+    *   3. deterministic train/eval split — C17
+    *   4. decontamination: drop TRAIN docs whose fingerprint appears
+    *      in eval (anti-join on 16-byte hashes) — C26's action
+    *   5. deterministic corpus shuffle + 256-token sequence packing
+    *      over the surviving train split — C28 + C29
+    *
+    * Every stage is the operators' documented scale shape; nothing
+    * driver-side but the prefix offsets. Returns one row per packed
+    * train doc: (doc_id, lang, n_tokens, pos, start_tok, seq_id,
+    * seq_off).
+    */
+  def buildTrainingSet(docs: DataFrame, seqLen: Int = 256): DataFrame = {
+    val fp = md5(lower(trim(col("text"))))
+    val deduped = docs
+      .select(col("doc_id"), col("text"), col("lang"), fp.as("fp"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("rn")
+    val scored = deduped.withColumn("quality_score", TextAnalysis.compositeScore)
+    val thresholds = scored.groupBy(col("lang"))
+      .agg(percentile_approx(col("quality_score"), lit(0.75), lit(10000)).as("q75"))
+    val filtered = scored.join(broadcast(thresholds), Seq("lang"))
+      .filter(col("quality_score") >= col("q75"))
+    val split = filtered.withColumn("split",
+      when(TextAnalysis.splitBucket < 90, "train").otherwise("eval"))
+    val evalFps = split.filter(col("split") === "eval").select(col("fp"))
+    val train = split.filter(col("split") === "train")
+      .join(evalFps, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("lang"),
+        size(split_part_tokens).cast("long").as("n_tokens"),
+        ((col("doc_id") % 1000000L) * 2654435761L % 1000003L).as("shuffle_key"))
+    val ordered = globalIndex(train, Seq(col("shuffle_key"), col("doc_id")), "pos")
+    prefixSum(ordered, Seq(col("pos")), "n_tokens", "start_tok")
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("pos"),
+        col("start_tok"),
+        expr(s"start_tok DIV $seqLen").as("seq_id"),
+        (col("start_tok") % seqLen).as("seq_off"))
+  }
+
+  private def split_part_tokens: Column = split(col("text"), " ")
+
+  /** C37 query face (rows-only: the composition is pinned by spec
+    * invariants, not one SQL statement).
+    */
+  def trainingSet(spark: SparkSession, dir: String): DataFrame =
+    buildTrainingSet(Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"), col("lang")))
+
   /** Wrap-safe multiplicative hash on a bounded domain (same family as
     * TextAnalysis's split bucket, wider range): `doc_id % 1e6` first, so
     * the product stays ≤ 1e6·2654435761 ≈ 2.7e15 — no int64 overflow in

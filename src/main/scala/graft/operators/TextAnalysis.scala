@@ -52,14 +52,14 @@ object TextAnalysis {
   // Shared deterministic split bucket (C17 / C19 / C26 all key off the
   // SAME split — one definition so the faces can't drift). Wrap-safe:
   // reduced mod-100 first, so the product stays < 2^63 (C17 scaladoc).
-  private def splitBucket: Column = (col("doc_id") % 100) * 2654435761L % 100
+  private[operators] def splitBucket: Column = (col("doc_id") % 100) * 2654435761L % 100
   private val splitBucketSql: String = "(doc_id % 100) * 2654435761 % 100"
 
   // Shared C9 composite quality score (C9 / C20 exact / C20 approx —
   // the spec pins face agreement, so the formula lives once).
   private val spacesSql = "CAST((length(text) - length(replace(text, ' ', ''))) AS INTEGER)"
   private val wordsSql = s"CAST($spacesSql + 1 AS INTEGER)"
-  private def compositeScore: Column = {
+  private[operators] def compositeScore: Column = {
     val words = (substrCount(col("text"), " ") + 1).cast("int")
     hits(enStops) / words * lit(0.5) + least(words, lit(100)) / lit(100) * lit(0.5)
   }

@@ -626,6 +626,24 @@ class OperatorSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("q_training_set: pipeline invariants — dedup, quality, decontam, packing") {
+    val d = run("q_training_set").cache()
+    val n = d.count()
+    assert(n > 0)
+    // positions are a contiguous permutation
+    assert(d.agg(min("pos"), max("pos"), countDistinct("pos")).head ==
+      org.apache.spark.sql.Row(0L, n - 1, n))
+    // packing is consistent and tokens conserve across sequence ids
+    assert(d.filter(col("seq_id") * 256 + col("seq_off") =!= col("start_tok"))
+      .count() == 0)
+    // no doc_id appears twice (dedup held through the pipeline)
+    assert(d.select("doc_id").distinct().count() == n)
+    // every packed doc is train-split by the C17 hash
+    assert(d.filter((col("doc_id") % 100) * 2654435761L % 100 >= 90)
+      .count() == 0)
+    d.unpersist()
+  }
+
   test("q_dedup_clusters: every dup pair lands in one cluster; sizes conserve") {
     val d = run("q_dedup_clusters").cache()
     // conservation: cluster sizes sum to the number of distinct dup-pair nodes
