@@ -41,6 +41,19 @@ class PrefixSpec extends AnyFunSuite {
       s"prefixSum mismatch n=$n seed=$seed maxKey=$maxKey")
   }
 
+  test("prefix primitives handle null order keys (nulls-first, same as window)") {
+    import spark.implicits._
+    val df = (0 until 200).map(i => (i.toLong, i % 7L, (i % 50).toLong))
+      .toDF("id", "key", "v")
+      .withColumn("key",
+        when(col("key") === 0L, lit(null).cast("long")).otherwise(col("key")))
+      .repartition(3)
+    val gi = graft.operators.Corpus.globalIndex(df, Seq(col("key"), col("id")), "pos")
+    val w = row_number().over(Window.orderBy(col("key"), col("id"))).cast("long") - 1
+    val ref = df.withColumn("pos", w)
+    assert(gi.exceptAll(ref).count() == 0 && ref.exceptAll(gi).count() == 0)
+  }
+
   test("prefix primitives match the window faces across random shapes") {
     // sizes straddle empty/one/partition-count/larger; maxKey=1 forces
     // every row into ONE range-partition key (worst-case skew), large
