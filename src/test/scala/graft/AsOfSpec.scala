@@ -52,6 +52,16 @@ class AsOfSpec extends AnyFunSuite {
     assert("\\(\\d+\\) Sort".r.findAllIn(s).size == 2, s)
   }
 
+  test("as-of plans identically with AQE disabled") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val native = SparkEntry.queries("q_asof_native")(spark, dir)
+      val composed = SparkEntry.queries("q_asof_join")(spark, dir)
+      assert(native.exceptAll(composed).count() == 0 &&
+        composed.exceptAll(native).count() == 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("as-of survives skewed single-key input (all rows one partition key)") {
     import spark.implicits._
     val l = (0L until 1000L).map(i => (7L, i * 2, i)).toDF("k", "t", "id")
