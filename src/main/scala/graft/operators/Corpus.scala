@@ -55,14 +55,14 @@ object Corpus {
       .agg(percentile_approx(col("quality_score"), lit(0.75), lit(10000)).as("q75"))
     val filtered = scored.join(broadcast(thresholds), Seq("lang"))
       .filter(col("quality_score") >= col("q75"))
-    val split = filtered.withColumn("split",
+    val splitDf = filtered.withColumn("split",
       when(TextAnalysis.splitBucket < 90, "train").otherwise("eval"))
-    val evalFps = split.filter(col("split") === "eval").select(col("fp"))
-    val train = split.filter(col("split") === "train")
+    val evalFps = splitDf.filter(col("split") === "eval").select(col("fp"))
+    val train = splitDf.filter(col("split") === "train")
       .join(evalFps, Seq("fp"), "left_anti")
       .select(col("doc_id"), col("lang"),
-        size(split_part_tokens).cast("long").as("n_tokens"),
-        ((col("doc_id") % 1000000L) * 2654435761L % 1000003L).as("shuffle_key"))
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        shuffleKey.as("shuffle_key"))
     val ordered = globalIndex(train, Seq(col("shuffle_key"), col("doc_id")), "pos")
     prefixSum(ordered, Seq(col("pos")), "n_tokens", "start_tok")
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("pos"),
@@ -70,8 +70,6 @@ object Corpus {
         expr(s"start_tok DIV $seqLen").as("seq_id"),
         (col("start_tok") % seqLen).as("seq_off"))
   }
-
-  private def split_part_tokens: Column = split(col("text"), " ")
 
   /** C37 query face (rows-only: the composition is pinned by spec
     * invariants, not one SQL statement).
@@ -473,6 +471,86 @@ object Corpus {
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
     bpeMerges(words, 10)
+  }
+
+  /** Per-doc distinct 8-token span hashes (shared by C31 and C38). */
+  private def spanHashes(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 8)
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0), size(col("tk")) - 8)).as("i"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("tk"), col("i") + 1, lit(8)))).as("span_hash"))
+      .distinct()
+
+  /** C38: n-gram overlap decontamination (the GPT-3-style check): for
+    * each eval doc, the fraction of its distinct 8-token spans that
+    * also occur anywhere in the train split. Catches PARTIAL
+    * contamination that C26's whole-doc fingerprint misses. The
+    * exchange carries (16-byte hash, id) pairs; train spans dedup to a
+    * hash set the eval side left-joins against — no text ever shuffles.
+    */
+  def ngramContamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents.withColumn("split",
+      when(TextAnalysis.splitBucket < 90, "train").otherwise("eval"))
+    val trainSpans = spanHashes(d.filter(col("split") === "train"))
+      .select(col("span_hash")).distinct().withColumn("hit", lit(1))
+    spanHashes(d.filter(col("split") === "eval"))
+      .join(trainSpans, Seq("span_hash"), "left")
+      .groupBy(col("doc_id").as("eval_doc_id"))
+      .agg(count(lit(1)).as("n_spans"), count(col("hit")).as("n_overlap"))
+      .select(col("eval_doc_id"), col("n_spans"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_spans")).as("overlap_frac"))
+  }
+
+  val ngramContaminationSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN (doc_id % 100) * 2654435761 % 100 < 90
+      |      THEN 'train' ELSE 'eval' END AS split
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, split, string_split(text, ' ') AS tk FROM d
+      |  WHERE len(string_split(text, ' ')) >= 8),
+      |spans AS (
+      |  SELECT DISTINCT doc_id, split,
+      |    md5(array_to_string(tk[i+1 : i+8], ' ')) AS span_hash
+      |  FROM toks, unnest(range(0, len(tk) - 7)) AS t(i)),
+      |train_spans AS (
+      |  SELECT DISTINCT span_hash FROM spans WHERE split = 'train')
+      |SELECT e.doc_id AS eval_doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |  CAST(COUNT(ts.span_hash) AS BIGINT) AS n_overlap,
+      |  CAST(COUNT(ts.span_hash) AS DOUBLE) / COUNT(*) AS overlap_frac
+      |FROM spans e LEFT JOIN train_spans ts ON e.span_hash = ts.span_hash
+      |WHERE e.split = 'eval'
+      |GROUP BY e.doc_id""".stripMargin
+
+  /** C39: semantic dedup (SemDeDup, Abbas et al. 2023): cluster the
+    * embedding space (the IVF k-means cells — reused verbatim from
+    * C7b), then find cosine near-dup pairs WITHIN each cell. Blocking
+    * by learned cell replaces C5's given `label` blocking: the
+    * quadratic term is per-cell, cells are bounded, and the only
+    * exchange keys on cell id. Rows-only (k-means cells aren't oracle
+    * SQL); the spec cross-checks against C5 on co-celled pairs.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NativeExprs
+    val e = Tables(spark, dir).embeddings
+      .repartition(spark.sparkContext.defaultParallelism)
+      .persist()
+    val centroids = try Ann.ivfCentroids(e, c = 8, iters = 2)
+    finally e.unpersist(blocking = false)
+    val celled = e.withColumn("cell",
+      NativeExprs.cell_probe(col("embedding"), centroids, 1)(0))
+    val a = celled.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val b = celled.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b"))
+      .select(col("cell"), col("vec_a"), col("vec_b"),
+        round(NativeExprs.cosine_f32(col("emb_a"), col("emb_b")), 3).as("cosine"))
+      .filter(col("cosine") >= 0.4)
   }
 
   /** C32: Bloom-pruned contamination check — same result as the exact

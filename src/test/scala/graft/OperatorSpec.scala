@@ -644,6 +644,42 @@ class OperatorSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("q_contamination_ngram: whole-doc dups imply full span overlap") {
+    val ng = run("q_contamination_ngram").cache()
+    assert(ng.filter(col("overlap_frac") < 0 || col("overlap_frac") > 1).count() == 0)
+    // every eval doc flagged by the whole-doc fingerprint check (C26)
+    // must show 100% span overlap here (same text ⇒ same spans)
+    val whole = run("q_contamination").select(col("eval_doc_id"))
+    val joined = ng.join(whole, "eval_doc_id")
+    assert(joined.filter(col("overlap_frac") < 1.0).count() == 0)
+    ng.unpersist()
+  }
+
+  test("q_dedup_semantic agrees with label-blocked dedup on co-celled pairs") {
+    val sem = run("q_dedup_semantic")
+      .select(col("vec_a"), col("vec_b"), col("cosine")).cache()
+    assert(sem.filter(col("cosine") < 0.4).count() == 0)
+    assert(sem.filter(col("vec_a") >= col("vec_b")).count() == 0)
+    // C5 pairs whose vectors share a k-means cell must also be found here
+    val labelPairs = run("q_dedup_embedding").select(
+      col("vec_a").as("la"), col("vec_b").as("lb"), col("cosine").as("lc"))
+    val missed = labelPairs.join(sem,
+      col("la") === col("vec_a") && col("lb") === col("vec_b"), "left_anti")
+    // missed pairs are exactly the cross-cell ones — verify by recomputing cells
+    import graft.functions.NativeExprs
+    val e = graft.sources.Tables(spark, dir).embeddings
+    val cents = graft.operators.Ann.ivfCentroids(e, c = 8, iters = 2)
+    val cellOf = e.select(col("vec_id"),
+      NativeExprs.cell_probe(col("embedding"), cents, 1)(0).as("cell"))
+    val crossCell = missed
+      .join(cellOf.select(col("vec_id").as("la"), col("cell").as("ca")), "la")
+      .join(cellOf.select(col("vec_id").as("lb"), col("cell").as("cb")), "lb")
+      .filter(col("ca") === col("cb"))
+    assert(crossCell.count() == 0,
+      "a co-celled near-dup pair was missed by semantic dedup")
+    sem.unpersist()
+  }
+
   test("q_dedup_clusters: every dup pair lands in one cluster; sizes conserve") {
     val d = run("q_dedup_clusters").cache()
     // conservation: cluster sizes sum to the number of distinct dup-pair nodes
