@@ -623,6 +623,43 @@ object Extras {
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
 
+  /** E31: weekday × hour activity grid — the ops-dashboard heat map.
+    * Portability trap made explicit: Spark `dayofweek` is 1=Sunday,
+    * DuckDB `dayofweek` is 0=Sunday — both sides normalize to 0=Sunday.
+    * Decimal-exact value sums; one partial-agg'd shuffle to a 7×24 grid.
+    */
+  def weekdayProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ts = timestamp_micros(nsToUs(col("ts")))
+    Tables(spark, dir).events
+      .select((dayofweek(ts) - 1).as("dow"), hour(ts).as("hh"),
+        dec(col("value")).as("v"))
+      .groupBy(col("dow"), col("hh"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v")).cast("double").as("total_value"))
+  }
+
+  val weekdayProfileSql: String =
+    """SELECT CAST(dayofweek(ts) AS INTEGER) AS dow,
+      |  CAST(hour(ts) AS INTEGER) AS hh,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
+  /** E8b: per-group approximate percentiles — `percentile_approx`
+    * (a mergeable KLL-family digest: map tasks ship sketch state, never
+    * rows) next to E7's exact interpolated percentiles. Rows-only (the
+    * sketch is engine-specific); the spec bounds the sketch against the
+    * exact values. This is E7's 100 TB path: no per-group sort, state
+    * O(sketch) per group.
+    */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50_qty_approx"),
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("p90_price_approx"))
+
   /** A20: dbt `source freshness` — per-source-partition staleness
     * against the feed's high-water mark. dbt checks `max(loaded_at)`
     * against wall-clock thresholds (`freshness:` config in the source

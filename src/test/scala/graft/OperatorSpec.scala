@@ -680,6 +680,28 @@ class OperatorSpec extends AnyFunSuite {
     sem.unpersist()
   }
 
+  test("q_weekday_profile: grid bounded 7x24 and counts conserve") {
+    val d = run("q_weekday_profile").cache()
+    assert(d.filter(col("dow") < 0 || col("dow") > 6).count() == 0)
+    assert(d.filter(col("hh") < 0 || col("hh") > 23).count() == 0)
+    assert(d.agg(sum("n_events")).head.getLong(0) ==
+      graft.sources.Tables(spark, dir).events.count())
+    d.unpersist()
+  }
+
+  test("q_approx_percentiles: digest tracks the exact interpolated values") {
+    val approx = run("q_approx_percentiles").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = run("q_percentiles").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (p50, p90)) =>
+      // percentile_approx returns a real sample; allow the neighborhood
+      assert(math.abs(approx(k)._1 - p50) <= math.max(1.0, p50 * 0.05))
+      assert(math.abs(approx(k)._2 - p90) <= math.max(1.0, p90 * 0.05))
+    }
+  }
+
   test("q_dedup_clusters: every dup pair lands in one cluster; sizes conserve") {
     val d = run("q_dedup_clusters").cache()
     // conservation: cluster sizes sum to the number of distinct dup-pair nodes
