@@ -73,6 +73,47 @@ object Analytics {
       .limit(10)
   }
 
+  /** B4 (TPC-H Q18 shape): large-quantity orders — aggregate lineitem
+    * per order, HAVING-filter the heavy ones, join back to
+    * orders+customer for attribution. The having-aggregate is the
+    * semi-join driver: only qualifying orderkeys (a sliver) reach the
+    * enrichment joins, so at 100 TB the big join probes shrink to the
+    * filter's selectivity. Quantity sums are exact decimals.
+    */
+  def q18BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val heavy = t.lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(decSum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 250.0)
+    heavy
+      .join(t.orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer.select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_custkey").as("c_custkey"),
+        col("o_orderkey"), col("o_orderdate"),
+        dec(col("o_totalprice")).cast("double").as("o_totalprice"),
+        col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18BigOrdersSql: String =
+    """WITH heavy AS (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |  FROM lineitem GROUP BY 1
+      |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250.0)
+      |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+      |  total_qty
+      |FROM heavy
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
   val q3TopKSql: String =
     """SELECT l_orderkey, o_orderdate,
       |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue

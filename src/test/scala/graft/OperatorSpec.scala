@@ -702,6 +702,13 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q18_big_orders: every surviving order clears the quantity bar") {
+    val d = run("q18_big_orders").cache()
+    assert(d.count() > 0)
+    assert(d.filter(col("total_qty") <= 250.0).count() == 0)
+    d.unpersist()
+  }
+
   test("q_dedup_clusters: every dup pair lands in one cluster; sizes conserve") {
     val d = run("q_dedup_clusters").cache()
     // conservation: cluster sizes sum to the number of distinct dup-pair nodes
