@@ -32,8 +32,11 @@ object Corpus {
     *   2. quality filter at the per-lang approximate p75 — C20's
     *      scale face (sketch thresholds broadcast, map-only filter)
     *   3. deterministic train/eval split — C17
-    *   4. decontamination: drop TRAIN docs whose fingerprint appears
-    *      in eval (anti-join on 16-byte hashes) — C26's action
+    *   4. decontamination: drop TRAIN docs half of whose 8-token spans
+    *      appear in eval — C38's action. (Span overlap, not whole-doc
+    *      fingerprints: after step 1's global dedup no exact duplicate
+    *      can straddle the split, so a fingerprint anti-join would be
+    *      vacuous — near-duplicates are what actually leak.)
     *   5. deterministic corpus shuffle + 256-token sequence packing
     *      over the surviving train split — C28 + C29
     *
@@ -57,9 +60,16 @@ object Corpus {
       .filter(col("quality_score") >= col("q75"))
     val splitDf = filtered.withColumn("split",
       when(TextAnalysis.splitBucket < 90, "train").otherwise("eval"))
-    val evalFps = splitDf.filter(col("split") === "eval").select(col("fp"))
+    val evalSpans = spanHashes(splitDf.filter(col("split") === "eval"))
+      .select(col("span_hash")).distinct().withColumn("hit", lit(1))
+    val contaminated = spanHashes(splitDf.filter(col("split") === "train"))
+      .join(evalSpans, Seq("span_hash"), "left")
+      .groupBy(col("doc_id"))
+      .agg((count(col("hit")).cast("double") / count(lit(1))).as("overlap"))
+      .filter(col("overlap") >= 0.5)
+      .select(col("doc_id"))
     val train = splitDf.filter(col("split") === "train")
-      .join(evalFps, Seq("fp"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         shuffleKey.as("shuffle_key"))

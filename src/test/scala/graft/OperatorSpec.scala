@@ -626,6 +626,25 @@ class OperatorSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("buildTrainingSet drops a train doc near-duplicating an eval doc") {
+    import spark.implicits._
+    // ids 1,2 land train, 13,31 eval (C17 buckets). Doc 1 shares 4 of
+    // its 5 8-token spans with eval doc 31 (only the first token
+    // differs) → 80% overlap ≥ 50% → decontaminated. Doc 2 is clean.
+    // All docs: 12 tokens, zero stopwords → equal quality scores, so
+    // the p75 filter keeps everything and isolates the decontam stage.
+    val shared = "beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, s"alpha $shared", "en"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve", "en"),
+      (13L, "aa bb cc dd ee ff gg hh ii jj kk ll", "en"),
+      (31L, s"xalpha $shared", "en"))
+      .toDF("doc_id", "text", "lang")
+    val kept = graft.operators.Corpus.buildTrainingSet(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L), s"expected only doc 2 packed, got $kept")
+  }
+
   test("q_training_set: pipeline invariants — dedup, quality, decontam, packing") {
     val d = run("q_training_set").cache()
     val n = d.count()
