@@ -169,7 +169,8 @@ object Corpus {
       var running = bc.value(pid)
       it.map { r =>
         val out = Row.fromSeq(r.toSeq :+ running)
-        running += r.getLong(vIdx)
+        // null contributes 0, mirroring sum()'s null-skipping in pass 1
+        if (!r.isNullAt(vIdx)) running += r.getLong(vIdx)
         out
       }
     }

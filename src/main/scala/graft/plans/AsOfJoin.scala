@@ -174,6 +174,8 @@ object AsOf {
       leftKeys: Seq[Column], rightKeys: Seq[Column],
       leftTime: Column, rightTime: Column): DataFrame = {
     import org.apache.spark.sql.GraftBridge
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      "as-of join needs matching non-empty key lists")
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     require(lPlan.outputSet.intersect(rPlan.outputSet).isEmpty,
