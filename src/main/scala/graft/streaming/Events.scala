@@ -37,6 +37,37 @@ object Events {
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
+  /** Shared transform: SLIDING 1-hour windows stepped by 15 minutes —
+    * the trailing-hour dashboards refreshed every slide. Each event
+    * lands in exactly 4 overlapping windows; Spark's `window(ts, len,
+    * slide)` materializes them at the source (an explode of 4 structs),
+    * so the shuffle carries (window, type) partial aggs — same cost
+    * class as tumbling, ×(len/slide).
+    */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("event_ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("total_value"))
+      .select(unix_micros(col("w.start")).as("win_start_us"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** D6: sliding-window aggregate over the events feed. The oracle
+    * states the identical semantics arithmetically: an event at µs u
+    * belongs to the 4 windows starting at (u div 15min − k)·15min,
+    * k ∈ 0..3.
+    */
+  def qSlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    slidingAgg(Tables(spark, dir).events
+      .withColumn("event_ts", nsToTimestamp(col("ts"))))
+
+  val qSlidingWindowSql: String =
+    """SELECT (epoch_us(ts) // 900000000 - k) * 900000000 AS win_start_us,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events, unnest(range(0, 4)) AS t(k)
+      |GROUP BY 1, 2""".stripMargin
+
   /** D2: gap-based sessionization via Spark's native `session_window`
     * (30-minute inactivity gap). A new session opens when the gap to the
     * previous event is ≥ 30 min (session_window ends are exclusive).

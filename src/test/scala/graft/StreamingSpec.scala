@@ -102,6 +102,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("slidingAgg: streaming (watermark, complete mode) equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (ts(0), "click", 1.0), (ts(10), "click", 2.0), (ts(20), "view", 3.0),
+      (ts(70), "click", 4.0), (ts(80), "view", 5.0), (ts(130), "view", 6.0))
+
+    val batch = Events.slidingAgg(
+      rows.toDF("event_ts", "event_type", "value"))
+      .orderBy("win_start_us", "event_type").collect()
+    // each event lands in exactly 4 sliding windows
+    assert(batch.map(_.getLong(2)).sum == rows.length * 4L)
+
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val streamDf = mem.toDF().toDF("event_ts", "event_type", "value")
+      .withWatermark("event_ts", "10 minutes")
+    val q = Events.slidingAgg(streamDf).writeStream
+      .outputMode("complete").format("memory").queryName("sliding_out").start()
+    mem.addData(rows.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(3): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("sliding_out")
+      .orderBy("win_start_us", "event_type").collect()
+    q.stop()
+
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("sessionizeStateful: state carries open sessions across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
