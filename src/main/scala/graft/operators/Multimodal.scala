@@ -39,6 +39,28 @@ object Multimodal {
       |  'text/plain' AS mime, source AS meta_source, lang AS meta_lang
       |FROM documents""".stripMargin
 
+  /** C14b: content-addressed payload dedup — the multimodal twin of
+    * C1's text dedup: group on the payload's md5 (images dedup by
+    * bytes, not filename), keep the lowest doc_id, count replicas. The
+    * exchange carries (16-byte hash, id) — payload bytes never shuffle,
+    * which at 100 TB of media is the entire game.
+    */
+  def multimodalDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .groupBy(md5(col("payload")).as("payload_md5"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_copies"),
+        max(length(col("payload"))).cast("int").as("n_bytes"))
+
+  val multimodalDedupSql: String =
+    """SELECT md5(text) AS payload_md5,
+      |  MIN(doc_id) AS keep_doc_id,
+      |  COUNT(*) AS n_copies,
+      |  CAST(MAX(octet_length(encode(text))) AS INTEGER) AS n_bytes
+      |FROM documents
+      |GROUP BY 1""".stripMargin
+
   /** Input/output rows of the feature extractor. */
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
   final case class MediaFeatures(

@@ -728,6 +728,14 @@ class OperatorSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("q_multimodal_dedup: copy counts conserve and keep-ids are minimal") {
+    val d = run("q_multimodal_dedup").cache()
+    assert(d.agg(sum("n_copies")).head.getLong(0) ==
+      graft.sources.Tables(spark, dir).documents.count())
+    assert(d.count() == d.select("payload_md5").distinct().count())
+    d.unpersist()
+  }
+
   test("q_dedup_clusters: every dup pair lands in one cluster; sizes conserve") {
     val d = run("q_dedup_clusters").cache()
     // conservation: cluster sizes sum to the number of distinct dup-pair nodes
