@@ -472,6 +472,54 @@ object Corpus {
         StructField("pair_count", LongType, false))))
   }
 
+  /** C40: mixture rebalancing — the resampling step after C34's
+    * report: compute each source's token share, derive the
+    * downsampling rate that equalizes shares (rate = min(1,
+    * target/observed), target = total/n_sources), and apply it as the
+    * deterministic hash filter. The DoReMi-lite reweighting every
+    * mixture pipeline runs; rates are derived IN-PLAN from aggregates
+    * (tiny broadcast), never hand-tuned constants, and the kept-set is
+    * stable across retries/cluster sizes (hash, not rand()).
+    */
+  def mixtureRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        shuffleKey.as("bucket"))
+    val cells = docs.groupBy(col("source")).agg(sum(col("n_tok")).as("src_tokens"))
+    val totals = cells.agg(sum(col("src_tokens")).as("all_tokens"),
+      count(lit(1)).as("n_sources"))
+    val rates = cells.crossJoin(broadcast(totals))
+      .select(col("source"),
+        least(lit(1.0), (col("all_tokens").cast("double") / col("n_sources"))
+          / col("src_tokens")).as("rate"))
+    docs.join(broadcast(rates), Seq("source"))
+      .filter(col("bucket").cast("double") < col("rate") * 1000003.0)
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        round(col("rate"), 6).as("rate"))
+  }
+
+  val mixtureRebalanceSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    $shuffleKeySql AS bucket
+       |  FROM documents),
+       |cells AS (
+       |  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens
+       |  FROM docs GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(SUM(src_tokens) AS BIGINT) AS all_tokens,
+       |    COUNT(*) AS n_sources FROM cells),
+       |rates AS (
+       |  SELECT source,
+       |    least(1.0, (CAST(all_tokens AS DOUBLE) / n_sources) / src_tokens)
+       |      AS rate
+       |  FROM cells, tot)
+       |SELECT doc_id, docs.source, n_tok, round(rate, 6) AS rate
+       |FROM docs JOIN rates ON docs.source = rates.source
+       |WHERE CAST(bucket AS DOUBLE) < rate * 1000003.0""".stripMargin
+
   /** C36: BPE tokenizer training — 10 merge rounds over the corpus
     * word-frequency table. Rows-only check (an iterative driver loop
     * isn't one SQL statement); the spec pins the merge sequence on a

@@ -736,6 +736,22 @@ class OperatorSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("q_mixture_rebalance: rates bounded; saturated sources keep every doc") {
+    val d = run("q_mixture_rebalance").cache()
+    assert(d.count() > 0)
+    assert(d.filter(col("rate") <= 0 || col("rate") > 1).count() == 0)
+    // sources at rate 1.0 must retain all their docs
+    val t = graft.sources.Tables(spark, dir)
+    val full = t.documents.groupBy("source").count()
+    val kept = d.groupBy("source").agg(
+      count(lit(1)).as("n_kept"), max("rate").as("r"))
+    val sat = kept.filter(col("r") === 1.0)
+      .join(full, "source")
+      .filter(col("n_kept") =!= col("count"))
+    assert(sat.count() == 0, "a rate-1.0 source lost documents")
+    d.unpersist()
+  }
+
   test("q_dedup_clusters: every dup pair lands in one cluster; sizes conserve") {
     val d = run("q_dedup_clusters").cache()
     // conservation: cluster sizes sum to the number of distinct dup-pair nodes
