@@ -45,4 +45,25 @@ class SourcesSpec extends AnyFunSuite {
   test("orders round-trip through JSON")(roundTrip("json"))
   test("orders round-trip through ORC")(roundTrip("orc"))
   test("orders round-trip through CSV")(roundTrip("csv"))
+
+  test("schema evolution: mergeSchema reads v1+v2 parquet; unionByName fills gaps") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("evolve").toString
+    // v1 batch lacks the later-added column
+    Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+      .write.parquet(s"$base/batch=1")
+    Seq((3L, "c", "en"), (4L, "d", "fr")).toDF("id", "text", "lang")
+      .write.parquet(s"$base/batch=2")
+    // reader-side evolution: union of both schemas, old rows null-filled
+    val merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert(merged.columns.toSet == Set("id", "text", "lang", "batch"))
+    assert(merged.count() == 4)
+    assert(merged.filter(col("lang").isNull).count() == 2)
+    // writer-side evolution: unionByName(allowMissingColumns) for frames
+    val u = Seq((5L, "e")).toDF("id", "text")
+      .unionByName(Seq((6L, "f", "de")).toDF("id", "text", "lang"),
+        allowMissingColumns = true)
+    assert(u.columns.toSet == Set("id", "text", "lang"))
+    assert(u.filter(col("id") === 5L && col("lang").isNull).count() == 1)
+  }
 }
