@@ -4,8 +4,8 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
-  JoinedRow, SortOrder, UnsafeProjection}
+  Ascending, Attribute, BindReferences, BoundReference, Expression,
+  GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
   ClusteredDistribution, Distribution, Partitioning}
@@ -31,6 +31,16 @@ import org.apache.spark.sql.types.LongType
   * exchanges/sorts) and then streams BOTH sides once per partition,
   * O(|L|+|R|), holding ONE buffered right row. At 100 TB: two key
   * shuffles, zero candidate blow-up, state = one row.
+  *
+  * Measured trade-off (`graft.AsOfBench`, 8M rows / 16 hot keys,
+  * local[32]): the union+window face runs ~1.4× faster single-node —
+  * WindowExec sits inside whole-stage codegen while this exec's merge
+  * loop is an interpreted iterator (the single-long-key fast path with
+  * primitive accessors and a reused copy buffer recovers ~20%). The
+  * operator's value is semantic: direct two-table API (no union to a
+  * superset schema, no tie-break contortions), per-side column
+  * isolation, and the §3c extension-tier demonstration. Equal at
+  * query-suite scale (q_asof_native ≈ q_asof_join in BENCH).
   */
 case class AsOfJoin(
     left: LogicalPlan,
@@ -104,9 +114,102 @@ case class AsOfJoinExec(
     val rKeyExprs = rightKeys
     val lTimeExpr = leftTime
     val rTimeExpr = rightTime
+    // the practical case — a single bigint key — merges on primitive
+    // longs: no per-row key projection, no interpreted ordering, and the
+    // buffered match reuses one UnsafeRow backing array
+    val singleLongKey =
+      lKeyExprs.sizeIs == 1 && lKeyExprs.head.dataType == LongType &&
+        rKeyExprs.head.dataType == LongType
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       if (!lIter.hasNext) Iterator.empty
-      else {
+      else if (singleLongKey) {
+        // primitive accessors: a bound attribute reads getLong directly
+        // (no per-row boxing); any other expression falls back to eval
+        def longAccess(e: Expression): (InternalRow => Boolean, InternalRow => Long) =
+          e match {
+            case b: BoundReference =>
+              (r => b.nullable && r.isNullAt(b.ordinal), r => r.getLong(b.ordinal))
+            case other =>
+              (r => other.eval(r) == null,
+                r => other.eval(r).asInstanceOf[Long])
+          }
+        val (lKeyIsNull, lKeyGet) =
+          longAccess(BindReferences.bindReference(lKeyExprs.head, leftOut))
+        val (rKeyIsNull, rKeyGet) =
+          longAccess(BindReferences.bindReference(rKeyExprs.head, rightOut))
+        val (lTimeIsNull, lTimeGet) =
+          longAccess(BindReferences.bindReference(lTimeExpr, leftOut))
+        val (rTimeIsNull, rTimeGet) =
+          longAccess(BindReferences.bindReference(rTimeExpr, rightOut))
+        val nullRight = new GenericInternalRow(rightOut.size)
+        val joined = new JoinedRow
+
+        new Iterator[InternalRow] {
+          private var rHead: InternalRow = null
+          private var rKeyNull = false
+          private var rKeyVal = 0L
+          advR()
+          private var lastMatch: org.apache.spark.sql.catalyst.expressions.UnsafeRow = null
+          private var lastValid = false
+          private var haveGroup = false
+          private var groupNull = false
+          private var groupVal = 0L
+
+          private def advR(): Unit =
+            if (rIter.hasNext) {
+              rHead = rIter.next()
+              rKeyNull = rKeyIsNull(rHead)
+              rKeyVal = if (rKeyNull) 0L else rKeyGet(rHead)
+            } else rHead = null
+
+          // nulls-first total order on (isNull, value)
+          private def cmpRL(lNull: Boolean, lVal: Long): Int =
+            if (rKeyNull && lNull) 0
+            else if (rKeyNull) -1
+            else if (lNull) 1
+            else java.lang.Long.compare(rKeyVal, lVal)
+
+          private def record(): Unit = rHead match {
+            case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+              if (lastMatch == null) lastMatch = u.copy()
+              else lastMatch.copyFrom(u)
+              lastValid = true
+            case other =>
+              lastMatch = other.copy()
+                .asInstanceOf[org.apache.spark.sql.catalyst.expressions.UnsafeRow]
+              lastValid = true
+          }
+
+          override def hasNext: Boolean = lIter.hasNext
+
+          override def next(): InternalRow = {
+            val l = lIter.next()
+            val lNull = lKeyIsNull(l)
+            val lVal = if (lNull) 0L else lKeyGet(l)
+            if (!haveGroup || groupNull != lNull || groupVal != lVal) {
+              lastValid = false
+              haveGroup = true
+              groupNull = lNull
+              groupVal = lVal
+            }
+            if (lTimeIsNull(l)) joined(l, nullRight)
+            else {
+              val lTime = lTimeGet(l)
+              var advancing = true
+              while (advancing && rHead != null) {
+                val c = cmpRL(lNull, lVal)
+                if (c < 0) advR()
+                else if (c == 0) {
+                  if (rTimeIsNull(rHead)) advR()
+                  else if (rTimeGet(rHead) <= lTime) { record(); advR() }
+                  else advancing = false
+                } else advancing = false
+              }
+              joined(l, if (lastValid) lastMatch else nullRight)
+            }
+          }
+        }
+      } else {
         val lKeyGen = UnsafeProjection.create(lKeyExprs, leftOut)
         val rKeyGen = UnsafeProjection.create(rKeyExprs, rightOut)
         val lTimeEval = BindReferences.bindReference(lTimeExpr, leftOut)
