@@ -542,6 +542,28 @@ object Corpus {
         md5(concat_ws(" ", slice(col("tk"), col("i") + 1, lit(8)))).as("span_hash"))
       .distinct()
 
+  /** C31's 100 TB face: identical span-dedup semantics with xxhash64
+    * span keys — 8-byte longs on the wire instead of 32-char md5
+    * strings (the audit measures the md5 face at ~40 B/span; this one
+    * ships 16 B/span, and the groupBy key compares as a primitive).
+    * Rows-only (DuckDB has no xxhash64); the spec pins the per-group
+    * (n_docs, n_occurrences) multiset to the md5 face's.
+    */
+  def spanDedupFast(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 8)
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0), size(col("tk")) - 8)).as("i"))
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ", slice(col("tk"), col("i") + 1, lit(8)))).as("span_hash"))
+    d.groupBy(col("span_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+  }
+
   /** C38: n-gram overlap decontamination (the GPT-3-style check): for
     * each eval doc, the fraction of its distinct 8-token spans that
     * also occur anywhere in the train split. Catches PARTIAL

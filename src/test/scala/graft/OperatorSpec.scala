@@ -468,6 +468,13 @@ class OperatorSpec extends AnyFunSuite {
     got.unpersist()
   }
 
+  test("q_span_dedup_fast multiset-matches the md5 face") {
+    def sig(name: String) = run(name)
+      .groupBy("n_docs", "n_occurrences", "first_doc").count()
+      .collect().map(_.toString).sorted.toSeq
+    assert(sig("q_span_dedup_fast") == sig("q_span_dedup"))
+  }
+
   test("q_span_dedup: flagged spans are cross-doc and counts are sane") {
     val d = run("q_span_dedup").cache()
     assert(d.filter(col("n_docs") < 2).count() == 0)
