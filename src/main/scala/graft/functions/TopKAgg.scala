@@ -38,6 +38,11 @@ case class TopKAgg(
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
     if (k < 1)
       TypeCheckResult.TypeCheckFailure(s"top_k requires k >= 1, got $k")
+    else if (k > (1 << 20))
+      // the heap is a per-group in-memory buffer on every map task; a
+      // "top million+" ask is a sort, not a bounded-heap aggregation
+      TypeCheckResult.TypeCheckFailure(
+        s"top_k requires k <= ${1 << 20} (got $k) — use a window rank for unbounded k")
     else child.dataType match {
       case StructType(fields)
           if fields.length == 2 && fields(0).dataType == DoubleType &&
