@@ -759,6 +759,16 @@ class OperatorSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("q_check_summary: one row per schema test, consistent with the raw checks") {
+    val d = run("q_check_summary").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(d.size == 4)
+    assert(d("unique_events_key")._1 == run("q_check_unique").count())
+    assert(d("relationships_user_customer")._1 ==
+      run("q_check_relationships").count())
+    d.foreach { case (_, (n, passed)) => assert(passed == (n == 0)) }
+  }
+
   test("q_dedup_clusters: every dup pair lands in one cluster; sizes conserve") {
     val d = run("q_dedup_clusters").cache()
     // conservation: cluster sizes sum to the number of distinct dup-pair nodes
