@@ -208,6 +208,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("Trigger.AvailableNow: bounded catch-up run terminates and equals batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = java.nio.file.Files.createTempDirectory("evcatchup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("event_ts", graft.functions.Fns.nsToTimestamp(col("ts")))
+      .withWatermark("event_ts", "1 hour")
+    // AvailableNow = the incremental-batch trigger: process everything
+    // present, then STOP — the shape a scheduled catch-up job runs
+    val q = Events.hourlyAgg(stream).writeStream
+      .outputMode("complete").format("memory").queryName("catchup_hourly")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    val streamed = spark.table("catchup_hourly")
+      .orderBy("hour_start", "event_type").collect()
+    val batch = Events.qHourlyEvents(spark, dir)
+      .orderBy("hour_start", "event_type").collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("streaming sink: windowed agg lands in parquet with checkpointing") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
