@@ -174,7 +174,17 @@ object GraftExtensions {
     ("graft_winnow",
       new ExpressionInfo(classOf[NativeExprs.WinnowFps].getName, "graft_winnow"),
       (args: Seq[Expression]) => NativeExprs.WinnowFps(
-        args(0), intArg(args(1), "ngram"), intArg(args(2), "w"))))
+        args(0), intArg(args(1), "ngram"), intArg(args(2), "w"))),
+    // the custom aggregates too — SQL users get the same bounded-state
+    // top-k / heavy-hitters paths as the Column API
+    ("graft_top_k",
+      new ExpressionInfo(classOf[graft.functions.TopKAgg].getName, "graft_top_k"),
+      (args: Seq[Expression]) => graft.functions.TopKAgg(
+        args(0), intArg(args(1), "k")).toAggregateExpression()),
+    ("graft_freq_items",
+      new ExpressionInfo(classOf[graft.functions.FreqAgg].getName, "graft_freq_items"),
+      (args: Seq[Expression]) => graft.functions.FreqAgg(
+        args(0), intArg(args(1), "capacity")).toAggregateExpression()))
 
   /** Register on an already-created session (temp functions) — for REPLs
     * and sessions not built with `.withExtensions`.

@@ -50,6 +50,23 @@ class BuildSpec extends AnyFunSuite {
     assert(r.getInt(3) == 2)
   }
 
+  test("SQL aggregate functions: graft_top_k and graft_freq_items") {
+    graft.core.GraftExtensions.register(spark)
+    val t = graft.sources.Tables(spark, dir)
+    t.orders.createOrReplaceTempView("orders_v")
+    val top = spark.sql(
+      """SELECT graft_top_k(
+        |  struct(cast(o_totalprice as double), o_orderkey), 3) AS top
+        |FROM orders_v""".stripMargin).collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(top.size == 3)
+    assert(top(0).getDouble(0) >= top(1).getDouble(0))
+    val hh = spark.sql(
+      """SELECT graft_freq_items(o_orderstatus, 4) AS hh FROM orders_v"""
+    ).collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(hh.nonEmpty && hh.size <= 4)
+  }
+
   test("SimplifySelfCosine strength-reduces cosine(x,x), preserving semantics") {
     import org.apache.spark.sql.functions._
     val s2 = spark.newSession()
