@@ -634,6 +634,70 @@ object Corpus {
       .filter(col("cosine") >= 0.4)
   }
 
+  /** C41: DSIR-lite importance scoring (Xie et al. 2023, "Data
+    * Selection via Importance Resampling"): each document scored by its
+    * average per-token log-likelihood RATIO between a target-domain
+    * unigram LM (here: the `lang='en'` slice) and the corpus LM, with
+    * add-one smoothing — the score that upweights target-like data in
+    * mixture resampling. Same engine shape as C33: per-token ratio
+    * terms are computed once from exact counts, rounded to 6 dp and
+    * fixed as decimals, so per-doc sums are order-independent; the two
+    * totals enter as a 1-row broadcast.
+    */
+  def dsirScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("token"))
+    val docTok = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val corpusV = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt_c"))
+    val targetV = toks.filter(col("lang") === "en")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt_t"))
+    val totals = corpusV.agg(
+      sum(col("cnt_c")).as("n_c"), count(lit(1)).as("v"))
+      .crossJoin(targetV.agg(sum(col("cnt_t")).as("n_t")))
+    val terms = corpusV
+      .join(targetV, Seq("token"), "left")
+      .na.fill(0L, Seq("cnt_t"))
+      .crossJoin(broadcast(totals))
+      .select(col("token"),
+        round(
+          log((col("cnt_t") + 1).cast("double") / (col("n_t") + col("v"))) -
+            log((col("cnt_c") + 1).cast("double") / (col("n_c") + col("v"))), 6)
+          .cast("decimal(18,6)").as("term"))
+    docTok.join(terms, "token")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("term")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("s").cast("double") / col("n_tokens")).as("dsir_score"))
+  }
+
+  val dsirScoreSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |dt AS (SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+      |cv AS (SELECT token, COUNT(*) AS cnt_c FROM toks GROUP BY 1),
+      |tv AS (SELECT token, COUNT(*) AS cnt_t FROM toks
+      |       WHERE lang = 'en' GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(cnt_c) AS BIGINT) AS n_c,
+      |    COUNT(*) AS v,
+      |    (SELECT CAST(SUM(cnt_t) AS BIGINT) FROM tv) AS n_t
+      |  FROM cv),
+      |terms AS (
+      |  SELECT cv.token,
+      |    CAST(round(
+      |      ln(CAST(COALESCE(cnt_t, 0) + 1 AS DOUBLE) / (n_t + v)) -
+      |      ln(CAST(cnt_c + 1 AS DOUBLE) / (n_c + v)), 6)
+      |      AS DECIMAL(18,6)) AS term
+      |  FROM cv LEFT JOIN tv ON cv.token = tv.token, tot)
+      |SELECT dt.doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(c * term) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS dsir_score
+      |FROM dt JOIN terms ON dt.token = terms.token
+      |GROUP BY dt.doc_id""".stripMargin
+
   /** C32: Bloom-pruned contamination check — same result as the exact
     * pass (TextAnalysis C26; the verify join removes every false
     * positive, so the oracle is C26's SQL), but the eval side is

@@ -769,6 +769,17 @@ class OperatorSpec extends AnyFunSuite {
     d.foreach { case (_, (n, passed)) => assert(passed == (n == 0)) }
   }
 
+  test("q_dsir_score: target-domain docs score higher than the rest on average") {
+    val d = run("q_dsir_score")
+    val t = graft.sources.Tables(spark, dir)
+    val byLang = d.join(t.documents.select("doc_id", "lang"), "doc_id")
+      .groupBy(col("lang") === "en")
+      .agg(avg("dsir_score")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byLang(true) > byLang(false),
+      s"en mean ${byLang(true)} should beat non-en ${byLang(false)}")
+  }
+
   test("q_dedup_clusters: every dup pair lands in one cluster; sizes conserve") {
     val d = run("q_dedup_clusters").cache()
     // conservation: cluster sizes sum to the number of distinct dup-pair nodes
