@@ -132,27 +132,33 @@ object Corpus {
   /** Exclusive running sum of `valueCol` (LongType) in `order`-sorted
     * order, appended as `sumCol` — the distributed prefix-sum.
     *
-    * Two passes over the range-partitioned sort: (1) per-partition sums
-    * aggregated by `spark_partition_id()` → driver collects ≤ one row
-    * per partition and folds them into exclusive start offsets;
-    * (2) `mapPartitionsWithIndex` streams each slice, accumulating from
-    * its broadcast offset. Both passes re-plan the same deterministic
-    * range partitioning (explicit partition count → AQE does not
-    * re-coalesce; the range sampler is seeded per-partition), so the
-    * offsets line up. `order` must be a total order.
+    * Both passes run over ONE materialized RDD instance (mirroring how
+    * `zipWithIndex` pins its count pass): pass 1 collects per-partition
+    * sums via `mapPartitionsWithIndex` → driver holds one long per
+    * partition and folds them into exclusive start offsets; pass 2
+    * streams each slice of the SAME RDD, accumulating from its broadcast
+    * offset. Because the shuffle behind that RDD is materialized once,
+    * partition membership is identical across the passes by
+    * construction. (Planning the sort twice through the Dataset API is
+    * NOT safe: Spark's RangePartitioner seeds its boundary sample with
+    * rdd.id, so two executions can draw different boundaries once the
+    * sample is non-trivial.) `order` must be a total order.
     */
   def prefixSum(df: DataFrame, order: Seq[Column], valueCol: String, sumCol: String): DataFrame = {
     val spark = df.sparkSession
-    val parts = rangeParts(spark)
     val sorted = df
-      .repartitionByRange(parts, order: _*)
+      .repartitionByRange(rangeParts(spark), order: _*)
       .sortWithinPartitions(order: _*)
     require(sorted.schema(valueCol).dataType == LongType,
       s"prefixSum requires $valueCol: bigint, got ${sorted.schema(valueCol).dataType}")
-    val perPart = sorted
-      .select(spark_partition_id().as("pid"), col(valueCol))
-      .groupBy(col("pid")).agg(sum(col(valueCol)).as("s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val rdd0 = sorted.rdd // single instance: both passes see the same shuffle output
+    val perPart = rdd0.mapPartitionsWithIndex { case (pid, it) =>
+      var s = 0L
+      it.foreach(r => if (!r.isNullAt(vIdx)) s += r.getLong(vIdx))
+      Iterator(pid -> s)
+    }.collect().toMap
+    val parts = rdd0.getNumPartitions
     val offsets = new Array[Long](parts)
     var acc = 0L
     var p = 0
@@ -162,14 +168,13 @@ object Corpus {
       p += 1
     }
     val bc = spark.sparkContext.broadcast(offsets)
-    val vIdx = sorted.schema.fieldIndex(valueCol)
     val schema = StructType(
       sorted.schema.fields :+ StructField(sumCol, LongType, nullable = false))
-    val rdd = sorted.rdd.mapPartitionsWithIndex { case (pid, it) =>
+    val rdd = rdd0.mapPartitionsWithIndex { case (pid, it) =>
       var running = bc.value(pid)
       it.map { r =>
         val out = Row.fromSeq(r.toSeq :+ running)
-        // null contributes 0, mirroring sum()'s null-skipping in pass 1
+        // null contributes 0, mirroring pass 1's null-skipping
         if (!r.isNullAt(vIdx)) running += r.getLong(vIdx)
         out
       }

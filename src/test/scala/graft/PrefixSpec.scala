@@ -54,6 +54,14 @@ class PrefixSpec extends AnyFunSuite {
     assert(gi.exceptAll(ref).count() == 0 && ref.exceptAll(gi).count() == 0)
   }
 
+  test("prefixSum is exact past the range-sampler divergence regime (>=20k rows)") {
+    // Regression: planning the sort twice drew different range boundaries
+    // from ~20k rows up (RangePartitioner seeds its sample with rdd.id),
+    // silently corrupting offsets. Both passes now share one RDD instance.
+    trial(25000, 42L, 1000000L)
+    trial(25000, 43L, 7L) // heavy duplicate keys at the same size
+  }
+
   test("prefix primitives match the window faces across random shapes") {
     // sizes straddle empty/one/partition-count/larger; maxKey=1 forces
     // every row into ONE range-partition key (worst-case skew), large
