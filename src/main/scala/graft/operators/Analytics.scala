@@ -51,8 +51,10 @@ object Analytics {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
-  /** B2: shipping-priority top-k (TPC-H Q3 shape). customer is filtered
-    * then broadcast; orders⋈lineitem is the only big exchange; top-k via
+  /** B2: shipping-priority top-k (TPC-H Q3 shape). customer scales with
+    * SF, so no hard broadcast hint — AQE picks broadcast when the
+    * filtered side is small and falls back to shuffle join at scale;
+    * orders⋈lineitem is the only unavoidable big exchange; top-k via
     * deterministic order + limit.
     */
   def q3TopK(spark: SparkSession, dir: String): DataFrame = {
@@ -64,7 +66,7 @@ object Analytics {
     val li = t.lineitem
       .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+    li.join(ord.join(cust, col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(decSumProd(dec(col("l_extendedprice")) * (lit(1).cast("decimal(8,4)") - dec(col("l_discount"), 8, 4)))
@@ -89,7 +91,7 @@ object Analytics {
     heavy
       .join(t.orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.customer.select("c_custkey", "c_name")),
+      .join(t.customer.select("c_custkey", "c_name"),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_name"), col("o_custkey").as("c_custkey"),
         col("o_orderkey"), col("o_orderdate"),
@@ -127,10 +129,12 @@ object Analytics {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
-  /** B3: 6-way star join (TPC-H Q5 shape). region/nation/supplier/
-    * customer are broadcast dims; lineitem⋈orders is the fact exchange.
-    * The n_nationkey = c_nationkey = s_nationkey constraint mirrors
-    * Q5's "local supplier" semantics.
+  /** B3: 6-way star join (TPC-H Q5 shape). region/nation are true
+    * fixed-size dims and carry broadcast hints; customer/supplier scale
+    * with SF, so their join strategy is left to AQE (broadcast while
+    * the region-filtered side fits, shuffle join past the threshold).
+    * lineitem⋈orders is the fact exchange. The n_nationkey = c_nationkey
+    * = s_nationkey constraint mirrors Q5's "local supplier" semantics.
     */
   def q5Join5(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -148,8 +152,8 @@ object Analytics {
       .select("o_orderkey", "o_custkey")
     t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp),
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp,
         col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
       .join(broadcast(t.nation.select("n_nationkey", "n_name")),
         col("c_nationkey") === col("n_nationkey"))

@@ -177,7 +177,9 @@ object Extras {
   def cubeRegionStatus(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     t.orders
-      .join(broadcast(t.customer.select("c_custkey", "c_nationkey")),
+      // customer scales with SF — AQE picks its join strategy; only the
+      // fixed-size nation/region dims carry hard broadcast hints
+      .join(t.customer.select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
@@ -753,7 +755,8 @@ object Extras {
   def topNPerGroup(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val joined = t.orders
-      .join(broadcast(t.customer.select(col("c_custkey"), col("c_mktsegment"))),
+      // no hint: customer scales with SF; AQE broadcasts while small
+      .join(t.customer.select(col("c_custkey"), col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment"),
         dec(col("o_totalprice")).cast("double").as("price"),

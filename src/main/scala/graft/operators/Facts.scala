@@ -40,13 +40,16 @@ object Facts {
     val fin   = li.filter(col("l_linestatus") === "F").withColumn("service_type", lit("Final"))
     val unioned = open.unionByName(fin)
 
+    // suppDim/custDim are nation-scale (fixed 25 rows) → safe broadcast
+    // hints; supplier/customer scale with SF, so AQE decides their join
+    // strategy (broadcast at small SF, shuffle join at scale).
     unioned
-      .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+      .join(t.supplier.select("s_suppkey", "s_nationkey"),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(suppDim), col("s_nationkey") === col("supp_nationkey"))
       .join(t.orders.select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.customer.select("c_custkey", "c_nationkey")),
+      .join(t.customer.select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(custDim), col("c_nationkey") === col("cust_nationkey"))
       .select(

@@ -48,15 +48,22 @@ class PlanSpec extends AnyFunSuite {
     assert(read.contains("l_quantity") && read.contains("l_extendedprice"), read)
   }
 
-  test("q5_join5: all dim joins are broadcast (single fact-fact shuffle pair)") {
-    val plan = executedPlan("q5_join5")
-    val nodes = collectAll(plan)
-    val bhj = nodes.count(_.isInstanceOf[BroadcastHashJoinExec])
-    assert(bhj >= 3, s"expected >=3 broadcast joins, got $bhj")
-    // lineitem⋈orders + final agg ordering: shuffles stay bounded
-    // (counted in the explain text — see hashExchanges note)
-    val shuffles = hashExchanges("q5_join5")
-    assert(shuffles > 0 && shuffles <= 4, s"expected 1..4 shuffles, got $shuffles")
+  test("q5_join5: dim joins broadcast in the FINAL adaptive plan, shuffles bounded") {
+    // Since the hard hints on customer/supplier were dropped, the static
+    // plan legitimately stages shuffle joins for them; the contract is
+    // what AQE actually runs.
+    val df = SparkEntry.queries("q5_join5")(spark, dir)
+    df.collect()
+    // AdaptiveSparkPlanExec.toString prints "== Final Plan ==" then
+    // "== Initial Plan ==" — keep only the final section
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val bhj = "BroadcastHashJoin".r.findAllIn(finalPlan).length
+    assert(bhj >= 3, s"expected >=3 broadcast joins in the final plan, got $bhj\n${finalPlan.take(3000)}")
+    // executed shuffles stay bounded: fact join pair + agg (+ sort)
+    val shuffles = finalPlan.linesIterator.count(l =>
+      l.contains("Exchange ") && !l.contains("BroadcastExchange"))
+    assert(shuffles > 0 && shuffles <= 6, s"expected 1..6 executed shuffles, got $shuffles")
   }
 
   test("q_fact_join: dim and enrichment joins broadcast") {
@@ -159,6 +166,28 @@ class PlanSpec extends AnyFunSuite {
     val n = """\(\d+\) Exchange\b""".r.findAllIn(s).length
     assert(n <= 5, s"expected <=5 hash exchanges, got $n")
     assert(!s.contains("CartesianProduct"), "1-row total must broadcast")
+  }
+
+  test("no broadcast hints on SF-scaling tables; AQE still broadcasts them when small") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val qs = Seq("q3_topk", "q18_big_orders", "q5_join5", "q_fact_join",
+      "q_cube", "q_topn_group")
+    for (q <- qs) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      // logical contract: hard hints only over fixed-size dims
+      // (nation/region/seed) — never over SF-scaling customer/supplier
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.foreach { h =>
+        val leaves = h.child.collectLeaves().map(_.toString).mkString("\n")
+        assert(!leaves.contains("customer") && !leaves.contains("supplier"),
+          s"$q carries a broadcast hint over an SF-scaling table:\n$leaves")
+      }
+      // physical contract: at this SF the planner/AQE still CHOOSES
+      // broadcast for those sides on its own size estimate
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("BroadcastHashJoin"),
+        s"$q: expected size-based broadcast joins in the final plan")
+    }
   }
 
   test("TopKAgg ranking equals the window row_number formulation") {
