@@ -146,58 +146,56 @@ case class AsOfJoinExec(
 
         new Iterator[InternalRow] {
           private var rHead: InternalRow = null
-          private var rKeyNull = false
           private var rKeyVal = 0L
           advR()
-          private var lastMatch: org.apache.spark.sql.catalyst.expressions.UnsafeRow = null
+          private var lastMatch: InternalRow = null
           private var lastValid = false
           private var haveGroup = false
-          private var groupNull = false
           private var groupVal = 0L
 
-          private def advR(): Unit =
-            if (rIter.hasNext) {
-              rHead = rIter.next()
-              rKeyNull = rKeyIsNull(rHead)
-              rKeyVal = if (rKeyNull) 0L else rKeyGet(rHead)
-            } else rHead = null
+          // NULL join keys never match (SQL equality semantics — DuckDB
+          // `ASOF … ON l.k = r.k` drops them): null-key right rows are
+          // skipped here; null-key left rows null-extend in next().
+          // Both sides sort nulls first, so this burns the head only.
+          private def advR(): Unit = {
+            rHead = null
+            while (rHead == null && rIter.hasNext) {
+              val r = rIter.next()
+              if (!rKeyIsNull(r)) { rHead = r; rKeyVal = rKeyGet(r) }
+            }
+          }
 
-          // nulls-first total order on (isNull, value)
-          private def cmpRL(lNull: Boolean, lVal: Long): Int =
-            if (rKeyNull && lNull) 0
-            else if (rKeyNull) -1
-            else if (lNull) 1
-            else java.lang.Long.compare(rKeyVal, lVal)
-
-          private def record(): Unit = rHead match {
-            case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
-              if (lastMatch == null) lastMatch = u.copy()
-              else lastMatch.copyFrom(u)
-              lastValid = true
-            case other =>
-              lastMatch = other.copy()
-                .asInstanceOf[org.apache.spark.sql.catalyst.expressions.UnsafeRow]
-              lastValid = true
+          private def record(): Unit = {
+            rHead match {
+              case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+                lastMatch match {
+                  // fast path: reuse the existing backing buffer
+                  case prev: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+                    prev.copyFrom(u)
+                  case _ => lastMatch = u.copy()
+                }
+              case other => lastMatch = other.copy()
+            }
+            lastValid = true
           }
 
           override def hasNext: Boolean = lIter.hasNext
 
           override def next(): InternalRow = {
             val l = lIter.next()
-            val lNull = lKeyIsNull(l)
-            val lVal = if (lNull) 0L else lKeyGet(l)
-            if (!haveGroup || groupNull != lNull || groupVal != lVal) {
-              lastValid = false
-              haveGroup = true
-              groupNull = lNull
-              groupVal = lVal
-            }
-            if (lTimeIsNull(l)) joined(l, nullRight)
+            // null left key or null left time: no right row qualifies
+            if (lKeyIsNull(l) || lTimeIsNull(l)) joined(l, nullRight)
             else {
+              val lVal = lKeyGet(l)
+              if (!haveGroup || groupVal != lVal) {
+                lastValid = false
+                haveGroup = true
+                groupVal = lVal
+              }
               val lTime = lTimeGet(l)
               var advancing = true
               while (advancing && rHead != null) {
-                val c = cmpRL(lNull, lVal)
+                val c = java.lang.Long.compare(rKeyVal, lVal)
                 if (c < 0) advR()
                 else if (c == 0) {
                   if (rTimeIsNull(rHead)) advR()
@@ -220,16 +218,29 @@ case class AsOfJoinExec(
         val joined = new JoinedRow
 
         new Iterator[InternalRow] {
-          // lookahead right row: valid until the next rIter.next() call
-          private var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
+          // lookahead right row: valid until the next advR() call.
+          // NULL join keys never match (SQL equality semantics), so
+          // null-key right rows are skipped on advance and null-key left
+          // rows null-extend without consulting the right side.
+          private var rHead: InternalRow = null
+          advR()
           private var lastMatch: InternalRow = null // copied; current left key's best
           private var groupKey: InternalRow = null // copied key owning lastMatch
+
+          private def advR(): Unit = {
+            rHead = null
+            while (rHead == null && rIter.hasNext) {
+              val r = rIter.next()
+              if (!rKeyGen(r).anyNull) rHead = r
+            }
+          }
 
           override def hasNext: Boolean = lIter.hasNext
 
           override def next(): InternalRow = {
             val l = lIter.next()
             val lKey = lKeyGen(l)
+            if (lKey.anyNull) return joined(l, nullRight)
             if (groupKey == null || keyOrd.compare(lKey, groupKey) != 0) {
               lastMatch = null
               groupKey = lKey.copy()
@@ -243,13 +254,12 @@ case class AsOfJoinExec(
               var advancing = true
               while (advancing && rHead != null) {
                 val c = keyOrd.compare(rKeyGen(rHead), lKey)
-                if (c < 0) {
-                  rHead = if (rIter.hasNext) rIter.next() else null
-                } else if (c == 0) {
+                if (c < 0) advR()
+                else if (c == 0) {
                   val rt = rTimeEval.eval(rHead)
                   if (rt == null || rt.asInstanceOf[Long] <= lTime) {
                     if (rt != null) lastMatch = rHead.copy()
-                    rHead = if (rIter.hasNext) rIter.next() else null
+                    advR()
                   } else advancing = false
                 } else advancing = false
               }

@@ -42,6 +42,39 @@ class AsOfSpec extends AnyFunSuite {
       "p4" -> null)) // key absent on the right
   }
 
+  test("NULL join keys never match (single-long-key path)") {
+    import spark.implicits._
+    // null-key rows on both sides; DuckDB ASOF `ON l.k = r.k` semantics:
+    // a null key equals nothing, including another null
+    val l = Seq((Some(1L), 10L, "p1"), (None, 10L, "pnull"), (Some(2L), 9L, "p2"))
+      .toDF("k", "t", "tag")
+    val r = Seq((Some(1L), 5L, "c1"), (None, 1L, "cnull"), (Some(2L), 20L, "c2"))
+      .toDF("rk", "rt", "rtag")
+    val out = graft.plans.AsOf.joinAsOf(
+      l, r, Seq(l("k")), Seq(r("rk")), l("t"), r("rt"))
+      .select(col("tag"), col("rtag"))
+      .collect().map(row => row.getString(0) -> row.getString(1)).toMap
+    assert(out == Map(
+      "p1" -> "c1", // normal match unaffected
+      "pnull" -> null, // null left key matches nothing — not even cnull
+      "p2" -> null)) // right key present but only later
+  }
+
+  test("NULL join keys never match (generic multi-key path)") {
+    import spark.implicits._
+    val l = Seq((Some(1L), "a", 10L, "p1"), (None, "a", 10L, "pn1"),
+      (Some(1L), null.asInstanceOf[String], 10L, "pn2"))
+      .toDF("k1", "k2", "t", "tag")
+    val r = Seq((Some(1L), "a", 5L, "c1"), (None, "a", 1L, "cn1"),
+      (Some(1L), null.asInstanceOf[String], 1L, "cn2"))
+      .toDF("rk1", "rk2", "rt", "rtag")
+    val out = graft.plans.AsOf.joinAsOf(
+      l, r, Seq(l("k1"), l("k2")), Seq(r("rk1"), r("rk2")), l("t"), r("rt"))
+      .select(col("tag"), col("rtag"))
+      .collect().map(row => row.getString(0) -> row.getString(1)).toMap
+    assert(out == Map("p1" -> "c1", "pn1" -> null, "pn2" -> null))
+  }
+
   test("as-of exec plans natively with co-partitioned sorted children") {
     val df = SparkEntry.queries("q_asof_native")(spark, dir)
     val s = df.queryExecution.explainString(
