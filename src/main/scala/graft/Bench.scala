@@ -40,7 +40,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalStr = f"$total%.3f"
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver parses one JSON line from stdout; sbt's logger can
+    // prefix it ([info]) depending on invocation, so ALSO write the line
+    // to bench.json in the working directory as the durable contract.
+    println(json)
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // stdout remains authoritative
     spark.stop()
   }
 }
