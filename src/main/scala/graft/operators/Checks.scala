@@ -86,44 +86,66 @@ object Checks {
       |GROUP BY o_orderstatus""".stripMargin
 
   /** A21: the `dbt test` run itself — every schema test executed and
-    * folded to one (test_name, n_violations, passed) row each, exactly
-    * the summary dbt prints. Composes A11–A14; each arm is its own
-    * bounded aggregate, so the report costs what the checks cost.
+    * folded to one (test_name, severity, n_violations, passed, status)
+    * row each, exactly the summary dbt prints. Severity mirrors the
+    * reference's schema.yml: every staging test is `severity: warn`
+    * (models/staging/schema.yml:37,39,59,92), the core revenue not_null
+    * is `severity: error` (models/core/schema.yml:23–24). `status` is
+    * what a dbt user reads first: pass, warn (violations on a warn-level
+    * test), or fail (violations on an error-level test). Composes
+    * A11–A14 + the core rollup guard; each arm is its own bounded
+    * aggregate, so the report costs what the checks cost.
     */
   def checkSummary(spark: SparkSession, dir: String): DataFrame = {
-    def arm(name: String, violations: DataFrame): DataFrame =
+    def arm(name: String, severity: String, violations: DataFrame): DataFrame =
       violations.agg(count(lit(1)).as("n_violations"))
-        .select(lit(name).as("test_name"), col("n_violations"),
-          (col("n_violations") === 0).as("passed"))
-    arm("unique_events_key", checkUnique(spark, dir))
-      .unionByName(arm("not_null_events",
+        .select(lit(name).as("test_name"), lit(severity).as("severity"),
+          col("n_violations"), (col("n_violations") === 0).as("passed"),
+          when(col("n_violations") === 0, "pass")
+            .otherwise(if (severity == "warn") "warn" else "fail").as("status"))
+    arm("unique_events_key", "warn", checkUnique(spark, dir))
+      .unionByName(arm("not_null_events", "warn",
         checkNotNull(spark, dir).filter(
           col("null_user_id") + col("null_event_type") + col("null_ts") > 0)))
-      .unionByName(arm("relationships_user_customer", checkRelationships(spark, dir)))
-      .unionByName(arm("accepted_values_orderstatus", checkAcceptedValues(spark, dir)))
+      .unionByName(arm("relationships_user_customer", "warn",
+        checkRelationships(spark, dir)))
+      .unionByName(arm("accepted_values_orderstatus", "warn",
+        checkAcceptedValues(spark, dir)))
+      .unionByName(arm("not_null_revenue_monthly_total", "error",
+        Facts.monthlyRollup(spark, dir)
+          .filter(col("revenue_monthly_total").isNull)))
   }
 
   val checkSummarySql: String =
-    """SELECT 'unique_events_key' AS test_name,
-      |  CAST(COUNT(*) AS BIGINT) AS n_violations, COUNT(*) = 0 AS passed
+    """SELECT 'unique_events_key' AS test_name, 'warn' AS severity,
+      |  CAST(COUNT(*) AS BIGINT) AS n_violations, COUNT(*) = 0 AS passed,
+      |  CASE WHEN COUNT(*) = 0 THEN 'pass' ELSE 'warn' END AS status
       |FROM (SELECT user_id, event_type FROM events
       |      GROUP BY 1, 2 HAVING COUNT(*) > 1)
       |UNION ALL
-      |SELECT 'not_null_events',
-      |  CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+      |SELECT 'not_null_events', 'warn',
+      |  CAST(COUNT(*) AS BIGINT), COUNT(*) = 0,
+      |  CASE WHEN COUNT(*) = 0 THEN 'pass' ELSE 'warn' END
       |FROM (SELECT 1 FROM events
       |      HAVING SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
       |        + SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
       |        + SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) > 0)
       |UNION ALL
-      |SELECT 'relationships_user_customer',
-      |  CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+      |SELECT 'relationships_user_customer', 'warn',
+      |  CAST(COUNT(*) AS BIGINT), COUNT(*) = 0,
+      |  CASE WHEN COUNT(*) = 0 THEN 'pass' ELSE 'warn' END
       |FROM (SELECT user_id FROM events
       |      WHERE user_id NOT IN (SELECT c_custkey FROM customer)
       |      GROUP BY 1)
       |UNION ALL
-      |SELECT 'accepted_values_orderstatus',
-      |  CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+      |SELECT 'accepted_values_orderstatus', 'warn',
+      |  CAST(COUNT(*) AS BIGINT), COUNT(*) = 0,
+      |  CASE WHEN COUNT(*) = 0 THEN 'pass' ELSE 'warn' END
       |FROM (SELECT o_orderstatus FROM orders
-      |      WHERE o_orderstatus NOT IN ('O', 'F') GROUP BY 1)""".stripMargin
+      |      WHERE o_orderstatus NOT IN ('O', 'F') GROUP BY 1)
+      |UNION ALL
+      |SELECT 'not_null_revenue_monthly_total', 'error',
+      |  CAST(COUNT(*) AS BIGINT), COUNT(*) = 0,
+      |  CASE WHEN COUNT(*) = 0 THEN 'pass' ELSE 'fail' END
+      |FROM (""".stripMargin + Facts.rollupTotalNullsSql + ")"
 }

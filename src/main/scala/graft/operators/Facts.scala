@@ -148,6 +148,14 @@ object Facts {
       |FROM fact
       |GROUP BY 1, 2, 3""".stripMargin
 
+  /** Rollup rows whose total revenue is NULL — the oracle face of the
+    * core schema.yml not_null guard (severity error), consumed by
+    * Checks.checkSummarySql. DuckDB accepts the rollup CTE nested in a
+    * subquery.
+    */
+  val rollupTotalNullsSql: String =
+    s"SELECT 1 FROM (\n$monthlyRollupSql\n) r WHERE revenue_monthly_total IS NULL"
+
   /** A8: dm_monthly_zone_statistics.sql (README step 2a) — same grouping
     * keys, count + averages only.
     */

@@ -146,8 +146,14 @@ class OperatorSpec extends AnyFunSuite {
 
   test("q_multimodal_features: stub decode is deterministic and shape-stable") {
     val d = run("q_multimodal_features").cache()
-    assert(d.filter(size(col("features")) =!= 8).count() == 0)
+    // all 8 feature bins present and bounded (byte sums / 255 / n <= 1)
+    for (i <- 0 until 8) {
+      assert(d.filter(col(s"f$i").isNull).count() == 0)
+      assert(d.filter(col(s"f$i") < 0 || col(s"f$i") > 1).count() == 0)
+    }
     assert(d.filter(col("n_bytes") <= 0).count() == 0)
+    // frame sample = first payload bytes, here ASCII codes
+    assert(d.filter(col("frame0") < 0 || col("frame0") > 255).count() == 0)
     d.unpersist()
   }
 
@@ -582,7 +588,7 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("q_hll_union: merged daily sketches track the exact distinct count") {
-    val approx = run("q_hll_union")
+    val approx = graft.operators.Extras.hllUnionRaw(spark, dir)
       .select(col("event_type"), col("approx_users")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = graft.sources.Tables(spark, dir).events
@@ -761,12 +767,21 @@ class OperatorSpec extends AnyFunSuite {
 
   test("q_check_summary: one row per schema test, consistent with the raw checks") {
     val d = run("q_check_summary").collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
-    assert(d.size == 4)
-    assert(d("unique_events_key")._1 == run("q_check_unique").count())
-    assert(d("relationships_user_customer")._1 ==
+      .map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getBoolean(3), r.getString(4)))).toMap
+    assert(d.size == 5)
+    assert(d("unique_events_key")._2 == run("q_check_unique").count())
+    assert(d("relationships_user_customer")._2 ==
       run("q_check_relationships").count())
-    d.foreach { case (_, (n, passed)) => assert(passed == (n == 0)) }
+    // severity mirrors the reference schema.yml: staging warn, core error
+    assert(d("not_null_revenue_monthly_total")._1 == "error")
+    d.foreach { case (_, (sev, n, passed, status)) =>
+      assert(Set("warn", "error")(sev))
+      assert(passed == (n == 0))
+      // dbt status semantics: pass, else warn/fail by severity
+      val expected = if (n == 0) "pass" else if (sev == "warn") "warn" else "fail"
+      assert(status == expected)
+    }
   }
 
   test("q_dsir_score: target-domain docs score higher than the rest on average") {
