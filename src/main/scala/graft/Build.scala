@@ -29,6 +29,39 @@ object Build {
       checks.filter(c => !c.passed && c.severity == Error)
   }
 
+  /** The model DAG, declared once — `dbt docs` lineage metadata (model,
+    * materialization, ordered inputs). [[build]] materializes in this
+    * order and [[lineage]] emits it as a DataFrame; a mismatch between
+    * the two is a bug by construction, not a doc drift.
+    */
+  val modelDag: Seq[(String, String, Seq[String])] = Seq(
+    ("stg_events", "view", Seq("events")),
+    ("dim_zones", "table", Seq("nation", "region")),
+    ("fact_lineitem", "table",
+      Seq("lineitem", "supplier", "orders", "customer", "dim_zones")),
+    ("dm_monthly_zone_revenue", "table", Seq("fact_lineitem")),
+    ("dm_monthly_zone_statistics", "table", Seq("fact_lineitem")))
+
+  /** One row per dependency edge: (model, materialization, input,
+    * input_pos) — what `dbt docs generate` publishes as the project
+    * lineage graph, queryable like any other table.
+    */
+  def lineage(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    modelDag.flatMap { case (m, mat, ins) =>
+      ins.zipWithIndex.map { case (in, i) => (m, mat, in, (i + 1).toLong) }
+    }.toDF("model", "materialization", "input", "input_pos")
+  }
+
+  /** Oracle face of [[lineage]], generated from the same [[modelDag]] —
+    * a pure-literal UNION so DuckDB states the identical edge set.
+    */
+  val lineageSql: String = modelDag.flatMap { case (m, mat, ins) =>
+    ins.zipWithIndex.map { case (in, i) =>
+      s"SELECT '$m' AS model, '$mat' AS materialization, '$in' AS input, CAST(${i + 1} AS BIGINT) AS input_pos"
+    }
+  }.mkString("\nUNION ALL\n")
+
   def build(spark: SparkSession, sfDir: String, warehouseDir: String): BuildReport = {
     def table(name: String, df: DataFrame): DataFrame = {
       val path = s"$warehouseDir/$name"
@@ -42,7 +75,7 @@ object Build {
 
     // staging layer (materialized='view')
     view("stg_events", Staging.stgEvents(spark, sfDir))
-    // core layer (materialized='table'), dependency order
+    // core layer (materialized='table'), dependency order = modelDag order
     table("dim_zones", Staging.seedDim(spark, sfDir))
     val fact = table("fact_lineitem", Facts.factLineitem(spark, sfDir))
     val revenue = table("dm_monthly_zone_revenue", Facts.monthlyRollupFrom(fact))

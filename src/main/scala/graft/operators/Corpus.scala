@@ -551,8 +551,12 @@ object Corpus {
     * span keys — 8-byte longs on the wire instead of 32-char md5
     * strings (the audit measures the md5 face at ~40 B/span; this one
     * ships 16 B/span, and the groupBy key compares as a primitive).
-    * Rows-only (DuckDB has no xxhash64); the spec pins the per-group
-    * (n_docs, n_occurrences) multiset to the md5 face's.
+    * The hash value is engine-specific, so the OUTPUT drops it (it is
+    * an internal grouping key, not information): per duplicated span,
+    * (n_docs, n_occurrences, first_doc). That multiset is
+    * hash-function-independent — identical under md5 — so the DuckDB
+    * md5-span oracle checks this face exactly (collisions aside, and a
+    * collision would change n_docs and fail loudly).
     */
   def spanDedupFast(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir).documents
@@ -567,7 +571,23 @@ object Corpus {
         count(lit(1)).as("n_occurrences"),
         min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") >= 2)
+      .drop("span_hash")
   }
+
+  val spanDedupFastSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8),
+      |spans AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(tk[i+1 : i+8], ' ')) AS span_hash
+      |  FROM toks, unnest(range(0, len(tk) - 7)) AS t(i))
+      |SELECT
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+      |  MIN(doc_id) AS first_doc
+      |FROM spans GROUP BY span_hash
+      |HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin
 
   /** C38: n-gram overlap decontamination (the GPT-3-style check): for
     * each eval doc, the fraction of its distinct 8-token spans that

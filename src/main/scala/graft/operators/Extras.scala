@@ -293,11 +293,21 @@ object Extras {
       |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin
 
   /** E8: sketch-based distinct counting (HyperLogLog++) next to the
-    * exact count — the at-scale substitute for E4's Expand plan
-    * (rows-only: HLL implementations differ by engine; the spec bounds
-    * relative error instead).
+    * exact count — the at-scale substitute for E4's Expand plan. HLL
+    * estimates differ by engine, so the driver face pins the EXACT
+    * companion column plus `approx_ok`, the in-plan claim that the
+    * sketch landed within its error budget (5% + 2 absolute, matching
+    * the spec bound) — a DuckDB oracle states exact + TRUE, so an
+    * out-of-budget sketch hash-mismatches and fails the gate.
     */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    approxDistinctRaw(spark, dir)
+      .select(col("ship_year"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          col("exact_parts") * 0.05 + 2).as("approx_ok"))
+
+  /** Both columns raw, for the error-bound spec. */
+  def approxDistinctRaw(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).lineitem
       .select(col("l_shipdate"), col("l_partkey"))
       .repartition(spark.sparkContext.defaultParallelism)
@@ -305,6 +315,13 @@ object Extras {
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+
+  val approxDistinctSql: String =
+    """SELECT CAST(date_trunc('year', l_shipdate) AS TIMESTAMP) AS ship_year,
+      |  COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  TRUE AS approx_ok
+      |FROM lineitem
+      |GROUP BY 1""".stripMargin
 
   val distinctCountsSql: String =
     """SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
@@ -649,18 +666,38 @@ object Extras {
       |GROUP BY 1, 2""".stripMargin
 
   /** E8b: per-group approximate percentiles — `percentile_approx`
-    * (a mergeable KLL-family digest: map tasks ship sketch state, never
-    * rows) next to E7's exact interpolated percentiles. Rows-only (the
-    * sketch is engine-specific); the spec bounds the sketch against the
-    * exact values. This is E7's 100 TB path: no per-group sort, state
-    * O(sketch) per group.
+    * (a mergeable GK digest: map tasks ship sketch state, never rows)
+    * next to E7's exact interpolated percentiles. This is E7's 100 TB
+    * path: no per-group sort, state O(sketch) per group. The sketch
+    * value is engine-specific, so the driver face pins the exact
+    * companions + in-plan error claims (1% relative + 1 absolute) the
+    * oracle states as TRUE.
     */
   def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    approxPercentilesRaw(spark, dir)
+      .select(col("l_returnflag"), col("p50_qty"), col("p90_price"),
+        (abs(col("p50_qty_approx") - col("p50_qty")) <=
+          abs(col("p50_qty")) * 0.01 + 1).as("p50_ok"),
+        (abs(col("p90_price_approx") - col("p90_price")) <=
+          abs(col("p90_price")) * 0.01 + 1).as("p90_ok"))
+
+  /** Sketch and exact values side by side, for the error-bound spec. */
+  def approxPercentilesRaw(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).lineitem
       .groupBy(col("l_returnflag"))
       .agg(
         percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50_qty_approx"),
-        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("p90_price_approx"))
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("p90_price_approx"),
+        round(call_function("percentile", col("l_quantity"), lit(0.5)), 4).as("p50_qty"),
+        round(call_function("percentile", col("l_extendedprice"), lit(0.9)), 4).as("p90_price"))
+
+  val approxPercentilesSql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+      |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+      |  TRUE AS p50_ok, TRUE AS p90_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin
 
   /** A20: dbt `source freshness` — per-source-partition staleness
     * against the feed's high-water mark. dbt checks `max(loaded_at)`
@@ -730,11 +767,24 @@ object Extras {
     * pattern behind incrementally-maintained distinct counts: daily
     * partials are STATE (DataSketches HLL, re-aggregable), so a new day
     * merges in O(sketch) instead of rescanning history — exactly how
-    * E8's approx distinct becomes incremental at 100 TB. Rows-only
-    * (sketch bytes are engine-specific); the spec bounds the estimate
-    * against the exact count.
+    * E8's approx distinct becomes incremental at 100 TB. Sketch bytes
+    * and estimates are engine-specific, so the driver face follows E8's
+    * pattern: exact companion columns + `union_ok`, the in-plan claim
+    * the unioned estimate landed within 5% + 2 of the exact distinct.
     */
   def hllUnion(spark: SparkSession, dir: String): DataFrame = {
+    val approx = hllUnionRaw(spark, dir)
+    val exact = Tables(spark, dir).events
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    approx.join(exact, "event_type")
+      .select(col("event_type"), col("n_days"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * 0.05 + 2).as("union_ok"))
+  }
+
+  /** The raw sketch-union estimate, for the error-bound spec. */
+  def hllUnionRaw(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events.select(col("event_type"),
       date_trunc("day", timestamp_micros(nsToUs(col("ts")))).as("day"),
       col("user_id"))
@@ -744,6 +794,14 @@ object Extras {
       .agg(count(lit(1)).as("n_days"),
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
   }
+
+  val hllUnionSql: String =
+    """SELECT event_type,
+      |  COUNT(DISTINCT date_trunc('day', ts)) AS n_days,
+      |  COUNT(DISTINCT user_id) AS exact_users,
+      |  TRUE AS union_ok
+      |FROM events
+      |GROUP BY 1""".stripMargin
 
   /** E26: top-N per group through the bounded-heap
     * [[graft.functions.TopKAgg]] aggregate — top-3 orders per market

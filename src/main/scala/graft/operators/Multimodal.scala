@@ -65,20 +65,22 @@ object Multimodal {
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
   final case class MediaFeatures(
       doc_id: Long, n_bytes: Int,
-      features: Array[Float], frame_sample: Array[Int])
+      features: Array[Double], frame_sample: Array[Int])
 
   /** STUB decode: a real pipeline would call an image/audio codec here
     * (libs absent in this container). This deterministic fake folds the
     * payload bytes into an 8-bin histogram-ish feature vector and
     * "samples frames" as the first 4 byte values, preserving the exact
     * batch shape (bytes in → fixed-dim float features out) a decoder
-    * would have.
+    * would have. Accumulates in double so the arithmetic is plain
+    * byte-sum math any engine can restate (the oracle recomputes it in
+    * SQL).
     */
   private def decodeStub(r: MediaRow): MediaFeatures = {
-    val feats = new Array[Float](8)
+    val feats = new Array[Double](8)
     var i = 0
     while (i < r.payload.length) {
-      feats(i % 8) += (r.payload(i) & 0xff) / 255.0f
+      feats(i % 8) += (r.payload(i) & 0xff) / 255.0
       i += 1
     }
     val n = math.max(r.payload.length, 1)
@@ -105,10 +107,40 @@ object Multimodal {
       .toDF()
     // get() is 0-based and null-on-missing (a <4-byte payload yields a
     // short frame_sample) — element_at would throw under ANSI mode.
-    val featCols = (0 until 8).map(i => get(col("features"), lit(i)).as(s"f$i"))
+    // Feature cells round to 6 dp and fix as decimal (the ln-pattern
+    // from q_unigram_logprob) so the byte-sum arithmetic compares
+    // exactly against the SQL oracle restating it.
+    val featCols = (0 until 8).map(i =>
+      round(get(col("features"), lit(i)), 6).cast("decimal(18,6)").as(s"f$i"))
     val frameCols = (0 until 4).map(i =>
       get(col("frame_sample"), lit(i)).as(s"frame$i"))
     feats.select(col("doc_id") +: col("n_bytes") +: (featCols ++ frameCols): _*)
+  }
+
+  /** Oracle restating [[decodeStub]]'s byte arithmetic in SQL: payload
+    * = UTF-8 text bytes (ASCII in the test corpus, so byte i ==
+    * character i), 8 stride-binned byte sums / 255 / n, first-4-byte
+    * frame sample.
+    */
+  val multimodalFeaturesSql: String = {
+    val fCols = (0 until 8).map(j =>
+      s"    CAST(round(COALESCE(SUM(CASE WHEN j = $j THEN v END), 0) / n_bytes, 6) AS DECIMAL(18,6)) AS f$j")
+      .mkString(",\n")
+    val frames = (0 until 4).map(j =>
+      s"  CASE WHEN length(d.text) >= ${j + 1} THEN ascii(substr(d.text, ${j + 1}, 1)) END AS frame$j")
+      .mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       |    (i - 1) % 8 AS j,
+       |    ascii(substr(text, CAST(i AS INTEGER), 1)) / 255.0 AS v
+       |  FROM documents, unnest(range(1, length(text) + 1)) AS u(i)),
+       |f AS (
+       |  SELECT doc_id, n_bytes,
+       |$fCols
+       |  FROM t GROUP BY doc_id, n_bytes)
+       |SELECT f.doc_id, f.n_bytes, f0, f1, f2, f3, f4, f5, f6, f7,
+       |$frames
+       |FROM f JOIN documents d USING (doc_id)""".stripMargin
   }
 
   /** STUB resize: stride-sample the payload down to ≤16 bytes — a real

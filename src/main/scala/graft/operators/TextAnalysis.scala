@@ -274,8 +274,11 @@ object TextAnalysis {
     * exact vocab shuffles every (token, partial count) pair; the sketch
     * ships ≤ 64 counters per map task into a single mergeable reduce,
     * with the MG guarantee that no token of frequency > n/65 is missed.
-    * Rows-only check (approximation isn't oracle-SQL); the spec pins
-    * the guarantee against the exact counts.
+    * Oracle: whenever |vocab| ≤ capacity no MG decrement ever fires, so
+    * every counter is EXACT and the plain exact token counts are the
+    * oracle (the test corpus vocabulary is 31 ≤ 64 at every SF). The
+    * overflow regime (|vocab| > capacity) keeps its guarantee-only
+    * property spec in sbt.
     */
   def vocabApprox(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
@@ -283,6 +286,11 @@ object TextAnalysis {
       .agg(graft.functions.FreqAgg.freq_items(col("token"), 64).as("hh"))
       .select(explode(col("hh")).as("e"))
       .select(col("e.token").as("token"), col("e.est").as("est_count"))
+
+  val vocabApproxSql: String =
+    """SELECT token, COUNT(*) AS est_count
+      |FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token""".stripMargin
 
   /** C26: train/eval contamination check — eval-split documents whose
     * normalized fingerprint (C12) also appears in the train split; the

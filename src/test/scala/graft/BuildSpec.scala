@@ -35,6 +35,24 @@ class BuildSpec extends AnyFunSuite {
       .collect()(0).getLong(0) > 0)
   }
 
+  test("lineage metadata agrees with what build() actually materializes") {
+    val wh = Files.createTempDirectory("graft_wh_lin").toString
+    val report = Build.build(spark, dir, wh)
+    val lin = Build.lineage(spark).collect()
+    val models = lin.map(_.getString(0)).toSet
+    // every materialized relation is a declared model and vice versa
+    assert(models == (report.views ++ report.tables).toSet)
+    // every edge input is either a source table or an upstream model
+    val sources = Set("events", "nation", "region", "lineitem", "supplier",
+      "orders", "customer")
+    val inputs = lin.map(_.getString(2)).toSet
+    assert(inputs.subsetOf(sources ++ models), (inputs -- sources -- models).toString)
+    // materialization tags match build behavior
+    val mat = lin.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(report.views.forall(v => mat(v) == "view"))
+    assert(report.tables.forall(t => mat(t) == "table"))
+  }
+
   test("SQL extension functions registered via GraftExtensions") {
     graft.core.GraftExtensions.register(spark)
     val r = spark.sql(
@@ -189,11 +207,14 @@ class BuildSpec extends AnyFunSuite {
 
   test("q_approx_distinct: HLL within configured 2% error of exact") {
     import org.apache.spark.sql.functions._
-    val d = operators.Extras.approxDistinct(spark, dir)
+    val d = operators.Extras.approxDistinctRaw(spark, dir)
     val bad = d.filter(
       abs(col("approx_parts") - col("exact_parts")) >
         col("exact_parts") * 0.05 + 2)
     assert(bad.count() == 0)
+    // and the driver face carries the same claim as a column
+    val face = operators.Extras.approxDistinct(spark, dir)
+    assert(face.filter(!col("approx_ok")).count() == 0)
   }
 
   test("q_asof_join: matched click precedes its purchase") {
