@@ -234,19 +234,30 @@ object Extras {
     * per month (Catalyst plans this as Expand + two-phase aggregation;
     * at scale each distinct column shuffles once on (month, value)).
     */
-  def distinctCounts(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).lineitem
-      .select(col("l_shipdate"), col("l_partkey"), col("l_suppkey"), col("l_orderkey"))
-      // the multi-distinct Expand multiplies rows ×4 BEFORE the first
-      // exchange; spread the single-row-group local scan so the expand
-      // and partial aggs run wide (a cluster scan arrives pre-split)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
-      .agg(
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_suppkey")).as("n_suppliers"),
-        countDistinct(col("l_orderkey")).as("n_orders"),
-        count(lit(1)).as("n_lines"))
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame = {
+    // NOT the stock multi-countDistinct: that plans an Expand that
+    // multiplies every fact row ×4 before the first partial aggregate —
+    // at 100 TB that is trillions of synthetic rows through the hash
+    // map. Instead each key gets its own narrow (2-column, pruned) scan
+    // whose partial aggregate dedups map-side, so only distinct
+    // (month, key) pairs ever shuffle; the per-month count frames are
+    // tiny (|months|) and join broadcast. Same result, no amplification.
+    val li = Tables(spark, dir).lineitem
+    val month = date_trunc("month", col("l_shipdate")).as("ship_month")
+    def perKey(key: String, out: String): DataFrame =
+      li.select(month, col(key))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .groupBy(col("ship_month"), col(key)).agg(lit(1))
+        .groupBy(col("ship_month")).agg(count(lit(1)).as(out))
+    val lines = li.select(month)
+      .groupBy(col("ship_month")).agg(count(lit(1)).as("n_lines"))
+    perKey("l_partkey", "n_parts")
+      .join(perKey("l_suppkey", "n_suppliers"), "ship_month")
+      .join(perKey("l_orderkey", "n_orders"), "ship_month")
+      .join(lines, "ship_month")
+      .select(col("ship_month"), col("n_parts"), col("n_suppliers"),
+        col("n_orders"), col("n_lines"))
+  }
 
   /** E7: exact interpolated percentiles (median + p90) per return flag.
     * Both engines define continuous percentiles identically (sort,

@@ -202,6 +202,36 @@ object Events {
     else
       events.dropDuplicates(keys)
 
+  /** D7: an end-to-end Structured Streaming pipeline the BATCH harness
+    * can drive — the events feed consumed as a file stream (watermarked
+    * event time), hourly-aggregated, run to completion under
+    * `Trigger.AvailableNow` (the scheduled catch-up shape: process
+    * everything present, then stop), and returned as the sink table.
+    * Because [[hourlyAgg]] is the same transform the batch face runs,
+    * the batch oracle states this result exactly; StreamingSpec holds
+    * the incremental-arrival and self-termination properties.
+    */
+  def qStreamHourly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // FileStreamSource consumes a DIRECTORY (the arrival contract:
+    // files land, get processed once); stage the feed into one
+    val feedDir = java.nio.file.Files.createTempDirectory("graft_feed")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+      feedDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(feedDir.toString)
+      .withColumn("event_ts", nsToTimestamp(col("ts")))
+      .withWatermark("event_ts", "1 hour")
+    val q = hourlyAgg(stream).writeStream
+      .outputMode("complete").format("memory").queryName("q_stream_hourly_sink")
+      .trigger(Trigger.AvailableNow()).start()
+    try require(q.awaitTermination(300000),
+      "AvailableNow run did not self-terminate")
+    finally if (q.isActive) q.stop()
+    spark.table("q_stream_hourly_sink")
+  }
+
   val qSessionizeSql: String =
     """WITH e AS (
       |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events
