@@ -124,6 +124,34 @@ object Staging {
       |      FROM events WHERE user_id IS NOT NULL)
       |WHERE rn = 1""".stripMargin
 
+  /** dbt `var()` analog: run-scoped variables read from session config
+    * (`spark.graft.vars.<name>`) with a default — the `dbt build --vars
+    * '…'` mechanism, since Spark's session conf is exactly a run-scoped
+    * key-value store.
+    */
+  def getVar(spark: SparkSession, name: String, default: String): String =
+    spark.conf.get(s"spark.graft.vars.$name", default)
+
+  /** A23: parameterized dev-run limiting — the reference's
+    * `var('is_test_run', default=true)` → `limit 100` pattern
+    * (stg_green_tripdata.sql:44–48). When the var is true (the default,
+    * as in dbt), the staging model returns a bounded dev sample; a
+    * production run (`--vars 'is_test_run: false'` ≙ setting the conf)
+    * returns the full model. Unlike dbt's bare LIMIT (row choice is
+    * engine/partition-dependent), the sample is ORDER BY key LIMIT n —
+    * deterministic, so dev-run diffs are stable and the oracle can
+    * state it.
+    */
+  def stgDevLimit(spark: SparkSession, dir: String): DataFrame = {
+    val base = stgEvents(spark, dir)
+    if (getVar(spark, "is_test_run", "true").toBoolean)
+      base.orderBy(col("event_sk")).limit(100)
+    else base
+  }
+
+  val stgDevLimitSql: String =
+    stgEventsSql + "\nORDER BY event_sk LIMIT 100"
+
   /** A5: the zone dim — seed/dim projection with a `replace()` transform
     * (dim_zones.sql: `replace(service_zone,'Boro','Green')`). nation ⋈
     * region is a broadcast join (both dims are tiny at any scale).

@@ -50,6 +50,17 @@ class OperatorSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("q_stg_dev_limit: var-gated — 100-row dev sample by default, full model when false") {
+    val dev = run("q_stg_dev_limit")
+    assert(dev.count() == math.min(100L, run("q_stg_clean").count()))
+    // dbt build --vars 'is_test_run: false' equivalent
+    spark.conf.set("spark.graft.vars.is_test_run", "false")
+    try {
+      val full = run("q_stg_dev_limit")
+      assert(full.count() == run("q_stg_clean").count())
+    } finally spark.conf.unset("spark.graft.vars.is_test_run")
+  }
+
   test("q_case_map: codes 1-5 described, never null for valid codes") {
     val d = run("q_case_map")
     assert(d.filter(col("priority_code").between(1, 5) &&
