@@ -14,13 +14,10 @@ run / fork := true
 // Pass the forked process's stdout straight through — sbt's default
 // LoggedOutput prefixes every line with [info], which breaks harnesses
 // that parse a JSON line from stdout (Bench's one-line contract).
-// Scoped to every run-flavored task (runMain resolves its options under
-// its own scope in some sbt versions, so set all of them; Bench also
-// writes bench.json as the durable fallback).
-run / outputStrategy := Some(StdoutOutput)
-runMain / outputStrategy := Some(StdoutOutput)
+// runMain consumes the Compile/run scope (sbt's lintUnused confirms the
+// others are dead); Bench also writes bench.json as the durable
+// fallback.
 Compile / run / outputStrategy := Some(StdoutOutput)
-Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -210,6 +210,28 @@ object Ann {
       |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2_norm
       |FROM embeddings""".stripMargin
 
+  /** C43: per-label centroids — the class-prototype reduction behind
+    * SemDeDup cluster centers, classifier prototypes, and IVF seeding:
+    * mean embedding per label in long form (label, dim, centroid).
+    * Exploding positions keeps the shuffle on aggregation keys only —
+    * (label, dim) partial sums, never whole vectors — so the exchange
+    * is O(|labels|·dim) per task at any corpus size. Elements widen
+    * float→double before summing; the mean rounds to 6 dp and fixes as
+    * decimal so partial-sum orderings can't flip an output bit.
+    */
+  def embedCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg(round(avg(col("v").cast("double")), 6)
+        .cast("decimal(18,6)").as("centroid"))
+
+  val embedCentroidsSql: String =
+    """SELECT label, CAST(j AS INTEGER) AS dim,
+      |  CAST(round(AVG(CAST(embedding[j] AS DOUBLE)), 6) AS DECIMAL(18,6)) AS centroid
+      |FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(j)
+      |GROUP BY label, j""".stripMargin
+
   /** C25: int8 embedding quantization — per-vector symmetric scale
     * (127/max|x|), the standard storage/SIMD compression before
     * indexing. Map-only. Rounding is spelled as floor(x·scale + 0.5) —

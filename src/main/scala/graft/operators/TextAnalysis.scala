@@ -433,6 +433,60 @@ object TextAnalysis {
        |SELECT doc_id, lang, quality_score FROM ranked WHERE q4 = 1""".stripMargin
   }
 
+  /** C42: Gopher/C4-style RULE-based quality filtering — the
+    * hand-written heuristics every web-scale pretraining corpus applies
+    * BEFORE any learned scorer (Rae et al. 2021 "Gopher" §A1.1; Raffel
+    * et al. 2020 "C4"): word-count window, mean-word-length window,
+    * symbol ratio, uppercase-word ratio, terminal punctuation. Emits
+    * per-doc flags plus the fold — auditable per rule, the way corpus
+    * pipelines report their filter funnel. Map-only: every rule is a
+    * scalar expression over the text column, no shuffle at any scale.
+    * Patterns stick to ASCII classes Java regex and RE2 read alike.
+    */
+  def c4Filter(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val nWords = size(words).cast("long")
+    // chars-in-words / word count (text is single-space separated)
+    val meanWordLen = round(
+      (length(col("text")) - (nWords - 1)).cast("double") / nWords, 4)
+    val symbolRatio = round(
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[#{}\\[\\]|<>]", "")))
+        .cast("double") / length(col("text")), 4)
+    val upperRatio = round(
+      (size(filter(words, w => w.rlike("^[A-Z]"))).cast("double")) / nWords, 4)
+    val endsPunct = col("text").rlike("[.!?\"']$")
+    Tables(spark, dir).documents
+      .select(col("doc_id"), nWords.as("n_words"),
+        meanWordLen.as("mean_word_len"), symbolRatio.as("symbol_ratio"),
+        upperRatio.as("upper_ratio"), endsPunct.as("ends_punct"))
+      .withColumn("keep",
+        col("n_words").between(5, 100000) &&
+          col("mean_word_len").between(2.0, 12.0) &&
+          col("symbol_ratio") < 0.1 && col("upper_ratio") < 0.3)
+  }
+
+  val c4FilterSql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_words,
+      |  round((length(text) - (len(string_split(text, ' ')) - 1))
+      |    / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS mean_word_len,
+      |  round((length(text) - length(regexp_replace(text, '[#{}\[\]|<>]', '', 'g')))
+      |    / CAST(length(text) AS DOUBLE), 4) AS symbol_ratio,
+      |  round(len(list_filter(string_split(text, ' '),
+      |      w -> regexp_matches(w, '^[A-Z]')))
+      |    / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS upper_ratio,
+      |  regexp_matches(text, '[.!?"'']$') AS ends_punct,
+      |  (len(string_split(text, ' ')) BETWEEN 5 AND 100000)
+      |    AND (round((length(text) - (len(string_split(text, ' ')) - 1))
+      |      / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) BETWEEN 2.0 AND 12.0)
+      |    AND (round((length(text) - length(regexp_replace(text, '[#{}\[\]|<>]', '', 'g')))
+      |      / CAST(length(text) AS DOUBLE), 4) < 0.1)
+      |    AND (round(len(list_filter(string_split(text, ' '),
+      |        w -> regexp_matches(w, '^[A-Z]')))
+      |      / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) < 0.3) AS keep
+      |FROM documents""".stripMargin
+
   /** C21: PII scrubbing / text normalization — lowercase, mask emails
     * and URLs, collapse digit runs; the standard pre-training scrub
     * pass. Patterns stick to constructs Java regex and RE2 read
