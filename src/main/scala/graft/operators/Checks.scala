@@ -116,6 +116,34 @@ object Checks {
           .filter(col("revenue_monthly_total").isNull)))
   }
 
+  /** A24: dbt_utils.expression_is_true analog — an arbitrary row-level
+    * invariant asserted over a model, reported dbt-style as one
+    * (expression, n_violations, passed) row. The invariant here is the
+    * lineitem sanity contract (positive quantity/price, discount a
+    * fraction, non-negative tax); the count is a single partial-agg
+    * pass, so the check costs one scan at any scale.
+    */
+  def checkExpression(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .agg(sum(when(
+        !(col("l_quantity") > 0 && col("l_extendedprice") > 0 &&
+          col("l_discount").between(0, 1) && col("l_tax") >= 0), 1L)
+        .otherwise(0L)).as("n_violations"))
+      .select(
+        lit("lineitem_sanity").as("expression"),
+        col("n_violations"),
+        (col("n_violations") === 0L).as("passed"))
+
+  val checkExpressionSql: String =
+    """SELECT 'lineitem_sanity' AS expression,
+      |  CAST(SUM(CASE WHEN NOT (l_quantity > 0 AND l_extendedprice > 0
+      |                          AND l_discount BETWEEN 0 AND 1 AND l_tax >= 0)
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+      |  SUM(CASE WHEN NOT (l_quantity > 0 AND l_extendedprice > 0
+      |                     AND l_discount BETWEEN 0 AND 1 AND l_tax >= 0)
+      |      THEN 1 ELSE 0 END) = 0 AS passed
+      |FROM lineitem""".stripMargin
+
   val checkSummarySql: String =
     """SELECT 'unique_events_key' AS test_name, 'warn' AS severity,
       |  CAST(COUNT(*) AS BIGINT) AS n_violations, COUNT(*) = 0 AS passed,

@@ -247,4 +247,111 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"),
         max(col("doc_id")).as("max_doc_id"))
   }
+
+  /** C44: cluster representative selection — for every exact-dup
+    * cluster, keep the HIGHEST-QUALITY member (composite score, C9's
+    * formula), tie-broken by doc_id, instead of C1's arbitrary min-id.
+    * This is the keep-one policy real dedup pipelines run: dedup should
+    * drop the worst copies, not a random one. The window runs over
+    * (hash, id, score) projections only — document text never shuffles.
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame =
+    dedupKeepBest(Tables(spark, dir).documents)
+
+  /** Library face: keep-best selection over any (doc_id, text) frame. */
+  def dedupKeepBest(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs
+      .select(md5(col("text")).as("text_hash"), col("doc_id"),
+        TextAnalysis.compositeScore.as("quality_score"))
+    val w = Window.partitionBy(col("text_hash"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_copies", count(lit(1)).over(Window.partitionBy(col("text_hash"))))
+      .filter(col("rn") === 1)
+      .select(col("text_hash"), col("doc_id").as("keep_doc_id"),
+        col("quality_score").as("best_score"), col("n_copies"))
+  }
+
+  val dedupKeepBestSql: String =
+    s"""WITH scored AS (
+       |  SELECT md5(text) AS text_hash, doc_id,
+       |         ${TextAnalysis.compositeScoreSql} AS quality_score
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT text_hash, doc_id, quality_score,
+       |         ROW_NUMBER() OVER (PARTITION BY text_hash
+       |                            ORDER BY quality_score DESC, doc_id) AS rn,
+       |         COUNT(*) OVER (PARTITION BY text_hash) AS n_copies
+       |  FROM scored)
+       |SELECT text_hash, doc_id AS keep_doc_id, quality_score AS best_score, n_copies
+       |FROM ranked WHERE rn = 1""".stripMargin
+
+  /** C45: boilerplate / template detection — clusters of documents that
+    * share an identical leading 16-word prefix (the shape of scraped
+    * page templates and mirrored headers). Distinct from C1 (whole-text
+    * hash) and C31 (every 8-token window): only the document HEAD is
+    * keyed, and only clusters with >1 member surface. The exchange
+    * carries (16-byte prefix hash, doc_id) — never text.
+    */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame =
+    boilerplate(Tables(spark, dir).documents)
+
+  /** Library face: prefix-template clusters over any (doc_id, text) frame. */
+  def boilerplate(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        md5(array_join(slice(split(col("text"), " "), 1, 16), " ")).as("prefix_hash"),
+        col("doc_id"))
+      .groupBy(col("prefix_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc_id"))
+      .filter(col("n_docs") > 1)
+
+  val boilerplateSql: String =
+    """SELECT md5(array_to_string(list_slice(string_split(text, ' '), 1, 16), ' ')) AS prefix_hash,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS first_doc_id
+      |FROM documents
+      |GROUP BY 1
+      |HAVING COUNT(*) > 1""".stripMargin
+
+  /** C46: bounded fuzzy (edit-distance) near-dup pairs. Candidate space
+    * is blocked on (lang, ⌊n_chars/64⌋) — the standard blocking move
+    * that turns the corpus-quadratic into a sum of small block
+    * quadratics — and the kernel is Levenshtein over the 40-char prefix
+    * with Spark's thresholded form (O(threshold·n) banded DP with early
+    * exit, not the full O(n²) table). Blocking trades recall at bucket
+    * boundaries for a bound on work — the same contract as every LSH
+    * face here; the oracle states the identical distance unbounded.
+    */
+  def dedupFuzzy(spark: SparkSession, dir: String): DataFrame =
+    dedupFuzzy(Tables(spark, dir).documents)
+
+  /** Library face: blocked fuzzy pairs over any (doc_id, lang, n_chars,
+    * text) frame.
+    */
+  def dedupFuzzy(docs: DataFrame): DataFrame = {
+    val side = docs
+      .select(col("lang"), call_function("div", col("n_chars"), lit(64L)).as("len_bucket"),
+        col("doc_id"), substring(col("text"), 1, 40).as("prefix"))
+    val a = side.select(col("lang"), col("len_bucket"),
+      col("doc_id").as("doc_a"), col("prefix").as("pa"))
+    val b = side.select(col("lang"), col("len_bucket"),
+      col("doc_id").as("doc_b"), col("prefix").as("pb"))
+    a.join(b, Seq("lang", "len_bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("lang"), col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb"), 10).as("prefix_dist"))
+      .filter(col("prefix_dist").between(0, 10))
+  }
+
+  val dedupFuzzySql: String =
+    """SELECT a.lang AS lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS prefix_dist
+      |FROM (SELECT lang, CAST(n_chars // 64 AS BIGINT) AS len_bucket, doc_id,
+      |             substring(text, 1, 40) AS prefix FROM documents) a
+      |JOIN (SELECT lang, CAST(n_chars // 64 AS BIGINT) AS len_bucket, doc_id,
+      |             substring(text, 1, 40) AS prefix FROM documents) b
+      |  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.prefix, b.prefix) <= 10""".stripMargin
 }

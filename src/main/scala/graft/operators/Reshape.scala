@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Fns._
+import graft.sources.Tables
+
+/** Reshaping / gap-filling / exact-statistics relational surface
+  * (SURVEY §2 E33–E37): the dbt_utils-style macros the reference project
+  * family leans on (`date_spine`, `unpivot`) plus the gaps-and-islands
+  * and engine-exact correlation shapes every warehouse team ends up
+  * writing by hand.
+  *
+  * Scale notes: the date spine is generated from a one-row bounds
+  * aggregate (the spine itself is O(months) — tiny — and broadcasts into
+  * the fill join); unpivot is a map-only row explosion with a fixed
+  * fan-out; gaps-and-islands shuffles only (user, day) pairs; the
+  * correlation moments are single-pass partial aggregates of decimal
+  * products (order-independent, exactly like q_outliers' variance).
+  */
+object Reshape {
+
+  /** E33: dbt_utils.date_spine analog — a complete month spine between
+    * the data's own bounds, left-joined against the monthly revenue
+    * rollup with zero-fill, so downstream charts see explicit zero
+    * months instead of gaps (reference: dm_monthly_* rollups only emit
+    * months that have trips).
+    *
+    * The spine derives from a 1-row min/max aggregate and
+    * `explode(sequence(...))` — no driver round-trip, no generated
+    * table to maintain; AQE broadcasts the (tiny) spine side.
+    */
+  def dateSpine(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir).orders
+    val bounds = orders.agg(
+      date_trunc("month", min(col("o_orderdate"))).as("lo"),
+      date_trunc("month", max(col("o_orderdate"))).as("hi"))
+    val spine = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 month"))).as("month"))
+    val monthly = orders
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        decSum(col("o_totalprice")).as("revenue"))
+    spine.join(monthly, Seq("month"), "left")
+      .select(col("month"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"))
+  }
+
+  val dateSpineSql: String =
+    """WITH bounds AS (
+      |  SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+      |         date_trunc('month', MAX(o_orderdate)) AS hi
+      |  FROM orders),
+      |spine AS (
+      |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month
+      |  FROM bounds),
+      |monthly AS (
+      |  SELECT date_trunc('month', o_orderdate) AS month,
+      |         CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |  FROM orders GROUP BY 1)
+      |SELECT s.month,
+      |       COALESCE(m.n_orders, 0) AS n_orders,
+      |       COALESCE(m.revenue, 0.0) AS revenue
+      |FROM spine s LEFT JOIN monthly m ON s.month = m.month""".stripMargin
+
+  /** E34: unpivot (dbt_utils.unpivot / SQL UNPIVOT): the wide per-flag
+    * pricing aggregate melted to (flag, metric, value) long form — the
+    * shape BI metric layers ingest. Uses the native `Dataset.unpivot`
+    * (an Expand: map-only, fixed ×3 fan-out, no shuffle beyond the
+    * upstream aggregate).
+    */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).cast("double").as("n_rows"))
+    wide.unpivot(
+      Array(col("l_returnflag")),
+      Array(col("sum_qty"), col("sum_price"), col("n_rows")),
+      "metric", "value")
+  }
+
+  val unpivotMetricsSql: String =
+    """WITH wide AS (
+      |  SELECT l_returnflag,
+      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |         CAST(COUNT(*) AS DOUBLE) AS n_rows
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+      |UNION ALL
+      |SELECT l_returnflag, 'sum_price', sum_price FROM wide
+      |UNION ALL
+      |SELECT l_returnflag, 'n_rows', n_rows FROM wide""".stripMargin
+
+  /** E35: deterministic string aggregation (LISTAGG/string_agg): the
+    * member list per group as one ordered, delimited string. Spark has
+    * no ordered string_agg; `array_sort(collect_list(...))` states the
+    * total order explicitly, which is exactly what makes the result
+    * well-defined on a cluster (engine-native LISTAGG without ORDER BY
+    * is nondeterministic under parallel merge).
+    */
+  def stringAgg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.nation
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"))
+      .agg(
+        count(lit(1)).as("n_nations"),
+        array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+  }
+
+  val stringAggSql: String =
+    """SELECT r.r_name AS region,
+      |       CAST(COUNT(*) AS BIGINT) AS n_nations,
+      |       string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+      |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY 1""".stripMargin
+
+  /** E36: gaps-and-islands — consecutive-active-day streaks per user
+    * from the raw event feed. The classic `day − row_number()` island
+    * key; only (user, day) pairs ever shuffle (distinct + window +
+    * two-level aggregate share the user-keyed exchange).
+    */
+  def gapsIslands(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables(spark, dir).events
+      .select(col("user_id"), to_date(nsToTimestamp(col("ts"))).as("d"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val islands = days
+      .withColumn("grp", date_sub(col("d"), row_number().over(w)))
+    islands
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("len")).cast("long").as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).cast("long").as("max_streak"))
+  }
+
+  val gapsIslandsSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |isl AS (
+      |  SELECT user_id, d,
+      |         d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp
+      |  FROM days),
+      |streaks AS (
+      |  SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY 1, 2)
+      |SELECT user_id,
+      |       CAST(SUM(len) AS BIGINT) AS n_active_days,
+      |       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+      |       CAST(MAX(len) AS BIGINT) AS max_streak
+      |FROM streaks GROUP BY 1""".stripMargin
+
+  /** E37: engine-exact correlation + least-squares fit per group.
+    * Engine-native `corr()` accumulates running doubles whose value
+    * depends on merge order (Welford partials) — nondeterministic across
+    * partitionings and engines. Here the five moments are EXACT decimal
+    * sums (order-independent), and the corr/slope/intercept arithmetic
+    * runs in double with one stated operation order, so results are
+    * bit-identical on any cluster AND in the oracle.
+    */
+  def corrStats(spark: SparkSession, dir: String): DataFrame = {
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    val m = Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val sxx = col("sxx").cast("double"); val syy = col("syy").cast("double")
+    val num = n * sxy - sx * sy
+    val varx = n * sxx - sx * sx
+    val slope = num / varx
+    m.select(
+      col("l_returnflag"), col("n"),
+      (num / (sqrt(varx) * sqrt(n * syy - sy * sy))).as("corr_qty_price"),
+      slope.as("slope"),
+      ((sy - slope * sx) / n).as("intercept"))
+  }
+
+  val corrStatsSql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |         CAST(COUNT(*) AS BIGINT) AS n,
+      |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+      |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+      |         SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+      |         SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+      |         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |    AS corr_qty_price,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    AS slope,
+      |  (CAST(sy AS DOUBLE)
+      |     - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |       * CAST(sx AS DOUBLE))
+      |    / CAST(n AS DOUBLE) AS intercept
+      |FROM m""".stripMargin
+}

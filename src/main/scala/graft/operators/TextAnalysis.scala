@@ -63,7 +63,7 @@ object TextAnalysis {
     val words = (substrCount(col("text"), " ") + 1).cast("int")
     hits(enStops) / words * lit(0.5) + least(words, lit(100)) / lit(100) * lit(0.5)
   }
-  private def compositeScoreSql: String =
+  private[operators] def compositeScoreSql: String =
     s"${hitsSql(enStops)} / $wordsSql * 0.5 + least($wordsSql, 100) / 100 * 0.5"
 
   /** C8: language ID via stopword-marker hits — the classic cheap n-gram
@@ -519,4 +519,29 @@ object TextAnalysis {
       |    'https?://[^ ]+', '<url>', 'g'),
       |    '[0-9]+', '0', 'g')) AS INTEGER) AS scrub_len
       |FROM documents""".stripMargin
+
+  /** C47: corpus length distribution — log₂ length buckets per source,
+    * the histogram every data-mixture dashboard opens with (and the
+    * input to length-based curriculum/filtering policies). The bucket is
+    * integer-exact: `length(bin(n))` = ⌊log₂ n⌋ + 1 — no floating-point
+    * log at bucket boundaries. One partial-agg pass, O(sources × 64)
+    * output rows at any scale.
+    */
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .groupBy(col("source"),
+        length(bin(col("n_chars"))).cast("int").as("bucket_log2"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars_total"),
+        min(col("n_chars")).as("chars_min"),
+        max(col("n_chars")).as("chars_max"))
+
+  val lengthBucketsSql: String =
+    """SELECT source, CAST(length(bin(n_chars)) AS INTEGER) AS bucket_log2,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+      |  MIN(n_chars) AS chars_min, MAX(n_chars) AS chars_max
+      |FROM documents
+      |GROUP BY 1, 2""".stripMargin
 }

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Reshape}
+
+/** Semantic invariants for the round-3 reshape / dedup-policy batch
+  * (E33–E37, A24, C44–C47) on sf0.001 plus constructed frames that
+  * exercise the detection paths real data may not trigger.
+  */
+class ReshapeSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession =
+    graft.core.Graft.tune(SparkSession.builder().master("local[4]"), 4).getOrCreate()
+  private val dir = "/root/testdata/sf0.001"
+  import scala.jdk.CollectionConverters._
+
+  private def docsFrame(rows: Seq[(Long, String, String)]) = {
+    // (doc_id, lang, text) with the n_chars column the fuzzy face expects
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, lang STRING, text STRING")
+    spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3)).asJava, schema)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  test("q_date_spine: spine is gapless months and zero-fills empty ones") {
+    val rows = Reshape.dateSpine(spark, dir)
+      .orderBy("month").collect()
+    assert(rows.nonEmpty)
+    val months = rows.map(_.getTimestamp(0).toInstant)
+    months.sliding(2).foreach {
+      case Array(a, b) =>
+        val za = a.atZone(java.time.ZoneOffset.UTC)
+        assert(za.plusMonths(1).toInstant == b, s"gap between $a and $b")
+      case _ =>
+    }
+    // zero-filled months carry explicit zeros, never nulls
+    rows.foreach { r =>
+      assert(!r.isNullAt(1) && !r.isNullAt(2))
+      if (r.getLong(1) == 0L) assert(r.getDouble(2) == 0.0)
+    }
+  }
+
+  test("q_unpivot: one row per (flag, metric), values match the wide aggregate") {
+    val long = Reshape.unpivotMetrics(spark, dir).collect()
+    val flags = long.map(_.getString(0)).distinct
+    assert(long.length == flags.length * 3)
+    val byKey = long.map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // n_rows metric must equal the actual group count
+    val t = graft.sources.Tables(spark, dir)
+    val counts = t.lineitem.groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    flags.foreach { f => assert(byKey((f, "n_rows")) == counts(f).toDouble) }
+  }
+
+  test("q_string_agg: member list is sorted and count matches") {
+    Reshape.stringAgg(spark, dir).collect().foreach { r =>
+      val nations = r.getString(2).split(",").toSeq
+      assert(nations == nations.sorted, r.getString(0))
+      assert(nations.length == r.getLong(1))
+    }
+  }
+
+  test("q_gaps_islands: streak accounting is internally consistent") {
+    val rows = Reshape.gapsIslands(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (days, streaks, maxS) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(maxS <= days && streaks <= days && maxS >= 1 && streaks >= 1)
+      // n_streaks * max_streak >= n_active_days (pigeonhole)
+      assert(streaks * maxS >= days)
+    }
+  }
+
+  test("q_corr: correlation stays within [-1, 1]") {
+    Reshape.corrStats(spark, dir).collect().foreach { r =>
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-12)
+    }
+  }
+
+  test("q_check_expression: clean data passes with zero violations") {
+    val r = SparkEntry.queries("q_check_expression")(spark, dir).collect().head
+    assert(r.getLong(1) == 0L && r.getBoolean(2))
+  }
+
+  test("q_dedup_keep_best: picks the highest-quality member, not the min id") {
+    // two dup clusters; in cluster A the higher-score doc has the LARGER id
+    val docs = docsFrame(Seq(
+      (1L, "en", "x y z"),                      // low score (no stopwords)
+      (2L, "en", "the cat and the dog of them"), // high score
+      (3L, "en", "the cat and the dog of them"), // same text, same score → id tiebreak
+      (4L, "en", "x y z")))
+    val kept = Dedup.dedupKeepBest(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(kept.size == 2)
+    // cluster of "the cat...": score ties → min id 2 wins; n_copies 2
+    // cluster of "x y z": ids 1,4 → min id 1; n_copies 2
+    assert(kept.values.toSet == Set((2L, 2L), (1L, 2L)))
+  }
+
+  test("q_dedup_keep_best: keep set covers every exact-dup cluster exactly once") {
+    val best = SparkEntry.queries("q_dedup_keep_best")(spark, dir)
+    val exact = SparkEntry.queries("q_dedup_exact")(spark, dir)
+    assert(best.select("text_hash").distinct().count() == best.count())
+    assert(best.count() == exact.count())
+  }
+
+  test("q_boilerplate: detects shared 16-word prefixes, ignores tail divergence") {
+    val prefix = (1 to 16).map(i => s"w$i").mkString(" ")
+    val docs = docsFrame(Seq(
+      (1L, "en", s"$prefix unique tail one"),
+      (2L, "en", s"$prefix a totally different ending"),
+      (3L, "en", "some other document entirely")))
+    val clusters = Dedup.boilerplate(docs).collect()
+    assert(clusters.length == 1)
+    assert(clusters.head.getLong(1) == 2L && clusters.head.getLong(2) == 1L)
+  }
+
+  test("q_dedup_fuzzy: finds small-edit pairs within a block, respects the threshold") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val docs = docsFrame(Seq(
+      (1L, "en", base),
+      (2L, "en", base.replace("quick", "quack")),   // dist 1 in the 40-char prefix
+      (3L, "en", base.reverse),                      // way past threshold
+      (4L, "de", base)))                             // different block: never compared
+    val pairs = Dedup.dedupFuzzy(docs).collect()
+    assert(pairs.map(r => (r.getLong(1), r.getLong(2))).toSet == Set((1L, 2L)))
+    assert(pairs.head.getInt(3) == 1)
+  }
+
+  test("q_length_buckets: buckets partition the corpus and bounds respect the bucket") {
+    val t = graft.sources.Tables(spark, dir)
+    val rows = SparkEntry.queries("q_length_buckets")(spark, dir).collect()
+    assert(rows.map(_.getLong(2)).sum == t.documents.count())
+    rows.foreach { r =>
+      val (b, lo, hi) = (r.getInt(1), r.getLong(4), r.getLong(5))
+      // bucket b holds lengths in [2^(b-1), 2^b)
+      assert(lo >= (1L << (b - 1)) && hi < (1L << b), s"bucket $b [$lo,$hi]")
+    }
+  }
+}
