@@ -760,4 +760,111 @@ object Corpus {
       .agg(count(lit(1)).as("n_train_dups"),
         min(col("train_doc_id")).as("first_train_doc"))
   }
+
+  /** C48: TF-IDF keyword extraction — the top-3 terms per document by
+    * tf·idf with a total (score desc, token asc) order so the cut is
+    * deterministic. idf terms are decimal-fixed (C33's portability
+    * move: `round(ln(N/df), 6)` cast to DECIMAL) so ranking never
+    * depends on float fold order. Shuffles carry (doc, token) partial
+    * counts and (token, df) pairs — text never moves; the per-doc
+    * window runs over ≤|doc vocab| rows keyed by doc_id.
+    */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir).documents
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = df.crossJoin(broadcast(nDocs))
+      .select(col("token"),
+        round(log(col("n_docs").cast("double") / col("df")), 6)
+          .cast("decimal(18,6)").as("idf"))
+    val scored = tf.join(idf, "token")
+      .select(col("doc_id"), col("token"), (col("tf") * col("idf")).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    scored.withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= 3)
+      .select(col("doc_id"), col("term_rank").cast("long").as("term_rank"), col("token"),
+        col("score").cast("double").as("tfidf"))
+  }
+
+  val tfidfSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (
+      |  SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+      |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |idf AS (
+      |  SELECT token,
+      |    CAST(round(ln(CAST(n_docs AS DOUBLE) / df), 6) AS DECIMAL(18,6)) AS idf
+      |  FROM df, nd),
+      |scored AS (
+      |  SELECT doc_id, tf.token AS token, tf * idf AS score
+      |  FROM tf JOIN idf ON tf.token = idf.token),
+      |ranked AS (
+      |  SELECT doc_id, token, score,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS term_rank
+      |  FROM scored)
+      |SELECT doc_id, CAST(term_rank AS BIGINT) AS term_rank, token, CAST(score AS DOUBLE) AS tfidf
+      |FROM ranked WHERE term_rank <= 3""".stripMargin
+
+  /** C49: bigram conditional log-probability scoring — the next LM step
+    * after C33's unigram: per-doc average ln P(w₂|w₁) under the
+    * corpus-trained bigram MLE (count(w₁w₂)/count(w₁·)). Repetitive
+    * machine text scores high, natural text lower — a sharper
+    * perplexity proxy than unigram. Same portability discipline:
+    * decimal-fixed log terms, order-independent sums. Bigrams are built
+    * with the codegen'd shingle HOF (no self-join on positions).
+    */
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    // every bigram INSTANCE (not distinct): transform over positions
+    val grams = docs.select(col("doc_id"),
+      explode(transform(
+        sequence(lit(1), greatest(size(split(col("text"), " ")) - 1, lit(1))),
+        i => concat_ws(" ", slice(split(col("text"), " "), i, lit(2)))))
+        .as("bigram"))
+      .filter(size(split(col("bigram"), " ")) === 2)
+    val docBi = grams.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+    val corpus = grams.groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+    val starts = corpus.groupBy(col("w1")).agg(sum(col("cb")).as("c1"))
+    val terms = corpus.join(starts, "w1")
+      .select(col("bigram"),
+        round(log(col("cb").cast("double") / col("c1")), 6)
+          .cast("decimal(18,6)").as("term"))
+    docBi.join(terms, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), sum(col("c") * col("term")).as("sum_lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sum_lp").cast("double") / col("n_bigrams")).as("avg_bigram_logprob"))
+  }
+
+  val bigramLogprobSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |grams AS (
+      |  SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS bigram
+      |  FROM toks, unnest(range(1, greatest(len(tk), 2))) AS t(i)
+      |  WHERE len(string_split(array_to_string(tk[i:i+1], ' '), ' ')) = 2),
+      |db AS (
+      |  SELECT doc_id, bigram, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+      |corpus AS (
+      |  SELECT bigram, COUNT(*) AS cb,
+      |         string_split(bigram, ' ')[1] AS w1
+      |  FROM grams GROUP BY 1),
+      |starts AS (
+      |  SELECT w1, CAST(SUM(cb) AS BIGINT) AS c1 FROM corpus GROUP BY 1),
+      |terms AS (
+      |  SELECT bigram,
+      |    CAST(round(ln(CAST(cb AS DOUBLE) / c1), 6) AS DECIMAL(18,6)) AS term
+      |  FROM corpus JOIN starts USING (w1))
+      |SELECT db.doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(c * term) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS avg_bigram_logprob
+      |FROM db JOIN terms ON db.bigram = terms.bigram
+      |GROUP BY db.doc_id""".stripMargin
 }

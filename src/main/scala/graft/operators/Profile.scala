@@ -147,6 +147,48 @@ object Profile {
       |  CAST(MIN(v) AS DOUBLE) AS min_v, CAST(MAX(v) AS DOUBLE) AS max_v
       |FROM x GROUP BY bucket""".stripMargin
 
+  /** A25: equi-DEPTH histogram (deciles) — A17's equal-width companion
+    * and the other distribution panel profilers ship: each bucket holds
+    * the same row count, bucket edges trace the quantiles. The total
+    * order (value, then unique key) makes the cut deterministic; only
+    * (value, key) pairs move, through ONE range exchange. E8b's
+    * mergeable digest is the declared sketch path when exact deciles
+    * aren't required.
+    */
+  def histogramDepth(spark: SparkSession, dir: String): DataFrame = {
+    // A GLOBAL ntile window would funnel the table through one reducer —
+    // instead the total order comes from the distributed prefix
+    // primitive (range partition + two-phase offsets) and ntile's
+    // bucket-assignment rule is stated arithmetically over that index:
+    // with n rows and q = n div 10, rem = n mod 10, the first rem
+    // buckets hold q+1 rows. The oracle uses engine-native ntile over
+    // the same total order — identical by the rule.
+    val vals = Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_totalprice").as("v"))
+    val idx = Corpus.globalIndex(vals, Seq(col("v"), col("o_orderkey")), "idx")
+    val total = vals.agg(count(lit(1)).as("n"))
+    val q = call_function("div", col("n"), lit(10L))
+    val rem = col("n") % 10
+    val decile = when(q === 0, col("idx") + 1)
+      .when(col("idx") < (q + 1) * rem, call_function("div", col("idx"), q + 1) + 1)
+      .otherwise(rem + call_function("div", col("idx") - (q + 1) * rem, q) + 1)
+    idx.crossJoin(broadcast(total))
+      .select(col("v"), decile.cast("int").as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("v")).cast("double").as("min_v"),
+        max(col("v")).cast("double").as("max_v"))
+  }
+
+  val histogramDepthSql: String =
+    """WITH x AS (
+      |  SELECT o_totalprice AS v,
+      |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      |  FROM orders)
+      |SELECT CAST(decile AS INTEGER) AS decile, COUNT(*) AS n_rows,
+      |  CAST(MIN(v) AS DOUBLE) AS min_v, CAST(MAX(v) AS DOUBLE) AS max_v
+      |FROM x GROUP BY decile""".stripMargin
+
   val profileNumericSql: String = {
     def m(c: String, short: String, p: Int, s: Int): String =
       s"""CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${short}_nnull,

@@ -190,6 +190,48 @@ object Reshape {
       ((sy - slope * sx) / n).as("intercept"))
   }
 
+  /** E38: robust outlier detection via median absolute deviation — the
+    * heavy-tail-safe companion to E27's z-score (one wild value moves a
+    * mean/stddev fence; the MAD fence doesn't move). Per event type:
+    * median, MAD, and the count beyond 3×MAD. Medians are exact
+    * interpolated percentiles rounded at 4dp before any comparison
+    * (E7's portability rule), and group stats re-enter as broadcast
+    * joins — the value column is scanned, never re-shuffled. Exact
+    * per-group percentiles buffer a group's values in the aggregate;
+    * E8b's mergeable digest is the declared sketch path at scale.
+    */
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events.select(col("event_type"), col("value"))
+    val med = e.groupBy(col("event_type"))
+      .agg(round(call_function("percentile", col("value"), lit(0.5)), 4).as("med"))
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("dev", round(abs(col("value") - col("med")), 4))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(round(call_function("percentile", col("dev"), lit(0.5)), 4).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"))
+  }
+
+  val anomalyMadSql: String =
+    """WITH med AS (
+      |  SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med
+      |  FROM events GROUP BY 1),
+      |dev AS (
+      |  SELECT e.event_type, round(abs(e.value - m.med), 4) AS dev, m.med
+      |  FROM events e JOIN med m ON e.event_type = m.event_type),
+      |mad AS (
+      |  SELECT event_type, round(quantile_cont(dev, 0.5), 4) AS mad
+      |  FROM dev GROUP BY 1)
+      |SELECT d.event_type, COUNT(*) AS n_rows,
+      |  MIN(d.med) AS med, MIN(a.mad) AS mad,
+      |  CAST(SUM(CASE WHEN d.dev > a.mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM dev d JOIN mad a ON d.event_type = a.event_type
+      |GROUP BY d.event_type""".stripMargin
+
   val corrStatsSql: String =
     """WITH m AS (
       |  SELECT l_returnflag,

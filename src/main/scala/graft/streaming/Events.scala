@@ -232,6 +232,40 @@ object Events {
     spark.table("q_stream_hourly_sink")
   }
 
+  /** D8: end-to-end streaming dedup the batch harness drives — the
+    * events feed as a file stream through [[dedupWithinWatermark]]
+    * (real `dropDuplicatesWithinWatermark` state) under
+    * `Trigger.AvailableNow`, projected to the dedup KEYS. WHICH physical
+    * row survives depends on arrival order (inherent to streaming
+    * dedup), so the query face returns the key set — arrival-invariant,
+    * and with the horizon covering the feed's full span it equals
+    * batch `SELECT DISTINCT` exactly, which is the oracle. State cost
+    * at scale is bounded by the horizon, not the stream length.
+    */
+  def qStreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val feedDir = java.nio.file.Files.createTempDirectory("graft_feed_dedup")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+      feedDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(feedDir.toString)
+      .withColumn("event_ts", nsToTimestamp(col("ts")))
+    val deduped = dedupWithinWatermark(stream,
+      Seq("user_id", "event_type"), delay = "3650 days")
+      .select(col("user_id"), col("event_type"))
+    val q = deduped.writeStream
+      .outputMode("append").format("memory").queryName("q_stream_dedup_sink")
+      .trigger(Trigger.AvailableNow()).start()
+    try require(q.awaitTermination(300000),
+      "AvailableNow run did not self-terminate")
+    finally if (q.isActive) q.stop()
+    spark.table("q_stream_dedup_sink")
+  }
+
+  val qStreamDedupSql: String =
+    """SELECT DISTINCT user_id, event_type FROM events""".stripMargin
+
   val qSessionizeSql: String =
     """WITH e AS (
       |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events

@@ -130,6 +130,41 @@ class ReshapeSpec extends AnyFunSuite {
     assert(pairs.head.getInt(3) == 1)
   }
 
+  test("q_histogram_depth: deciles are equi-depth (counts differ by at most 1) and partition the table") {
+    val rows = SparkEntry.queries("q_histogram_depth")(spark, dir).collect()
+    assert(rows.length == 10)
+    val counts = rows.map(_.getLong(1))
+    assert(counts.max - counts.min <= 1)
+    assert(counts.sum == graft.sources.Tables(spark, dir).orders.count())
+    // bucket value ranges must not overlap
+    val sorted = rows.sortBy(_.getInt(0))
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(a.getDouble(3) <= b.getDouble(2) + 1e-9)
+      case _ =>
+    }
+  }
+
+  test("q_tfidf: at most 3 ranked terms per doc, ranks contiguous from 1") {
+    val rows = SparkEntry.queries("q_tfidf")(spark, dir).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.values.foreach { rs =>
+      val ranks = rs.map(_.getLong(1)).sorted
+      assert(ranks.length <= 3 && ranks.toSeq == (1L to ranks.length))
+    }
+  }
+
+  test("q_bigram_logprob: average conditional log-probs are non-positive") {
+    SparkEntry.queries("q_bigram_logprob")(spark, dir).collect().foreach { r =>
+      assert(r.getDouble(2) <= 1e-9, r)
+    }
+  }
+
+  test("q_anomaly_mad: fence accounting sane (mad >= 0, outliers <= rows)") {
+    SparkEntry.queries("q_anomaly_mad")(spark, dir).collect().foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getLong(4) <= r.getLong(1), r)
+    }
+  }
+
   test("q_length_buckets: buckets partition the corpus and bounds respect the bucket") {
     val t = graft.sources.Tables(spark, dir)
     val rows = SparkEntry.queries("q_length_buckets")(spark, dir).collect()
