@@ -822,15 +822,21 @@ object Corpus {
     */
   def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    // every bigram INSTANCE (not distinct): transform over positions
-    val grams = docs.select(col("doc_id"),
-      explode(transform(
-        sequence(lit(1), greatest(size(split(col("text"), " ")) - 1, lit(1))),
-        i => concat_ws(" ", slice(split(col("text"), " "), i, lit(2)))))
-        .as("bigram"))
+    // tokenize ONCE into a projected column (a lambda that re-split the
+    // text per element would dodge CSE — the §3 HOF cliff), then explode
+    // every bigram INSTANCE (not distinct)
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), greatest(size(col("tk")) - 1, lit(1))),
+          i => concat_ws(" ", slice(col("tk"), i, lit(2)))))
+          .as("bigram"))
       .filter(size(split(col("bigram"), " ")) === 2)
     val docBi = grams.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
-    val corpus = grams.groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
+    // corpus-level counts fold the per-doc partials — ONE explode pass
+    // feeds both aggregates instead of scanning the corpus twice
+    val corpus = docBi.groupBy(col("bigram")).agg(sum(col("c")).as("cb"))
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
     val starts = corpus.groupBy(col("w1")).agg(sum(col("cb")).as("c1"))
     val terms = corpus.join(starts, "w1")
