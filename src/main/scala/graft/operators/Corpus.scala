@@ -850,6 +850,46 @@ object Corpus {
         (col("sum_lp").cast("double") / col("n_bigrams")).as("avg_bigram_logprob"))
   }
 
+  /** C50: token-entropy quality scoring — per-doc Shannon entropy of
+    * the token distribution plus type-token ratio, the information-
+    * density signals behind repetition/compressibility filters (a doc
+    * of one word repeated has entropy 0; rich text approaches
+    * ln(n_tokens)). Identity used: H = ln n − (Σ c·ln c)/n, so the
+    * only aggregates are exact counts and decimal-fixed `ln c` terms —
+    * order-independent, the C33 portability discipline. Map-only +
+    * (doc, token) partial aggs.
+    */
+  def entropy(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val counts = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * round(log(col("c").cast("double")), 6)
+          .cast("decimal(18,6)")).as("sum_clnc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (round(log(col("n_tokens").cast("double")), 6)
+          - col("sum_clnc").cast("double") / col("n_tokens")).as("entropy"),
+        (col("n_distinct").cast("double") / col("n_tokens")).as("ttr"))
+  }
+
+  val entropySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |counts AS (
+      |  SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |  round(ln(CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)), 6)
+      |    - CAST(SUM(c * CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |      / CAST(SUM(c) AS BIGINT) AS entropy,
+      |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS ttr
+      |FROM counts GROUP BY doc_id""".stripMargin
+
   val bigramLogprobSql: String =
     """WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

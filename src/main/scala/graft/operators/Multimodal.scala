@@ -172,4 +172,36 @@ object Multimodal {
         Thumb(r.doc_id, r.payload.length, resizeStub(r.payload))))(
         Encoders.product[Thumb])
       .toDF()
+
+  /** C51: shard packing — assign payloads to fixed-size (4 KiB here;
+    * ~1 GiB in production) output shards by cumulative byte offset in a
+    * deterministic order: the WebDataset/tar-shard layout step every
+    * large media corpus runs before training. The running byte offset
+    * is the distributed prefix-sum (one range exchange, O(partitions)
+    * driver offsets) — never a single-reducer window; payload bytes
+    * themselves never shuffle, only (doc_id, n_bytes).
+    */
+  def multimodalShard(spark: SparkSession, dir: String): DataFrame = {
+    val sized = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"))
+    Corpus.prefixSum(sized, Seq(col("doc_id")), "n_bytes", "start_byte")
+      .select(col("doc_id"), col("n_bytes"), col("start_byte"),
+        call_function("div", col("start_byte"), lit(4096L)).as("shard_id"),
+        (col("start_byte") % 4096L).as("shard_off"))
+  }
+
+  val multimodalShardSql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CAST(COALESCE(SUM(octet_length(encode(text)))
+      |    OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS start_byte,
+      |  CAST(COALESCE(SUM(octet_length(encode(text)))
+      |    OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) // 4096 AS shard_id,
+      |  CAST(COALESCE(SUM(octet_length(encode(text)))
+      |    OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) % 4096 AS shard_off
+      |FROM documents""".stripMargin
 }

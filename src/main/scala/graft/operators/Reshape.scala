@@ -159,6 +159,53 @@ object Reshape {
       |       CAST(MAX(len) AS BIGINT) AS max_streak
       |FROM streaks GROUP BY 1""".stripMargin
 
+  /** E39: ABC / Pareto analysis — customers classified by cumulative
+    * revenue share (A ≤ 80%, B ≤ 95%, C the tail). The running total
+    * comes from the distributed prefix primitive, NOT a global window
+    * (stock `SUM() OVER (ORDER BY …)` funnels the table through one
+    * reducer). Portability: revenue is held as integer CENTS and the
+    * class thresholds are integer cross-multiplications
+    * (`incl·5 ≤ total·4` ⇔ share ≤ 0.8) — no float boundary flips;
+    * the reported share is one exact-long division, bit-identical
+    * everywhere.
+    */
+  def abcAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables(spark, dir).orders
+      .groupBy(col("o_custkey"))
+      .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("rev_cents"))
+    val cum = Corpus.prefixSum(rev,
+      Seq(col("rev_cents").desc, col("o_custkey")), "rev_cents", "cum_before")
+    val total = rev.agg(sum(col("rev_cents")).as("total_cents"))
+    val incl = col("cum_before") + col("rev_cents")
+    cum.crossJoin(broadcast(total))
+      .select(
+        col("o_custkey"),
+        (col("rev_cents").cast("double") / 100).as("revenue"),
+        (incl.cast("double") / col("total_cents")).as("cum_share"),
+        when(incl * 5 <= col("total_cents") * 4, "A")
+          .when(incl * 20 <= col("total_cents") * 19, "B")
+          .otherwise("C").as("abc_class"))
+  }
+
+  val abcAnalysisSql: String =
+    """WITH rev AS (
+      |  SELECT o_custkey,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS total_cents FROM rev),
+      |c AS (
+      |  SELECT o_custkey, rev_cents,
+      |         SUM(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey
+      |                              ROWS UNBOUNDED PRECEDING) AS incl
+      |  FROM rev)
+      |SELECT o_custkey,
+      |  CAST(rev_cents AS DOUBLE) / 100 AS revenue,
+      |  CAST(incl AS DOUBLE) / total_cents AS cum_share,
+      |  CASE WHEN incl * 5 <= total_cents * 4 THEN 'A'
+      |       WHEN incl * 20 <= total_cents * 19 THEN 'B'
+      |       ELSE 'C' END AS abc_class
+      |FROM c, tot""".stripMargin
+
   /** E37: engine-exact correlation + least-squares fit per group.
     * Engine-native `corr()` accumulates running doubles whose value
     * depends on merge order (Welford partials) — nondeterministic across

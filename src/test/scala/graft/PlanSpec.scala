@@ -190,6 +190,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-primitive faces execute WITHOUT a single-reducer global window") {
+    // Their ORACLES state SUM()/ntile OVER (ORDER BY ...) — the engine
+    // must realize that semantics through the distributed prefix
+    // primitive, never WindowExec over one unpartitioned partition.
+    for (q <- Seq("q_abc_analysis", "q_histogram_depth", "q_multimodal_shard")) {
+      val nodes = collectAll(executedPlan(q)).map(_.nodeName)
+      assert(!nodes.exists(_.contains("Window")),
+        s"$q: global window found in ${nodes.distinct}")
+    }
+  }
+
+  test("q_anomaly_mad: per-row deviation pass joins group stats by broadcast") {
+    val plan = executedPlan("q_anomaly_mad")
+    val bhj = collectAll(plan).count(_.isInstanceOf[BroadcastHashJoinExec])
+    assert(bhj >= 2, s"expected med and mad to re-enter as broadcast joins, got $bhj")
+  }
+
+  test("q_dedup_fuzzy: blocked self-join — no nested-loop/cartesian product") {
+    val nodes = collectAll(executedPlan("q_dedup_fuzzy")).map(_.nodeName)
+    assert(!nodes.exists(n => n.contains("Cartesian") || n.contains("NestedLoop")),
+      nodes.distinct.mkString(","))
+  }
+
   test("TopKAgg ranking equals the window row_number formulation") {
     val agg = SparkEntry.queries("q_ann_topk")(spark, dir)
       .collect().map(_.toString).sorted

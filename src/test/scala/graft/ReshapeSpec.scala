@@ -165,6 +165,41 @@ class ReshapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_abc_analysis: classes are monotone in cumulative share and cover all customers") {
+    val rows = SparkEntry.queries("q_abc_analysis")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byShare = rows.sortBy(_.getDouble(2))
+    // class sequence along increasing share must be A..., B..., C...
+    val classes = byShare.map(_.getString(3)).mkString
+    assert("^A*B*C*$".r.findFirstIn(classes).isDefined, classes.take(50))
+    assert(math.abs(byShare.last.getDouble(2) - 1.0) < 1e-9)
+    byShare.foreach { r =>
+      val (share, cls) = (r.getDouble(2), r.getString(3))
+      if (share <= 0.8 + 1e-12) assert(cls == "A", r)
+      else if (share > 0.95 + 1e-9) assert(cls == "C", r)
+    }
+  }
+
+  test("q_entropy: single-token docs score 0, entropy bounded by ln(n_tokens)") {
+    val rows = SparkEntry.queries("q_entropy")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, h) = (r.getLong(1), r.getDouble(3))
+      assert(h >= -1e-9 && h <= math.log(n.toDouble) + 1e-6, r)
+    }
+  }
+
+  test("q_multimodal_shard: offsets are a contiguous byte layout") {
+    val rows = SparkEntry.queries("q_multimodal_shard")(spark, dir)
+      .orderBy("doc_id").collect()
+    var expected = 0L
+    rows.foreach { r =>
+      assert(r.getLong(2) == expected, r)
+      assert(r.getLong(3) == expected / 4096 && r.getLong(4) == expected % 4096)
+      expected += r.getLong(1)
+    }
+  }
+
   test("q_length_buckets: buckets partition the corpus and bounds respect the bucket") {
     val t = graft.sources.Tables(spark, dir)
     val rows = SparkEntry.queries("q_length_buckets")(spark, dir).collect()
