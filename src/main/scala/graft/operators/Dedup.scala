@@ -97,26 +97,28 @@ object Dedup {
       .select(col("doc_id") +: (0 until 4).map(k =>
         shiftrightunsigned(sigExpr, 16 * k).bitwiseAND(0xffffL).as(s"b$k")): _*)
 
+    // the full signature rides along with each band row (8 bytes/row
+    // extra) so candidate pairs carry BOTH signatures out of the bucket
+    // join directly — no re-join against the signature table (saves two
+    // keyed exchanges; the hamming verify becomes map-side arithmetic)
     val bands = sig.select(col("doc_id"),
+      col("b0"), col("b1"), col("b2"), col("b3"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("band"), col(s"b$k").as("bv"))): _*)).as("x"))
-      .select(col("doc_id"), col("x.band").as("band"), col("x.bv").as("bv"))
+      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        col("x.band").as("band"), col("x.bv").as("bv"))
 
     val pairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-      .join(sig.select(col("doc_id").as("doc_a"),
-        col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), "doc_a")
-      .join(sig.select(col("doc_id").as("doc_b"),
-        col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (bit_count(col("a0").bitwiseXOR(col("c0"))) +
-          bit_count(col("a1").bitwiseXOR(col("c1"))) +
-          bit_count(col("a2").bitwiseXOR(col("c2"))) +
-          bit_count(col("a3").bitwiseXOR(col("c3")))).as("hamming"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (bit_count(col("a.b0").bitwiseXOR(col("b.b0"))) +
+          bit_count(col("a.b1").bitwiseXOR(col("b.b1"))) +
+          bit_count(col("a.b2").bitwiseXOR(col("b.b2"))) +
+          bit_count(col("a.b3").bitwiseXOR(col("b.b3")))).as("hamming"))
       .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
 
     val near = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id")))
