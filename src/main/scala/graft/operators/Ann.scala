@@ -93,6 +93,46 @@ object Ann {
        |)
        |SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= $TopK""".stripMargin
 
+  /** C52: blocked k-NN JOIN — every vector's top-3 neighbors within its
+    * `label` block (C6 ranks a bounded query set; this ranks ALL rows —
+    * the SemDeDup / cluster-conscious-dedup primitive, where each doc
+    * needs its nearest neighbors, not just 10 probes). Blocking bounds
+    * the quadratic per cell, and the bounded-heap TopKAgg ships ≤3
+    * (score, id) pairs per vector per map task — the exchange never
+    * carries scored pairs, let alone embeddings. Swap the label for
+    * IVF cell ids (C7b) and the same plan is learned-blocked kNN.
+    */
+  def knnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+      .repartition(spark.sparkContext.defaultParallelism)
+    val a = e.select(col("label"), col("vec_id"), col("embedding"))
+    val b = e.select(col("label"), col("vec_id").as("nbr_id"),
+      col("embedding").as("nbr_emb"))
+    a.join(b, Seq("label")).filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("label"), col("vec_id"), col("nbr_id"),
+        round(NativeExprs.cosine_f32(col("embedding"), col("nbr_emb")), 3).as("cosine"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(graft.functions.TopKAgg.top_k(
+        struct(col("cosine"), col("nbr_id")), 3).as("top"))
+      .select(col("label"), col("vec_id"), posexplode(col("top")).as(Seq("idx", "e")))
+      .select(col("label"), col("vec_id"), (col("idx") + 1).cast("long").as("nbr_rank"),
+        col("e.id").as("nbr_id"), col("e.score").as("cosine"))
+  }
+
+  val knnJoinSql: String =
+    """WITH scored AS (
+      |  SELECT a.label AS label, a.vec_id AS vec_id, b.vec_id AS nbr_id,
+      |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                 CAST(b.embedding AS DOUBLE[])), 3) AS cosine
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id != b.vec_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id
+      |                               ORDER BY cosine DESC, nbr_id) AS nbr_rank
+      |  FROM scored)
+      |SELECT label, vec_id, CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr_id, cosine
+      |FROM ranked WHERE nbr_rank <= 3""".stripMargin
+
   private val Planes = 8
   private val Dim = 64
 

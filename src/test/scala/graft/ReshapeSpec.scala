@@ -200,6 +200,20 @@ class ReshapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_knn_join: every vector gets <=3 ranked neighbors, cosine non-increasing, no self-match") {
+    val rows = SparkEntry.queries("q_knn_join")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(1)).foreach { case (vid, rs) =>
+      val byRank = rs.sortBy(_.getLong(2))
+      assert(byRank.length <= 3 && byRank.map(_.getLong(2)).toSeq == (1L to byRank.length))
+      byRank.foreach(r => assert(r.getLong(3) != vid))
+      byRank.sliding(2).foreach {
+        case Array(x, y) => assert(x.getDouble(4) >= y.getDouble(4))
+        case _ =>
+      }
+    }
+  }
+
   test("q_length_buckets: buckets partition the corpus and bounds respect the bucket") {
     val t = graft.sources.Tables(spark, dir)
     val rows = SparkEntry.queries("q_length_buckets")(spark, dir).collect()
