@@ -41,4 +41,31 @@ object Interop {
       |  MAX(md5(text)) AS max_text_md5
       |FROM documents
       |GROUP BY source""".stripMargin
+
+  /** C53: binary shard sink + DataSource V2 source round-trip — C51's
+    * layout made durable and re-consumed through the engine's own
+    * custom source ([[graft.sources.ShardDataSource]]): payloads packed
+    * into byte-balanced shard files (distributed, race-free by
+    * `repartition(shard_id)` ownership), then read back one
+    * InputPartition per shard with column pruning in the reader. The
+    * face fingerprints every payload coming back out of the binary
+    * format; the oracle states the same fingerprints over the ORIGINAL
+    * table, so any record loss, truncation, or byte corruption in
+    * either direction hash-mismatches the gate.
+    */
+  def shardRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    graft.sources.ShardWriter.write(
+      Tables(spark, dir).documents
+        .select(col("doc_id"), col("text").cast("binary").as("payload")),
+      out)
+    spark.read.format("graft.sources.ShardDataSource").load(out)
+      .select(col("doc_id"), md5(col("payload")).as("payload_md5"),
+        length(col("payload")).cast("int").as("n_bytes"))
+  }
+
+  val shardRoundtripSql: String =
+    """SELECT doc_id, md5(text) AS payload_md5,
+      |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+      |FROM documents""".stripMargin
 }

@@ -1,0 +1,180 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, FileInputStream, FileOutputStream}
+import java.util
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, LongType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Binary shard source/sink — the storage half of the multimodal
+  * pipeline (C51 assigns payloads to fixed-size shards; this writes and
+  * reads them). The on-disk format is deliberately trivial — a
+  * WebDataset-style record stream per shard file:
+  *
+  *   record := [doc_id: 8-byte big-endian][len: 4-byte big-endian][payload]
+  *
+  * WRITE is fully distributed: shard ids come from the prefix-sum byte
+  * layout, `repartition(shard_id)` gives each reducer exclusive
+  * ownership of its shards (no two tasks ever touch one file), and each
+  * task streams its records straight to disk — no driver data, no
+  * shuffle beyond the one the layout requires.
+  *
+  * READ is a full DataSource V2 implementation (`TableProvider` →
+  * `SupportsRead` table → `ScanBuilder` → `Batch`): one
+  * `InputPartition` per shard file (a 1000-executor cluster scans 1000
+  * shards in parallel), with COLUMN PRUNING pushed into the reader —
+  * `select(doc_id)` skips payload bytes instead of materializing them
+  * (`InputStream.skip`, no allocation). This is tier (d) of SURVEY §3:
+  * the engine boundary where Spark's planner talks to storage.
+  *
+  * Usage:
+  * {{{
+  *   ShardWriter.write(df, dir)            // df: (doc_id long, payload binary)
+  *   spark.read.format("graft.sources.ShardDataSource").load(dir)
+  * }}}
+  */
+object ShardWriter {
+
+  /** Pack (doc_id, payload) rows into byte-balanced shard files under
+    * `dir`. Layout order is doc_id (deterministic); each shard holds
+    * `shardBytes` of payload (the last record may spill past the
+    * boundary — shards are record-aligned, the WebDataset convention).
+    */
+  def write(docs: DataFrame, dir: String, shardBytes: Long = 4096L): Unit = {
+    val sized = docs
+      .select(col("doc_id"), col("payload"),
+        length(col("payload")).cast("long").as("n_bytes"))
+    val assigned = graft.operators.Corpus
+      .prefixSum(sized, Seq(col("doc_id")), "n_bytes", "start_byte")
+      .withColumn("shard_id", call_function("div", col("start_byte"), lit(shardBytes)))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    // repartition BY shard_id: each reducer owns complete shards, so
+    // file creation is race-free by construction
+    assigned
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("start_byte"))
+      .select(col("shard_id"), col("doc_id"), col("payload"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        var out: DataOutputStream = null
+        var current = -1L
+        try {
+          rows.foreach { r =>
+            val shard = r.getLong(0)
+            if (shard != current) {
+              if (out != null) out.close()
+              out = new DataOutputStream(new BufferedOutputStream(
+                new FileOutputStream(f"$dir/shard-$shard%05d.bin")))
+              current = shard
+            }
+            val payload = r.getAs[Array[Byte]](2)
+            out.writeLong(r.getLong(1))
+            out.writeInt(payload.length)
+            out.write(payload)
+          }
+        } finally if (out != null) out.close()
+      }
+  }
+}
+
+/** DataSource V2 provider for shard directories (see [[ShardWriter]]). */
+class ShardDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ShardDataSource.Schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ShardTable(properties.get("path"))
+}
+
+object ShardDataSource {
+  val Schema: StructType = new StructType()
+    .add("doc_id", LongType, nullable = false)
+    .add("payload", BinaryType, nullable = false)
+}
+
+private[sources] class ShardTable(path: String) extends Table with SupportsRead {
+  require(path != null && path.nonEmpty, "shard source requires a path")
+  override def name(): String = s"shards($path)"
+  override def schema(): StructType = ShardDataSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ShardScanBuilder(path)
+}
+
+private[sources] class ShardScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = ShardDataSource.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // empty projections (e.g. count(*)) still need row cardinality;
+    // an empty struct is a legal required schema here
+    required = requiredSchema
+  override def build(): Scan = new ShardScan(path, required)
+}
+
+private[sources] class ShardScan(path: String, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = new java.io.File(path).listFiles()
+    if (files == null) Array.empty
+    else files.filter(f => f.isFile && f.getName.startsWith("shard-"))
+      .sortBy(_.getName)
+      .map(f => ShardInputPartition(f.getAbsolutePath): InputPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ShardReaderFactory(required.fieldNames)
+}
+
+private[sources] final case class ShardInputPartition(file: String)
+    extends InputPartition
+
+private[sources] class ShardReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ShardPartitionReader(
+      partition.asInstanceOf[ShardInputPartition].file, fields)
+}
+
+/** Streams one shard file; honors column pruning — when `payload` is
+  * not required its bytes are `skip`ped, never allocated.
+  */
+private[sources] class ShardPartitionReader(file: String, fields: Array[String])
+    extends PartitionReader[InternalRow] {
+  private val in = new DataInputStream(new BufferedInputStream(
+    new FileInputStream(file), 1 << 16))
+  private val needPayload = fields.contains("payload")
+  private val needDocId = fields.contains("doc_id")
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    val docId =
+      try in.readLong()
+      catch { case _: EOFException => return false }
+    val len = in.readInt()
+    val values = new Array[Any](fields.length)
+    if (needPayload) {
+      val payload = new Array[Byte](len)
+      in.readFully(payload)
+      values(fields.indexOf("payload")) = payload
+    } else {
+      var toSkip = len.toLong
+      while (toSkip > 0) toSkip -= in.skip(toSkip)
+    }
+    if (needDocId) values(fields.indexOf("doc_id")) = docId
+    row = new GenericInternalRow(values)
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}
