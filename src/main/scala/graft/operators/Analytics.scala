@@ -51,6 +51,40 @@ object Analytics {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** B5: promotion revenue share per month (TPC-H Q14 shape) — the
+    * lineitem⋈part enrichment join the other headliners don't exercise.
+    * part scales with SF, so no broadcast hint (AQE decides); revenue
+    * math follows the §8 decimal discipline, and the percentage is one
+    * double division at the end with a stated operand order.
+    */
+  def q14Promo(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val one = lit(1).cast("decimal(8,4)")
+    val rev = dec(col("l_extendedprice")) * (one - dec(col("l_discount"), 8, 4))
+    t.lineitem
+      .join(t.part, col("l_partkey") === col("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+      .agg(
+        decSumProd(when(col("p_type") === "PROMO", rev).otherwise(lit(0))).as("promo_revenue"),
+        decSumProd(rev).as("total_revenue"),
+        count(lit(1)).as("n_items"))
+      .select(col("month"), col("promo_revenue"), col("total_revenue"),
+        (col("promo_revenue") * 100 / col("total_revenue")).as("promo_pct"),
+        col("n_items"))
+  }
+
+  val q14PromoSql: String = {
+    val rev = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))"
+    s"""SELECT date_trunc('month', l_shipdate) AS month,
+       |  CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $rev ELSE 0 END) AS DECIMAL(38,6)) AS DOUBLE) AS promo_revenue,
+       |  CAST(CAST(SUM($rev) AS DECIMAL(38,6)) AS DOUBLE) AS total_revenue,
+       |  CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $rev ELSE 0 END) AS DECIMAL(38,6)) AS DOUBLE) * 100
+       |    / CAST(CAST(SUM($rev) AS DECIMAL(38,6)) AS DOUBLE) AS promo_pct,
+       |  COUNT(*) AS n_items
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY 1""".stripMargin
+  }
+
   /** B2: shipping-priority top-k (TPC-H Q3 shape). customer scales with
     * SF, so no hard broadcast hint — AQE picks broadcast when the
     * filtered side is small and falls back to shuffle join at scale;
