@@ -500,6 +500,33 @@ object Extras {
       |FROM events
       |GROUP BY event_type""".stripMargin
 
+  /** E40: skew-resistant JOIN — the feed joined to its dimension via
+    * [[Skew.saltedJoin]]: the big side salts on a row-unique column
+    * (event_id) so a hot user's rows spread over 8 reducers, and the
+    * small side explodes ×8 so every (key, salt) bucket matches. The
+    * manual complement to AQE skew splitting — needed when a single
+    * join KEY (not partition) is hot, which AQE cannot split. Result is
+    * exactly the plain join; the oracle states that form.
+    */
+  def skewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    Skew.saltedJoin(
+      big = t.events.select(col("user_id"), col("event_id"), col("value")),
+      small = t.customer.select(col("c_custkey").as("user_id"), col("c_mktsegment")),
+      key = "user_id",
+      bigSaltSource = col("event_id"),
+      factor = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        decSum(col("value")).as("total_value"))
+  }
+
+  val skewJoinSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
   /** E21: per-group mode — each user's most frequent event type.
     * Engine-native `mode()` is tie-arbitrary (not portable); this is the
     * deterministic form: count per (user, type), rank by (count desc,

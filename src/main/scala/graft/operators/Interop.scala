@@ -68,4 +68,37 @@ object Interop {
     """SELECT doc_id, md5(text) AS payload_md5,
       |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
       |FROM documents""".stripMargin
+
+  /** E41: malformed-record tolerance — at 100 TB of scraped JSONL some
+    * lines ARE garbage, and a pipeline that aborts (FAILFAST) or
+    * silently drops (DROPMALFORMED) both lose; the production contract
+    * is PERMISSIVE + `_corrupt_record`: parse what parses, quarantine
+    * the rest as rows you can count and route to a dead-letter sink.
+    * The face feeds a fixed 10-line stream (2 corrupt) through the real
+    * JSON source and reports the triage; the literal oracle pins every
+    * number, so a parser behavior change fails the gate.
+    */
+  def jsonlCorrupt(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_badjsonl")
+    val lines = (1 to 8).map(i => s"""{"id":$i,"v":"ok$i"}""") ++
+      Seq("""{"id":9,"v":unterminated""", """not json at all""")
+    java.nio.file.Files.write(tmp.resolve("feed.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = new StructType()
+      .add("id", LongType).add("v", StringType)
+      .add("_corrupt_record", StringType)
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(tmp.toString)
+      .agg(
+        sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_bad"),
+        sum(when(col("_corrupt_record").isNull, col("id"))).as("good_id_sum"))
+  }
+
+  val jsonlCorruptSql: String =
+    """SELECT CAST(8 AS BIGINT) AS n_good, CAST(2 AS BIGINT) AS n_bad,
+      |  CAST(36 AS BIGINT) AS good_id_sum""".stripMargin
 }
