@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** AQE-off differential — adaptive execution changes join strategies,
+  * coalesces partitions, and splits skewed ones at RUNTIME; none of
+  * that may change a RESULT. Representative queries from every operator
+  * family run with AQE on and off and must match bit-for-bit (same
+  * discipline as partition-count invariance: results depend on the
+  * declared semantics, never on the physical plan the runtime picked).
+  */
+class AqeOffSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession =
+    graft.core.Graft.tune(SparkSession.builder().master("local[4]"), 4).getOrCreate()
+  private val dir = "/root/testdata/sf0.001"
+
+  private def collectWith(name: String, aqe: Boolean): Seq[String] = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+    try SparkEntry.queries(name)(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  // one per family: scan-agg, star join, fact build, rollup, multi-
+  // distinct, prefix primitives, LSH dedup, packing, kNN, salted join,
+  // TF-IDF, window analytics
+  private val Representative = Seq(
+    "q1_pricing", "q5_join5", "q_fact_join", "q_monthly_rollup",
+    "q_distinct_counts", "q_abc_analysis", "q_histogram_depth",
+    "q_dedup_minhash", "q_seq_pack", "q_knn_join", "q_skew_join",
+    "q_tfidf", "q_window_funcs", "q_asof_native")
+
+  Representative.foreach { name =>
+    test(s"$name: identical results with adaptive execution disabled") {
+      assert(collectWith(name, aqe = true) == collectWith(name, aqe = false), name)
+    }
+  }
+}
