@@ -101,4 +101,35 @@ object Interop {
   val jsonlCorruptSql: String =
     """SELECT CAST(8 AS BIGINT) AS n_good, CAST(2 AS BIGINT) AS n_bad,
       |  CAST(36 AS BIGINT) AS good_id_sum""".stripMargin
+
+  /** E42: partitioned warehouse layout — the fact written
+    * `partitionBy(month)` (one directory per partition, the layout
+    * dbt's incremental models target) and re-read with a month
+    * predicate, which Spark satisfies by PARTITION PRUNING: untouched
+    * months are never opened (PlanSpec asserts the pruned scan; A18's
+    * dynamic-partition-overwrite refresh writes this same layout). The
+    * oracle states the identical filtered aggregate over the original
+    * table, so layout + pruning must be lossless.
+    */
+  def partitionedScan(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString + "/fact"
+    val li = Tables(spark, dir).lineitem
+      .withColumn("ship_month",
+        date_format(col("l_shipdate"), "yyyy-MM"))
+    li.write.mode("overwrite").partitionBy("ship_month").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("ship_month") >= "1995-01" && col("ship_month") <= "1995-12")
+      .groupBy(col("ship_month"))
+      .agg(count(lit(1)).as("n_items"),
+        graft.functions.Fns.decSum(col("l_extendedprice")).as("revenue"))
+  }
+
+  val partitionedScanSql: String =
+    """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE strftime(l_shipdate, '%Y-%m') >= '1995-01'
+      |  AND strftime(l_shipdate, '%Y-%m') <= '1995-12'
+      |GROUP BY 1""".stripMargin
 }

@@ -213,6 +213,15 @@ class PlanSpec extends AnyFunSuite {
       nodes.distinct.mkString(","))
   }
 
+  test("q_partitioned_scan: month predicate satisfied by partition pruning") {
+    val df = SparkEntry.queries("q_partitioned_scan")(spark, dir)
+    val s = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the month filter must land on the partition column, not as a data
+    // filter over opened files
+    assert(s.contains("PartitionFilters") && s.contains("ship_month"), s.take(2000))
+  }
+
   test("TopKAgg ranking equals the window row_number formulation") {
     val agg = SparkEntry.queries("q_ann_topk")(spark, dir)
       .collect().map(_.toString).sorted
