@@ -116,7 +116,11 @@ object Interop {
     val li = Tables(spark, dir).lineitem
       .withColumn("ship_month",
         date_format(col("l_shipdate"), "yyyy-MM"))
-    li.write.mode("overwrite").partitionBy("ship_month").parquet(out)
+    // repartition on the partition column first: one file per month
+    // directory instead of one per (task × month) — the small-files
+    // discipline every partitioned warehouse write needs
+    li.repartition(col("ship_month"))
+      .write.mode("overwrite").partitionBy("ship_month").parquet(out)
     spark.read.parquet(out)
       .filter(col("ship_month") >= "1995-01" && col("ship_month") <= "1995-12")
       .groupBy(col("ship_month"))
