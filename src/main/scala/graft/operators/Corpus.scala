@@ -749,7 +749,7 @@ object Corpus {
     val sketch: Array[Byte] = train
       .agg(column(new BloomFilterAggregate(
         expression(xxhash64(col("fp"))), 1000000L).toAggregateExpression()).as("bf"))
-      .head.getAs[Array[Byte]]("bf")
+      .head().getAs[Array[Byte]]("bf")
     val mightContain = column(new BloomFilterMightContain(
       Literal(sketch, BinaryType), expression(xxhash64(col("fp")))))
 
