@@ -74,6 +74,59 @@ class ReshapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_corr: matches Spark's native corr/regr_slope/regr_intercept within 1e-6") {
+    // independent implementations (Welford-style running moments) must
+    // agree with the decimal-moment formulation up to float noise
+    val t = graft.sources.Tables(spark, dir)
+    val native = t.lineitem.groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        expr("regr_slope(l_extendedprice, l_quantity)").as("s"),
+        expr("regr_intercept(l_extendedprice, l_quantity)").as("i"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    Reshape.corrStats(spark, dir).collect().foreach { r =>
+      val (c, s, i) = native(r.getString(0))
+      assert(math.abs(r.getDouble(2) - c) < 1e-6, s"corr ${r.getString(0)}")
+      assert(math.abs(r.getDouble(3) - s) / math.max(1.0, math.abs(s)) < 1e-6, "slope")
+      assert(math.abs(r.getDouble(4) - i) / math.max(1.0, math.abs(i)) < 1e-6, "intercept")
+    }
+  }
+
+  test("q_abc_analysis: classes equal a naive driver-side recomputation") {
+    val t = graft.sources.Tables(spark, dir)
+    val rev = t.orders.groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("r"))
+      .collect().map(r => r.getLong(0) -> (r.getDecimal(1).movePointRight(2).longValueExact()))
+    val total = rev.map(_._2).sum
+    val sorted = rev.sortBy { case (k, c) => (-c, k) }
+    var run = 0L
+    val expected = sorted.map { case (k, c) =>
+      run += c
+      k -> (if (run * 5 <= total * 4) "A" else if (run * 20 <= total * 19) "B" else "C")
+    }.toMap
+    val got = SparkEntry.queries("q_abc_analysis")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got == expected)
+  }
+
+  test("q_gaps_islands: streaks equal a naive driver-side recomputation") {
+    val days = graft.sources.Tables(spark, dir).events
+      .select(col("user_id"), to_date(graft.functions.Fns.nsToTimestamp(col("ts"))).as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val expected = days.groupBy(_._1).map { case (u, rows) =>
+      val ds = rows.map(_._2).sortBy(_.toEpochDay)
+      val streaks = ds.foldLeft(List.empty[Long]) { (acc, d) =>
+        acc match {
+          case h :: t if ds.contains(d.minusDays(1)) => (h + 1) :: t
+          case _ => 1L :: acc
+        }
+      }
+      u -> (ds.length.toLong, streaks.length.toLong, streaks.max)
+    }
+    val got = SparkEntry.queries("q_gaps_islands")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected)
+  }
+
   test("q_corr: correlation stays within [-1, 1]") {
     Reshape.corrStats(spark, dir).collect().foreach { r =>
       assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-12)
