@@ -144,6 +144,33 @@ object Checks {
       |      THEN 1 ELSE 0 END) = 0 AS passed
       |FROM lineitem""".stripMargin
 
+  /** A26: dbt_utils.equal_rowcount analog — two models that must stay
+    * row-for-row in sync, compared by COUNT: the staged (deduped) model
+    * against the distinct dedup keys of its source. Each side is one
+    * partial-agg scan folded to a single row; the report is the dbt
+    * test's (rows_a, rows_b, passed) shape.
+    */
+  def checkRowcount(spark: SparkSession, dir: String): DataFrame = {
+    val staged = Staging.windowDedup(spark, dir)
+      .agg(count(lit(1)).as("model_rows"))
+    val source = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type")).distinct()
+      .agg(count(lit(1)).as("source_keys"))
+    staged.crossJoin(source)
+      .select(lit("stg_events_vs_source_keys").as("comparison"),
+        col("model_rows"), col("source_keys"),
+        (col("model_rows") === col("source_keys")).as("passed"))
+  }
+
+  val checkRowcountSql: String =
+    """SELECT 'stg_events_vs_source_keys' AS comparison,
+      |  (SELECT COUNT(*) FROM (
+      |     SELECT user_id, event_type FROM events GROUP BY 1, 2)) AS model_rows,
+      |  (SELECT COUNT(*) FROM (
+      |     SELECT DISTINCT user_id, event_type FROM events)) AS source_keys,
+      |  (SELECT COUNT(*) FROM (SELECT user_id, event_type FROM events GROUP BY 1, 2))
+      |    = (SELECT COUNT(*) FROM (SELECT DISTINCT user_id, event_type FROM events)) AS passed""".stripMargin
+
   val checkSummarySql: String =
     """SELECT 'unique_events_key' AS test_name, 'warn' AS severity,
       |  CAST(COUNT(*) AS BIGINT) AS n_violations, COUNT(*) = 0 AS passed,

@@ -85,6 +85,12 @@ class SourcesSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("shard DSv2 source: empty directory reads as zero rows, not an error") {
+    val out = Files.createTempDirectory("rt_shards_empty").toString
+    val back = spark.read.format("graft.sources.ShardDataSource").load(out)
+    assert(back.count() == 0 && back.schema.fieldNames.toSeq == Seq("doc_id", "payload"))
+  }
+
   test("shard DSv2 source: column pruning reaches the reader (doc_id-only scan)") {
     val out = Files.createTempDirectory("rt_shards_prune").toString
     val docs = Tables(spark, dir).documents
