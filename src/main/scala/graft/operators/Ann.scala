@@ -184,6 +184,48 @@ object Ann {
     centroids
   }
 
+  /** Persist an IVF index (the centroid matrix) as parquet in long
+    * form (cell, dim, value) — build once on the training corpus, load
+    * in every serving job. The index is O(C×dim) regardless of corpus
+    * size, so save/load is trivially cheap; what matters is that
+    * serving jobs skip the Lloyd iterations entirely.
+    */
+  def saveIvfIndex(spark: SparkSession, centroids: Seq[Seq[Double]], path: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.flatMap { case (c, cell) =>
+      c.zipWithIndex.map { case (v, d) => (cell, d, v) }
+    }.toDF("cell", "dim", "value")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted IVF index back into the broadcastable centroid
+    * matrix (inverse of [[saveIvfIndex]]).
+    */
+  def loadIvfIndex(spark: SparkSession, path: String): Seq[Seq[Double]] =
+    spark.read.parquet(path)
+      .collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+
+  /** Serve ANN queries against a PRE-BUILT centroid index — the
+    * production split of C7b: training built and saved the index;
+    * serving assigns cells and probes without any k-means work.
+    */
+  def annIvfServe(e: DataFrame, centroids: Seq[Seq[Double]], nQueries: Int = NQueries): DataFrame = {
+    val indexed = e.withColumn("cell",
+      NativeExprs.cell_probe(col("embedding"), centroids, 1)(0))
+    val q = indexed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        NativeExprs.cell_probe(col("embedding"), centroids, 2).as("probe"))
+    val scored = indexed.join(broadcast(q), array_contains(col("probe"), col("cell")))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(NativeExprs.cosine_f32(col("q_emb"), col("embedding")), 3).as("cosine"))
+    rank(scored)
+  }
+
   /** C7b: IVF ANN — the learned-centroid variant of the LSH scale path
     * (SURVEY §5). Queries probe their `nprobe` nearest cells and score
     * only those cells' vectors (rows-only: kmeans isn't oracle-SQL).
@@ -197,17 +239,8 @@ object Ann {
       .persist()
     val centroids = try ivfCentroids(e, c = 8, iters = 2)
     finally e.unpersist(blocking = false)
-    val indexed = e.withColumn("cell",
-      NativeExprs.cell_probe(col("embedding"), centroids, 1)(0))
     // queries probe nprobe=2 cells (their own + runner-up)
-    val q = indexed.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        NativeExprs.cell_probe(col("embedding"), centroids, 2).as("probe"))
-    val scored = indexed.join(broadcast(q), array_contains(col("probe"), col("cell")))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(NativeExprs.cosine_f32(col("q_emb"), col("embedding")), 3).as("cosine"))
-    rank(scored)
+    annIvfServe(e, centroids)
   }
 
   /** C7c: ANN index evaluation — recall@k of the IVF index (C7b)

@@ -85,6 +85,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("shard sink + DSv2 source: zero-length payloads survive the round trip") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("rt_shards_zero").toString
+    val docs = Seq((1L, Array[Byte]()), (2L, "x".getBytes("UTF-8")), (3L, Array[Byte]()))
+      .toDF("doc_id", "payload")
+    graft.sources.ShardWriter.write(docs, out)
+    val back = spark.read.format("graft.sources.ShardDataSource").load(out)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).length).toMap
+    assert(back == Map(1L -> 0, 2L -> 1, 3L -> 0))
+  }
+
+  test("IVF index: build -> save -> load -> serve equals the in-memory index") {
+    val out = Files.createTempDirectory("ivf_idx").toString + "/index"
+    val e = Tables(spark, dir).embeddings
+    val centroids = graft.operators.Ann.ivfCentroids(e, c = 4, iters = 2)
+    graft.operators.Ann.saveIvfIndex(spark, centroids, out)
+    val loaded = graft.operators.Ann.loadIvfIndex(spark, out)
+    assert(loaded == centroids)
+    val a = graft.operators.Ann.annIvfServe(e, centroids).collect().map(_.toString).sorted
+    val b = graft.operators.Ann.annIvfServe(e, loaded).collect().map(_.toString).sorted
+    assert(a.sameElements(b) && a.nonEmpty)
+  }
+
   test("shard DSv2 source: empty directory reads as zero rows, not an error") {
     val out = Files.createTempDirectory("rt_shards_empty").toString
     val back = spark.read.format("graft.sources.ShardDataSource").load(out)
