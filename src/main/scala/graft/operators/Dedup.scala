@@ -290,6 +290,33 @@ object Dedup {
        |SELECT text_hash, doc_id AS keep_doc_id, quality_score AS best_score, n_copies
        |FROM ranked WHERE rn = 1""".stripMargin
 
+  /** C54: corpus dedup-rate report — the one-row dashboard every dedup
+    * run publishes: raw docs, distinct texts, duplicate count/fraction,
+    * and the largest duplicate cluster. Two-level aggregate over
+    * (16-byte hash, count) pairs; output is O(1) at any corpus size.
+    */
+  def dupRate(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        sum(col("n")).cast("long").as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        (sum(col("n")).cast("long") - count(lit(1))).as("n_dup_docs"),
+        ((sum(col("n")).cast("long") - count(lit(1))).cast("double")
+          / sum(col("n")).cast("long")).as("dup_fraction"),
+        max(col("n")).as("max_cluster"))
+
+  val dupRateSql: String =
+    """WITH c AS (SELECT md5(text) AS h, COUNT(*) AS n FROM documents GROUP BY 1)
+      |SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |  CAST(SUM(n) AS BIGINT) - COUNT(*) AS n_dup_docs,
+      |  CAST(CAST(SUM(n) AS BIGINT) - COUNT(*) AS DOUBLE)
+      |    / CAST(SUM(n) AS BIGINT) AS dup_fraction,
+      |  CAST(MAX(n) AS BIGINT) AS max_cluster
+      |FROM c""".stripMargin
+
   /** C45: boilerplate / template detection — clusters of documents that
     * share an identical leading 16-word prefix (the shape of scraped
     * page templates and mirrored headers). Distinct from C1 (whole-text

@@ -520,6 +520,73 @@ object TextAnalysis {
       |    '[0-9]+', '0', 'g')) AS INTEGER) AS scrub_len
       |FROM documents""".stripMargin
 
+  /** C55: n-gram novelty scoring — per doc, the fraction of its
+    * distinct 3-grams whose FIRST corpus occurrence (min doc_id) is
+    * this doc: late near-copies score near 0, fresh content near 1 —
+    * the dedup-aware novelty signal curriculum/sampling policies use.
+    * Exchanges carry (gram, doc_id) pairs keyed by gram — uniform
+    * high-cardinality keys, never text.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        explode(graft.functions.Fns.shingles(split(col("text"), " "), 3)).as("g"))
+    val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+  }
+
+  val ngramNoveltySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+      |  FROM toks, unnest(range(1, greatest(len(tk) - 1, 2))) AS t(i)),
+      |first AS (
+      |  SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+      |SELECT sh.doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  CAST(SUM(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  CAST(SUM(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*) AS novelty
+      |FROM sh JOIN first ON sh.s = first.s
+      |GROUP BY sh.doc_id""".stripMargin
+
+  /** C56: the quality-ensemble gate — the final keep/drop decision
+    * fusing three independent signals, composed dbt-style from the
+    * OTHER models (`ref()` semantics: C42's rule flags ⋈ C8's language
+    * agreement ⋈ C50's entropy floor). Each arm is its own documented
+    * scale shape; the fusion is three doc_id-keyed joins of tiny
+    * per-doc booleans.
+    */
+  def qualityEnsemble(spark: SparkSession, dir: String): DataFrame = {
+    val c4 = c4Filter(spark, dir).select(col("doc_id"), col("keep").as("c4_pass"))
+    val lang = langId(spark, dir).select(col("doc_id"),
+      (col("predicted_lang") === col("claimed_lang")).as("lang_match"))
+    val ent = Corpus.entropy(spark, dir).select(col("doc_id"),
+      (col("entropy") >= 3.0).as("entropy_ok"))
+    c4.join(lang, "doc_id").join(ent, "doc_id")
+      .select(col("doc_id"), col("c4_pass"), col("lang_match"), col("entropy_ok"),
+        (col("c4_pass") && col("lang_match") && col("entropy_ok")).as("keep"))
+  }
+
+  val qualityEnsembleSql: String =
+    s"""WITH c4 AS ($c4FilterSql),
+       |lang AS (${langIdSql}),
+       |ent AS (${Corpus.entropySql})
+       |SELECT c4.doc_id, c4.keep AS c4_pass,
+       |  lang.predicted_lang = lang.claimed_lang AS lang_match,
+       |  ent.entropy >= 3.0 AS entropy_ok,
+       |  c4.keep AND (lang.predicted_lang = lang.claimed_lang)
+       |    AND (ent.entropy >= 3.0) AS keep
+       |FROM c4
+       |JOIN lang ON c4.doc_id = lang.doc_id
+       |JOIN ent ON c4.doc_id = ent.doc_id""".stripMargin
+
   /** C47: corpus length distribution — log₂ length buckets per source,
     * the histogram every data-mixture dashboard opens with (and the
     * input to length-based curriculum/filtering policies). The bucket is
