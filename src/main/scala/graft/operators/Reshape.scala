@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Fns._
 import graft.sources.Tables
@@ -205,6 +205,91 @@ object Reshape {
       |       WHEN incl * 20 <= total_cents * 19 THEN 'B'
       |       ELSE 'C' END AS abc_class
       |FROM c, tot""".stripMargin
+
+  /** E43: RFM customer segmentation — recency / frequency / monetary
+    * quintile scores, the classic lifecycle-marketing segmentation.
+    * Scores derive from exact quintile cutpoints (one tiny percentile
+    * aggregate, rounded at 4dp — E7's portability rule — and broadcast
+    * back), so scoring is a map-only pass of integer comparisons: no
+    * global sort, no per-customer window. Recency inverts (most recent
+    * = 5).
+    */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables(spark, dir).orders
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        decSum(col("o_totalprice")).as("monetary"))
+    val corpusMax = Tables(spark, dir).orders
+      .agg(max(col("o_orderdate")).as("corpus_max"))
+    val base = per.crossJoin(broadcast(corpusMax))
+      .select(col("o_custkey"),
+        datediff(to_date(col("corpus_max")), to_date(col("last_order")))
+          .cast("long").as("recency_days"),
+        col("frequency"), col("monetary"))
+    def cuts(c: Column) = call_function("percentile", c,
+      array(lit(0.2), lit(0.4), lit(0.6), lit(0.8)))
+    val cutpoints = base.agg(
+      transform(cuts(col("recency_days")), x => round(x, 4)).as("rc"),
+      transform(cuts(col("frequency")), x => round(x, 4)).as("fc"),
+      transform(cuts(col("monetary")), x => round(x, 4)).as("mc"))
+    def score(v: Column, cs: Column): Column =
+      (1 to 4).map(i => when(v > element_at(cs, i), 1).otherwise(0))
+        .reduce(_ + _) + 1
+    base.crossJoin(broadcast(cutpoints))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"), col("monetary"),
+        (lit(6) - score(col("recency_days").cast("double"), col("rc"))).as("r_score"),
+        score(col("frequency").cast("double"), col("fc")).as("f_score"),
+        score(col("monetary"), col("mc")).as("m_score"))
+      .withColumn("rfm",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+  }
+
+  val rfmSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey, MAX(o_orderdate) AS last_order,
+      |         CAST(COUNT(*) AS BIGINT) AS frequency,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      |  FROM orders GROUP BY 1),
+      |mx AS (SELECT MAX(o_orderdate) AS corpus_max FROM orders),
+      |base AS (
+      |  SELECT o_custkey,
+      |         CAST(date_diff('day', CAST(last_order AS DATE), CAST(corpus_max AS DATE)) AS BIGINT) AS recency_days,
+      |         frequency, monetary
+      |  FROM per, mx),
+      |cp AS (
+      |  SELECT
+      |    list_transform(quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]), x -> round(x, 4)) AS rc,
+      |    list_transform(quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]), x -> round(x, 4)) AS fc,
+      |    list_transform(quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]), x -> round(x, 4)) AS mc
+      |  FROM base)
+      |SELECT o_custkey, recency_days, frequency, monetary,
+      |  6 - ((CASE WHEN recency_days > rc[1] THEN 1 ELSE 0 END)
+      |     + (CASE WHEN recency_days > rc[2] THEN 1 ELSE 0 END)
+      |     + (CASE WHEN recency_days > rc[3] THEN 1 ELSE 0 END)
+      |     + (CASE WHEN recency_days > rc[4] THEN 1 ELSE 0 END) + 1) AS r_score,
+      |  (CASE WHEN frequency > fc[1] THEN 1 ELSE 0 END)
+      |     + (CASE WHEN frequency > fc[2] THEN 1 ELSE 0 END)
+      |     + (CASE WHEN frequency > fc[3] THEN 1 ELSE 0 END)
+      |     + (CASE WHEN frequency > fc[4] THEN 1 ELSE 0 END) + 1 AS f_score,
+      |  (CASE WHEN monetary > mc[1] THEN 1 ELSE 0 END)
+      |     + (CASE WHEN monetary > mc[2] THEN 1 ELSE 0 END)
+      |     + (CASE WHEN monetary > mc[3] THEN 1 ELSE 0 END)
+      |     + (CASE WHEN monetary > mc[4] THEN 1 ELSE 0 END) + 1 AS m_score,
+      |  (6 - ((CASE WHEN recency_days > rc[1] THEN 1 ELSE 0 END)
+      |     + (CASE WHEN recency_days > rc[2] THEN 1 ELSE 0 END)
+      |     + (CASE WHEN recency_days > rc[3] THEN 1 ELSE 0 END)
+      |     + (CASE WHEN recency_days > rc[4] THEN 1 ELSE 0 END) + 1)) * 100
+      |  + ((CASE WHEN frequency > fc[1] THEN 1 ELSE 0 END)
+      |     + (CASE WHEN frequency > fc[2] THEN 1 ELSE 0 END)
+      |     + (CASE WHEN frequency > fc[3] THEN 1 ELSE 0 END)
+      |     + (CASE WHEN frequency > fc[4] THEN 1 ELSE 0 END) + 1) * 10
+      |  + ((CASE WHEN monetary > mc[1] THEN 1 ELSE 0 END)
+      |     + (CASE WHEN monetary > mc[2] THEN 1 ELSE 0 END)
+      |     + (CASE WHEN monetary > mc[3] THEN 1 ELSE 0 END)
+      |     + (CASE WHEN monetary > mc[4] THEN 1 ELSE 0 END) + 1) AS rfm
+      |FROM base, cp""".stripMargin
 
   /** E37: engine-exact correlation + least-squares fit per group.
     * Engine-native `corr()` accumulates running doubles whose value

@@ -266,6 +266,37 @@ object Events {
   val qStreamDedupSql: String =
     """SELECT DISTINCT user_id, event_type FROM events""".stripMargin
 
+  /** D9: stream–static enrichment join — the remaining Structured
+    * Streaming join family: an unbounded stream joined to a STATIC
+    * dimension (the customer table), re-planned per micro-batch (the
+    * dim broadcasts; no stream-side state is needed for stream–static
+    * inner joins), aggregated per segment and run to completion under
+    * `Trigger.AvailableNow`. Complete-mode output over the whole feed
+    * is arrival-invariant, so the batch join's SQL is the exact oracle.
+    */
+  def qStreamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val feedDir = java.nio.file.Files.createTempDirectory("graft_feed_enrich")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+      feedDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(feedDir.toString)
+      .select(col("user_id"), col("value"))
+    val dim = Tables(spark, dir).customer
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val agg = stream.join(dim, "user_id")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("total_value"))
+    val q = agg.writeStream
+      .outputMode("complete").format("memory").queryName("q_stream_enrich_sink")
+      .trigger(Trigger.AvailableNow()).start()
+    try require(q.awaitTermination(300000),
+      "AvailableNow run did not self-terminate")
+    finally if (q.isActive) q.stop()
+    spark.table("q_stream_enrich_sink")
+  }
+
   val qSessionizeSql: String =
     """WITH e AS (
       |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events
