@@ -315,11 +315,14 @@ object Reshape {
     val num = n * sxy - sx * sy
     val varx = n * sxx - sx * sx
     val slope = num / varx
+    // final rounding (corr 8dp, fit 6dp): the decimal moments are exact,
+    // but decimal→double CASTS can differ by one ulp between engines —
+    // rounding the outputs absorbs that, same as every percentile face
     m.select(
       col("l_returnflag"), col("n"),
-      (num / (sqrt(varx) * sqrt(n * syy - sy * sy))).as("corr_qty_price"),
-      slope.as("slope"),
-      ((sy - slope * sx) / n).as("intercept"))
+      round(num / (sqrt(varx) * sqrt(n * syy - sy * sy)), 8).as("corr_qty_price"),
+      round(slope, 6).as("slope"),
+      round((sy - slope * sx) / n, 6).as("intercept"))
   }
 
   /** E38: robust outlier detection via median absolute deviation — the
@@ -375,17 +378,17 @@ object Reshape {
       |         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
       |  FROM lineitem GROUP BY 1)
       |SELECT l_returnflag, n,
-      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
       |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 8)
       |    AS corr_qty_price,
-      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-      |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
       |    AS slope,
-      |  (CAST(sy AS DOUBLE)
+      |  round((CAST(sy AS DOUBLE)
       |     - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
       |       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
       |       * CAST(sx AS DOUBLE))
-      |    / CAST(n AS DOUBLE) AS intercept
+      |    / CAST(n AS DOUBLE), 6) AS intercept
       |FROM m""".stripMargin
 }

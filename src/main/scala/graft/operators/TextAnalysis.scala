@@ -528,16 +528,27 @@ object TextAnalysis {
     * high-cardinality keys, never text.
     */
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables(spark, dir).documents
-      .select(col("doc_id"),
-        explode(graft.functions.Fns.shingles(split(col("text"), " "), 3)).as("g"))
-    val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
-    grams.join(first, "g")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
-      .select(col("doc_id"), col("n_grams"), col("n_novel"),
-        (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+    // ONE explode pass: per-doc gram counts are map-only
+    // (size(shingles)), and per-doc NOVEL counts fall out of the
+    // first-occurrence aggregate directly (group the (gram → min doc)
+    // table by its min doc) — no join back to the exploded grams, which
+    // would recompute the explode (partial-agg prevents exchange reuse).
+    // gram identity rides the single-pass native hash kernel (C4's
+    // pattern: 8-byte keys on the wire instead of ~30-byte gram
+    // strings; the string-shingle oracle states the same sets)
+    import graft.functions.NativeExprs.gram_hashes
+    val docs = Tables(spark, dir).documents
+    val grams = docs.select(col("doc_id"),
+      explode(gram_hashes(split(col("text"), " "), 3)).as("gh"))
+    val novel = grams.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    docs.select(col("doc_id"),
+        size(gram_hashes(split(col("text"), " "), 3)).cast("long").as("n_grams"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_grams")).as("novelty"))
   }
 
   val ngramNoveltySql: String =
