@@ -18,6 +18,11 @@ run / fork := true
 // others are dead); Bench also writes bench.json as the durable
 // fallback.
 Compile / run / outputStrategy := Some(StdoutOutput)
+// …and suppress sbt's trailing "[success] Total time" line so a
+// last-line-of-stdout parser sees the JSON itself (BENCH_r03 recorded
+// parsed:null with the [success] line after the JSON — the only line
+// sbt prints AFTER the forked process exits).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -288,20 +288,31 @@ object Ann {
     * mean embedding per label in long form (label, dim, centroid).
     * Exploding positions keeps the shuffle on aggregation keys only —
     * (label, dim) partial sums, never whole vectors — so the exchange
-    * is O(|labels|·dim) per task at any corpus size. Elements widen
-    * float→double before summing; the mean rounds to 6 dp and fixes as
-    * decimal so partial-sum orderings can't flip an output bit.
+    * is O(|labels|·dim) per task at any corpus size.
+    *
+    * Float portability (the C33 decimal-fix pattern): each element is
+    * rounded to 7 dp ONCE — from the identical float→double widening in
+    * both engines — and fixed as DECIMAL(18,7), so the per-group sum is
+    * exact decimal arithmetic, order-independent under any partitioning
+    * or merge order. Only the final mean is IEEE (one cast, one divide
+    * on identical inputs), then rounded to 6 dp. A plain avg(double)
+    * here was the one merge-order-unstable bit flip the round-3 oracle
+    * caught at the 8× scale-up.
     */
   def embedCentroids(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).embeddings
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), (col("pos") + 1).as("dim"))
-      .agg(round(avg(col("v").cast("double")), 6)
+      .agg(round(
+        sum(round(col("v").cast("double"), 7).cast("decimal(18,7)"))
+          .cast("double") / count(lit(1)), 6)
         .cast("decimal(18,6)").as("centroid"))
 
   val embedCentroidsSql: String =
     """SELECT label, CAST(j AS INTEGER) AS dim,
-      |  CAST(round(AVG(CAST(embedding[j] AS DOUBLE)), 6) AS DECIMAL(18,6)) AS centroid
+      |  CAST(round(
+      |    CAST(SUM(CAST(round(CAST(embedding[j] AS DOUBLE), 7) AS DECIMAL(18,7))) AS DOUBLE)
+      |      / COUNT(*), 6) AS DECIMAL(18,6)) AS centroid
       |FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(j)
       |GROUP BY label, j""".stripMargin
 

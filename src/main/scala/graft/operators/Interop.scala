@@ -7,8 +7,29 @@ import graft.sources.Tables
 /** Source/sink interop beyond parquet — corpus pipelines exchange JSON
   * Lines (one document object per line) at their boundaries, so the
   * engine must land and re-consume it losslessly.
+  *
+  * NOTE on timing: every face here measures a WRITE + READ round trip
+  * by design (the I/O path is the thing under test) — their bench
+  * numbers are sink+source cost, not query cost.
   */
 object Interop {
+
+  /** Fresh scratch dir, deleted recursively when the JVM exits — the
+    * faces land real files per invocation, and repeated bench/test runs
+    * must not leak disk across a long session.
+    */
+  private def tempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
 
   /** E32: JSONL sink + schema-first source round-trip. The documents
     * table is written as JSON Lines and read back with an EXPLICIT
@@ -23,8 +44,7 @@ object Interop {
     */
   def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    val out = java.nio.file.Files.createTempDirectory("graft_jsonl")
-      .toString + "/documents"
+    val out = tempDir("graft_jsonl") + "/documents"
     docs.write.mode("overwrite").json(out)
     val back = spark.read.schema(docs.schema).json(out)
     back.groupBy(col("source"))
@@ -54,7 +74,7 @@ object Interop {
     * either direction hash-mismatches the gate.
     */
   def shardRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val out = tempDir("graft_shards")
     graft.sources.ShardWriter.write(
       Tables(spark, dir).documents
         .select(col("doc_id"), col("text").cast("binary").as("payload")),
@@ -80,7 +100,7 @@ object Interop {
     */
   def jsonlCorrupt(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_badjsonl")
+    val tmp = java.nio.file.Paths.get(tempDir("graft_badjsonl"))
     val lines = (1 to 8).map(i => s"""{"id":$i,"v":"ok$i"}""") ++
       Seq("""{"id":9,"v":unterminated""", """not json at all""")
     java.nio.file.Files.write(tmp.resolve("feed.jsonl"),
@@ -112,7 +132,7 @@ object Interop {
     * table, so layout + pruning must be lossless.
     */
   def partitionedScan(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_part").toString + "/fact"
+    val out = tempDir("graft_part") + "/fact"
     val li = Tables(spark, dir).lineitem
       .withColumn("ship_month",
         date_format(col("l_shipdate"), "yyyy-MM"))

@@ -1,0 +1,266 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Fns._
+import graft.sources.Tables
+
+/** Sequence- and distribution-mining operators (SURVEY §2 round-4
+  * additions): event-transition matrices, corpus rank-frequency (Zipf)
+  * fits, PMI collocations, and embedding covariance — the statistical
+  * profiling layer a training-data pipeline runs over its corpus before
+  * committing to a mixture.
+  *
+  * Portability discipline throughout is SURVEY §8 + the C33 pattern:
+  * every aggregate is either an exact integer count or an exact decimal
+  * sum of per-row terms that were rounded ONCE from identical inputs in
+  * both engines; IEEE arithmetic happens only in a fixed final sequence
+  * over those exact aggregates.
+  */
+object Mining {
+
+  /** E44: event-type Markov transition matrix — P(next event type |
+    * current type) per user journey, the session-flow fingerprint
+    * behind next-action prediction and anomaly detection on event
+    * streams. One window exchange keyed by user (the semantically
+    * required one — identical cost class to sessionization), then
+    * (from, to) partial counts; the probability is one exact-integer
+    * division per output row.
+    */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"), nsToUs(col("ts")).as("t"),
+        col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val pairs = ev
+      .select(col("event_type").as("to_type"),
+        lag(col("event_type"), 1).over(w).as("from_type"))
+      .filter(col("from_type").isNotNull)
+    val counts = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val totals = counts.groupBy(col("from_type"))
+      .agg(sum(col("n_trans")).as("n_from"))
+    counts.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        (col("n_trans").cast("double") / col("n_from")).as("p"))
+  }
+
+  val transitionMatrixSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events),
+      |pairs AS (
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id)
+      |           AS from_type,
+      |         event_type AS to_type
+      |  FROM e),
+      |c AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n_trans
+      |  FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_from FROM c GROUP BY 1)
+      |SELECT c.from_type, to_type, n_trans,
+      |  CAST(n_trans AS DOUBLE) / n_from AS p
+      |FROM c JOIN tot ON c.from_type = tot.from_type""".stripMargin
+
+  /** C57: Zipf rank-frequency fit — the corpus-health diagnostic: a
+    * natural-language corpus follows ln(freq) ≈ a + s·ln(rank) with
+    * s ≈ −1; template/boilerplate-heavy or synthetic corpora bend the
+    * curve. Token ranks come from the distributed [[Corpus.globalIndex]]
+    * total order (vocabulary ≪ corpus, but still never a single-reducer
+    * window); the least-squares fit runs on decimal-fixed ln terms —
+    * exact order-independent sums, one IEEE solve at the end (the E37
+    * exact-correlation discipline).
+    */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables(spark, dir).documents
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val ranked = Corpus.globalIndex(
+      vocab, Seq(col("freq").desc, col("token")), "rk")
+    // x = ln(rank), y = ln(freq): fixed to 6 dp ONCE from exact integers
+    val terms = ranked.select(
+      round(log((col("rk") + 1).cast("double")), 6).cast("decimal(18,6)").as("x"),
+      round(log(col("freq").cast("double")), 6).cast("decimal(18,6)").as("y"))
+    val m = terms.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    m.select(
+      col("n").as("n_tokens_ranked"),
+      round(
+        (col("n") * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n") * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")),
+        6).as("zipf_slope"),
+      round(
+        (col("sy").cast("double") - ((col("n") * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n") * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double"))) * col("sx").cast("double"))
+          / col("n"),
+        6).as("zipf_intercept"))
+  }
+
+  val zipfFitSql: String =
+    """WITH v AS (
+      |  SELECT token, COUNT(*) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY token),
+      |r AS (
+      |  SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rk FROM v),
+      |t AS (
+      |  SELECT CAST(round(ln(CAST(rk AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+      |         CAST(round(ln(CAST(freq AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+      |  FROM r),
+      |m AS (
+      |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      |  FROM t)
+      |SELECT n AS n_tokens_ranked,
+      |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+      |    AS zipf_slope,
+      |  round((CAST(sy AS DOUBLE) - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+      |    / n, 6) AS zipf_intercept
+      |FROM m""".stripMargin
+
+  /** C58: PMI collocations — pointwise mutual information
+    * ln(P(w1 w2) / (P(w1)·P(w2))) over bigram instances, the standard
+    * multiword-expression detector (and the screen for templated word
+    * pairs that repeat far beyond chance). All counts are exact
+    * integers off one explode pass (bigram counts fold into both
+    * unigram marginals); the PMI term is ONE fixed IEEE expression over
+    * those integers, computed identically in both engines, with a
+    * deterministic (pmi, bigram) top-20 cut. Support threshold ≥ 5
+    * instances — PMI is noise below that.
+    */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val grams = toks.select(
+      explode(transform(
+        sequence(lit(1), greatest(size(col("tk")) - 1, lit(1))),
+        i => concat_ws(" ", slice(col("tk"), i, lit(2))))).as("bigram"))
+      .filter(size(split(col("bigram"), " ")) === 2)
+    val bi = grams.groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+    val uni = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val nUni = uni.agg(sum(col("cw")).as("n_uni"))
+    val nBi = bi.agg(sum(col("cb")).as("n_bi"))
+    bi
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("cw", "c1"), "w1")
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("cw", "c2"), "w2")
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .filter(col("cb") >= 5)
+      .select(col("bigram"), col("cb"), col("c1"), col("c2"),
+        round(log(
+          (col("cb").cast("double") * col("n_uni") * col("n_uni"))
+            / (col("n_bi").cast("double") * col("c1") * col("c2"))), 6)
+          .cast("decimal(18,6)").as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(20)
+  }
+
+  val pmiCollocationsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |grams AS (
+      |  SELECT array_to_string(tk[i:i+1], ' ') AS bigram
+      |  FROM toks, unnest(range(1, greatest(len(tk), 2))) AS t(i)
+      |  WHERE len(string_split(array_to_string(tk[i:i+1], ' '), ' ')) = 2),
+      |bi AS (
+      |  SELECT bigram, COUNT(*) AS cb,
+      |    string_split(bigram, ' ')[1] AS w1, string_split(bigram, ' ')[2] AS w2
+      |  FROM grams GROUP BY bigram),
+      |uni AS (
+      |  SELECT w, COUNT(*) AS cw
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY w),
+      |tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_uni FROM uni),
+      |tob AS (SELECT CAST(SUM(cb) AS BIGINT) AS n_bi FROM bi)
+      |SELECT bigram, cb, u1.cw AS c1, u2.cw AS c2,
+      |  CAST(round(ln(
+      |    (CAST(cb AS DOUBLE) * n_uni * n_uni)
+      |      / (CAST(n_bi AS DOUBLE) * u1.cw * u2.cw)), 6) AS DECIMAL(18,6)) AS pmi
+      |FROM bi
+      |JOIN uni u1 ON bi.w1 = u1.w
+      |JOIN uni u2 ON bi.w2 = u2.w
+      |CROSS JOIN tot CROSS JOIN tob
+      |WHERE cb >= 5
+      |ORDER BY pmi DESC, bigram
+      |LIMIT 20""".stripMargin
+
+  /** C59: embedding covariance matrix — the dim×dim second-moment
+    * summary behind whitening, PCA initialization, and
+    * anisotropy/collapse diagnostics on an embedding corpus (a healthy
+    * space has mass spread across dimensions; a collapsed one
+    * concentrates it). Upper triangle only, in long form (dim_i ≤
+    * dim_j, cov).
+    *
+    * Scale shape: each row expands to its dim·(dim+1)/2 pairwise
+    * products MAP-SIDE and collapses into the dim² running partials of
+    * the task's hash aggregate, so the exchange carries O(dim²) rows
+    * per task — never corpus-sized. The O(n·dim²) multiply cost is
+    * inherent to covariance; it distributes linearly across executors.
+    * Elements are decimal-fixed ONCE (7 dp off the identical
+    * float→double widening), making every sum exact; the covariance is
+    * one fixed IEEE sequence per (i,j) at the end.
+    */
+  def embedCov(spark: SparkSession, dir: String): DataFrame = {
+    val fixed = Tables(spark, dir).embeddings
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          v => round(v.cast("double"), 7).cast("decimal(18,7)")).as("e"))
+    // per-dim exact sums (for centering) + the global count
+    val dims = fixed
+      .select(posexplode(col("e")).as(Seq("p", "x")))
+      .groupBy((col("p") + 1).as("d"))
+      .agg(sum(col("x")).as("s"))
+    val n = fixed.agg(count(lit(1)).as("n_vecs"))
+    // upper-triangle pairwise products, exploded map-side
+    val pairs = fixed.select(
+      explode(flatten(transform(
+        sequence(lit(1), size(col("e"))),
+        i => transform(
+          sequence(i, size(col("e"))),
+          j => struct(i.as("i"), j.as("j"),
+            (element_at(col("e"), i) * element_at(col("e"), j)).as("xy"))))))
+        .as("t"))
+      .select(col("t.i"), col("t.j"), col("t.xy"))
+      .groupBy(col("i"), col("j")).agg(sum(col("xy")).as("sxy"))
+    pairs
+      .join(broadcast(dims).withColumnRenamed("d", "i").withColumnRenamed("s", "si"), "i")
+      .join(broadcast(dims).withColumnRenamed("d", "j").withColumnRenamed("s", "sj"), "j")
+      .crossJoin(broadcast(n))
+      .select(col("i").as("dim_i"), col("j").as("dim_j"),
+        round(
+          (col("sxy").cast("double")
+            - col("si").cast("double") * col("sj").cast("double") / col("n_vecs"))
+            / col("n_vecs"), 6).cast("decimal(18,6)").as("cov"))
+  }
+
+  val embedCovSql: String =
+    """WITH f AS (
+      |  SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      v -> CAST(round(v, 7) AS DECIMAL(18,7))) AS e
+      |  FROM embeddings),
+      |x AS (
+      |  SELECT vec_id, CAST(i AS INTEGER) AS d, e[i] AS xi
+      |  FROM f, unnest(range(1, len(e) + 1)) AS t(i)),
+      |dims AS (SELECT d, SUM(xi) AS s FROM x GROUP BY d),
+      |n AS (SELECT COUNT(*) AS n_vecs FROM f),
+      |p AS (
+      |  SELECT a.d AS i, b.d AS j, SUM(a.xi * b.xi) AS sxy
+      |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.d >= a.d
+      |  GROUP BY a.d, b.d)
+      |SELECT i AS dim_i, j AS dim_j,
+      |  CAST(round(
+      |    (CAST(sxy AS DOUBLE) - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE) / n_vecs)
+      |      / n_vecs, 6) AS DECIMAL(18,6)) AS cov
+      |FROM p
+      |JOIN dims si ON p.i = si.d
+      |JOIN dims sj ON p.j = sj.d
+      |CROSS JOIN n""".stripMargin
+}

@@ -72,21 +72,23 @@ object Multimodal {
     * payload bytes into an 8-bin histogram-ish feature vector and
     * "samples frames" as the first 4 byte values, preserving the exact
     * batch shape (bytes in → fixed-dim float features out) a decoder
-    * would have. Accumulates in double so the arithmetic is plain
-    * byte-sum math any engine can restate (the oracle recomputes it in
-    * SQL).
+    * would have. Bins accumulate as exact INTEGER byte sums (order-free
+    * by construction); each feature is then one fixed IEEE sequence
+    * (sum/255.0/n) the SQL oracle restates operation-for-operation —
+    * summing pre-divided doubles instead was the merge-order ulp drift
+    * the round-3 oracle caught.
     */
   private def decodeStub(r: MediaRow): MediaFeatures = {
-    val feats = new Array[Double](8)
+    val sums = new Array[Long](8)
     var i = 0
     while (i < r.payload.length) {
-      feats(i % 8) += (r.payload(i) & 0xff) / 255.0
+      sums(i % 8) += (r.payload(i) & 0xff)
       i += 1
     }
     val n = math.max(r.payload.length, 1)
     MediaFeatures(
       r.doc_id, r.payload.length,
-      feats.map(_ / n),
+      sums.map(s => s.toDouble / 255.0 / n),
       r.payload.take(4).map(b => (b & 0xff): Int))
   }
 
@@ -119,12 +121,12 @@ object Multimodal {
 
   /** Oracle restating [[decodeStub]]'s byte arithmetic in SQL: payload
     * = UTF-8 text bytes (ASCII in the test corpus, so byte i ==
-    * character i), 8 stride-binned byte sums / 255 / n, first-4-byte
-    * frame sample.
+    * character i), 8 stride-binned exact integer byte sums, then the
+    * identical /255.0/n double sequence, first-4-byte frame sample.
     */
   val multimodalFeaturesSql: String = {
     val fCols = (0 until 8).map(j =>
-      s"    CAST(round(COALESCE(SUM(CASE WHEN j = $j THEN v END), 0) / n_bytes, 6) AS DECIMAL(18,6)) AS f$j")
+      s"    CAST(round(CAST(COALESCE(SUM(CASE WHEN j = $j THEN b END), 0) AS DOUBLE) / 255.0 / n_bytes, 6) AS DECIMAL(18,6)) AS f$j")
       .mkString(",\n")
     val frames = (0 until 4).map(j =>
       s"  CASE WHEN length(d.text) >= ${j + 1} THEN ascii(substr(d.text, ${j + 1}, 1)) END AS frame$j")
@@ -132,7 +134,7 @@ object Multimodal {
     s"""WITH t AS (
        |  SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
        |    (i - 1) % 8 AS j,
-       |    ascii(substr(text, CAST(i AS INTEGER), 1)) / 255.0 AS v
+       |    ascii(substr(text, CAST(i AS INTEGER), 1)) AS b
        |  FROM documents, unnest(range(1, length(text) + 1)) AS u(i)),
        |f AS (
        |  SELECT doc_id, n_bytes,

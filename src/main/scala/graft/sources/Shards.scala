@@ -26,6 +26,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * task streams its records straight to disk — no driver data, no
   * shuffle beyond the one the layout requires.
   *
+  * FILESYSTEM CONTRACT: writer tasks and the reader's shard listing use
+  * `java.io` paths, so `dir` must be a filesystem every executor AND
+  * the driver see at the same path — true in local mode (this harness)
+  * and on clusters with a shared mount (NFS/Lustre/FUSE-mounted object
+  * store). On a shared-nothing cluster writing to raw local disks the
+  * shards would scatter across machines; routing these same streams
+  * through `org.apache.hadoop.fs.FileSystem` is the port (the record
+  * format, ownership discipline, and pruning logic are unchanged by
+  * it).
+  *
   * READ is a full DataSource V2 implementation (`TableProvider` →
   * `SupportsRead` table → `ScanBuilder` → `Batch`): one
   * `InputPartition` per shard file (a 1000-executor cluster scans 1000
@@ -167,8 +177,17 @@ private[sources] class ShardPartitionReader(file: String, fields: Array[String])
       in.readFully(payload)
       values(fields.indexOf("payload")) = payload
     } else {
+      // skip() returns 0 at EOF rather than -1: treat a non-positive
+      // return as "can't skip", fall back to read(), and surface a
+      // truncated shard file as an error instead of spinning forever
       var toSkip = len.toLong
-      while (toSkip > 0) toSkip -= in.skip(toSkip)
+      while (toSkip > 0) {
+        val skipped = in.skip(toSkip)
+        if (skipped > 0) toSkip -= skipped
+        else if (in.read() >= 0) toSkip -= 1
+        else throw new EOFException(
+          s"truncated shard record in $file: $toSkip payload bytes missing")
+      }
     }
     if (needDocId) values(fields.indexOf("doc_id")) = docId
     row = new GenericInternalRow(values)

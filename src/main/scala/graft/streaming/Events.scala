@@ -14,6 +14,23 @@ import graft.sources.Tables
   */
 object Events {
 
+  /** Fresh scratch dir, deleted recursively at JVM exit — streaming
+    * faces stage real feed files per invocation; repeated bench/test
+    * runs must not leak disk (same discipline as Interop.tempDir).
+    */
+  private def tempDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p
+  }
+
   /** Shared transform: tumbling hourly window aggregate. In streaming
     * mode the caller adds `.withWatermark("event_ts", …)` upstream; the
     * plan (window + partial agg + final agg) is identical.
@@ -217,7 +234,7 @@ object Events {
     val schema = spark.read.parquet(path).schema
     // FileStreamSource consumes a DIRECTORY (the arrival contract:
     // files land, get processed once); stage the feed into one
-    val feedDir = java.nio.file.Files.createTempDirectory("graft_feed")
+    val feedDir = tempDir("graft_feed")
     java.nio.file.Files.copy(java.nio.file.Paths.get(path),
       feedDir.resolve("events.parquet"))
     val stream = spark.readStream.schema(schema).parquet(feedDir.toString)
@@ -246,7 +263,7 @@ object Events {
     import org.apache.spark.sql.streaming.Trigger
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
-    val feedDir = java.nio.file.Files.createTempDirectory("graft_feed_dedup")
+    val feedDir = tempDir("graft_feed_dedup")
     java.nio.file.Files.copy(java.nio.file.Paths.get(path),
       feedDir.resolve("events.parquet"))
     val stream = spark.readStream.schema(schema).parquet(feedDir.toString)
@@ -278,7 +295,7 @@ object Events {
     import org.apache.spark.sql.streaming.Trigger
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
-    val feedDir = java.nio.file.Files.createTempDirectory("graft_feed_enrich")
+    val feedDir = tempDir("graft_feed_enrich")
     java.nio.file.Files.copy(java.nio.file.Paths.get(path),
       feedDir.resolve("events.parquet"))
     val stream = spark.readStream.schema(schema).parquet(feedDir.toString)
@@ -296,6 +313,138 @@ object Events {
     finally if (q.isActive) q.stop()
     spark.table("q_stream_enrich_sink")
   }
+
+  /** D10: end-to-end STATEFUL sessionization the batch harness drives —
+    * [[sessionizeStateful]]'s real `flatMapGroupsWithState` +
+    * `EventTimeTimeout` state machine run to completion under
+    * `Trigger.AvailableNow`, made arrival-invariant with the standard
+    * FLUSH-SENTINEL move: one synthetic far-future event per user
+    * (2×gap past the feed's high-water mark) forces every real trailing
+    * session closed through the normal fold path, and the sentinel's own
+    * 1-event session is the only state left open (never emitted in
+    * Append mode — and filtered defensively anyway). The emitted set
+    * then equals batch sessionization exactly, so D2's SQL is the
+    * oracle. The high-water-mark fetch is a bounded 1-row collect
+    * (SURVEY §5's documented exception class).
+    *
+    * total_value rounds to 2 dp: the stream folds doubles in event-time
+    * order while the oracle sums exact decimals; the feed's values ARE
+    * 2-dp, so both land within ulps of the same 2-dp value and the
+    * round recovers it bit-for-bit.
+    */
+  def qStreamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = s"$dir/events.parquet"
+    val ev = spark.read.parquet(path)
+    val schema = ev.schema
+    val feedDir = tempDir("graft_feed_sess")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+      feedDir.resolve("events.parquet"))
+    val gapUs = 30L * 60 * 1000000
+    val maxUs = ev.agg(max(nsToUs(col("ts")))).collect()(0).getLong(0)
+    val sentinelUs = maxUs + 2 * gapUs
+    // sentinel feed, same schema as the real one (unused columns null)
+    // ts rides as a raw nanosecond long (Tables.events contract).
+    // FileStreamSource lists FILES in the feed dir, so the sentinel
+    // batch is staged to a scratch dir and its part-file moved in flat.
+    val scratch = tempDir("graft_sentinel")
+    ev.select(col("user_id")).distinct()
+      .withColumn("ts", lit(sentinelUs * 1000L))
+      .withColumn("value", lit(0.0))
+      .select(schema.fieldNames.map(f =>
+        if (Seq("user_id", "ts", "value").contains(f)) col(f)
+        else lit(null).cast(schema(f).dataType).as(f)): _*)
+      .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+    val part = java.nio.file.Files.list(scratch).filter(p =>
+      p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.move(part, feedDir.resolve("zz_sentinel.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(feedDir.toString)
+      .select(col("user_id"), nsToUs(col("ts")).as("ts_us"),
+        col("value").cast("double").as("value"))
+      .as(Encoders.product[Ev])
+    val sessions = sessionizeStateful(stream, gapUs)(
+      Encoders.product[SessionOut])
+    val q = sessions.writeStream
+      .outputMode("append").format("memory").queryName("q_stream_sess_sink")
+      .trigger(Trigger.AvailableNow()).start()
+    try require(q.awaitTermination(300000),
+      "AvailableNow run did not self-terminate")
+    finally if (q.isActive) q.stop()
+    spark.table("q_stream_sess_sink")
+      .filter(col("session_start_us") < sentinelUs)
+      .select(col("user_id"), col("session_start_us"), col("n_events"),
+        round(col("total_value"), 2).as("total_value"))
+  }
+
+  val qStreamSessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events
+      |), flagged AS (
+      |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+      |                   OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |), numbered AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, MIN(ts_us) AS session_start_us, COUNT(*) AS n_events,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+      |FROM numbered
+      |GROUP BY user_id, session_id""".stripMargin
+
+  /** D11: end-to-end stream–stream interval join the batch harness
+    * drives — E14's range-join semantics (clicks in the hour before
+    * each purchase) as a real watermarked stream-stream join under
+    * `Trigger.AvailableNow`: both sides are unbounded feeds, the
+    * event-time bounds make the join state finite (each side keeps only
+    * the watermark-reachable hour), and INNER-join matches emit as soon
+    * as both rows are present — no watermark wait — so the emitted pair
+    * set over a complete feed is arrival-invariant. The face folds the
+    * sink to (purchase, n_clicks) per converting purchase; the batch
+    * join's SQL is the exact oracle.
+    */
+  def qStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val feedDir = tempDir("graft_feed_join")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+      feedDir.resolve("events.parquet"))
+    def feed() = spark.readStream.schema(schema).parquet(feedDir.toString)
+      .withColumn("event_ts", nsToTimestamp(col("ts")))
+      .withWatermark("event_ts", "2 hours")
+    val purchases = feed().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_event_id"),
+        col("event_ts").as("p_ts"))
+    val clicks = feed().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_event_id"),
+        col("event_ts").as("c_ts"))
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+    val q = joined.writeStream
+      .outputMode("append").format("memory").queryName("q_stream_join_sink")
+      .trigger(Trigger.AvailableNow()).start()
+    try require(q.awaitTermination(300000),
+      "AvailableNow run did not self-terminate")
+    finally if (q.isActive) q.stop()
+    spark.table("q_stream_join_sink")
+      .groupBy(col("p_user").as("user_id"), col("purchase_event_id"))
+      .agg(count(lit(1)).as("n_clicks"))
+  }
+
+  val qStreamJoinSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events)
+      |SELECT p.user_id, p.event_id AS purchase_event_id, COUNT(*) AS n_clicks
+      |FROM e p JOIN e c
+      |  ON p.user_id = c.user_id
+      | AND c.t >= p.t - 3600000000
+      | AND c.t <= p.t
+      |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      |GROUP BY p.user_id, p.event_id""".stripMargin
 
   val qSessionizeSql: String =
     """WITH e AS (
