@@ -1,7 +1,10 @@
 package graft.sources
 
-import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, FileInputStream, FileOutputStream}
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException}
 import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
@@ -26,15 +29,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * task streams its records straight to disk — no driver data, no
   * shuffle beyond the one the layout requires.
   *
-  * FILESYSTEM CONTRACT: writer tasks and the reader's shard listing use
-  * `java.io` paths, so `dir` must be a filesystem every executor AND
-  * the driver see at the same path — true in local mode (this harness)
-  * and on clusters with a shared mount (NFS/Lustre/FUSE-mounted object
-  * store). On a shared-nothing cluster writing to raw local disks the
-  * shards would scatter across machines; routing these same streams
-  * through `org.apache.hadoop.fs.FileSystem` is the port (the record
-  * format, ownership discipline, and pruning logic are unchanged by
-  * it).
+  * FILESYSTEM CONTRACT: every byte moves through
+  * `org.apache.hadoop.fs.FileSystem` resolved from the path's scheme —
+  * a bare path is the default FS (local disk here, HDFS on a cluster
+  * with core-site.xml), and `hdfs://`/`s3a://`-style URIs address any
+  * configured store directly, so executors on a shared-nothing cluster
+  * write/read the SAME distributed filesystem rather than scattering
+  * shards across machine-local disks. Writer tasks re-resolve the
+  * FileSystem from a fresh `Configuration()` (loaded from the
+  * executor's Hadoop config on the classpath, the standard deployment
+  * contract); the record format, ownership discipline, and pruning
+  * logic are scheme-independent.
   *
   * READ is a full DataSource V2 implementation (`TableProvider` →
   * `SupportsRead` table → `ScanBuilder` → `Batch`): one
@@ -64,7 +69,9 @@ object ShardWriter {
     val assigned = graft.operators.Corpus
       .prefixSum(sized, Seq(col("doc_id")), "n_bytes", "start_byte")
       .withColumn("shard_id", call_function("div", col("start_byte"), lit(shardBytes)))
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val dirPath = new Path(dir)
+    dirPath.getFileSystem(
+      docs.sparkSession.sparkContext.hadoopConfiguration).mkdirs(dirPath)
     // repartition BY shard_id: each reducer owns complete shards, so
     // file creation is race-free by construction
     assigned
@@ -72,6 +79,7 @@ object ShardWriter {
       .sortWithinPartitions(col("shard_id"), col("start_byte"))
       .select(col("shard_id"), col("doc_id"), col("payload"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        lazy val fs = new Path(dir).getFileSystem(new Configuration())
         var out: DataOutputStream = null
         var current = -1L
         try {
@@ -80,7 +88,7 @@ object ShardWriter {
             if (shard != current) {
               if (out != null) out.close()
               out = new DataOutputStream(new BufferedOutputStream(
-                new FileOutputStream(f"$dir/shard-$shard%05d.bin")))
+                fs.create(new Path(dir, f"shard-$shard%05d.bin"), true)))
               current = shard
             }
             val payload = r.getAs[Array[Byte]](2)
@@ -135,11 +143,14 @@ private[sources] class ShardScan(path: String, required: StructType)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = new java.io.File(path).listFiles()
-    if (files == null) Array.empty
-    else files.filter(f => f.isFile && f.getName.startsWith("shard-"))
-      .sortBy(_.getName)
-      .map(f => ShardInputPartition(f.getAbsolutePath): InputPartition)
+    val p = new Path(path)
+    val fs = p.getFileSystem(org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("shard-"))
+      .sortBy(_.getPath.getName)
+      .map(st => ShardInputPartition(st.getPath.toString): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new ShardReaderFactory(required.fieldNames)
@@ -160,8 +171,11 @@ private[sources] class ShardReaderFactory(fields: Array[String])
   */
 private[sources] class ShardPartitionReader(file: String, fields: Array[String])
     extends PartitionReader[InternalRow] {
-  private val in = new DataInputStream(new BufferedInputStream(
-    new FileInputStream(file), 1 << 16))
+  private val in: DataInputStream = {
+    val p = new Path(file)
+    new DataInputStream(new BufferedInputStream(
+      p.getFileSystem(new Configuration()).open(p), 1 << 16))
+  }
   private val needPayload = fields.contains("payload")
   private val needDocId = fields.contains("doc_id")
   private var row: InternalRow = _

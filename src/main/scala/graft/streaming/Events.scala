@@ -228,7 +228,8 @@ object Events {
     * the batch oracle states this result exactly; StreamingSpec holds
     * the incremental-arrival and self-termination properties.
     */
-  def qStreamHourly(spark: SparkSession, dir: String): DataFrame = {
+  def qStreamHourly(spark: SparkSession, dir: String): DataFrame = withConf(
+      spark, "spark.sql.shuffle.partitions", "8") {
     import org.apache.spark.sql.streaming.Trigger
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
@@ -259,7 +260,8 @@ object Events {
     * batch `SELECT DISTINCT` exactly, which is the oracle. State cost
     * at scale is bounded by the horizon, not the stream length.
     */
-  def qStreamDedup(spark: SparkSession, dir: String): DataFrame = {
+  def qStreamDedup(spark: SparkSession, dir: String): DataFrame = withConf(
+      spark, "spark.sql.shuffle.partitions", "8") {
     import org.apache.spark.sql.streaming.Trigger
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
@@ -291,7 +293,8 @@ object Events {
     * `Trigger.AvailableNow`. Complete-mode output over the whole feed
     * is arrival-invariant, so the batch join's SQL is the exact oracle.
     */
-  def qStreamEnrich(spark: SparkSession, dir: String): DataFrame = {
+  def qStreamEnrich(spark: SparkSession, dir: String): DataFrame = withConf(
+      spark, "spark.sql.shuffle.partitions", "8") {
     import org.apache.spark.sql.streaming.Trigger
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
@@ -332,7 +335,8 @@ object Events {
     * 2-dp, so both land within ulps of the same 2-dp value and the
     * round recovers it bit-for-bit.
     */
-  def qStreamSessionize(spark: SparkSession, dir: String): DataFrame = {
+  def qStreamSessionize(spark: SparkSession, dir: String): DataFrame = withConf(
+      spark, "spark.sql.shuffle.partitions", "8") {
     import org.apache.spark.sql.streaming.Trigger
     val path = s"$dir/events.parquet"
     val ev = spark.read.parquet(path)
@@ -404,7 +408,28 @@ object Events {
     * sink to (purchase, n_clicks) per converting purchase; the batch
     * join's SQL is the exact oracle.
     */
-  def qStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+  /** Scoped conf override, restored on exit — stateful streaming
+    * queries instantiate one state store PER shuffle partition per
+    * stateful operator per micro-batch (a stream-stream join keeps
+    * FOUR per partition), so the session's scan-sized shuffle width
+    * would spend seconds on store commits for kilobytes of state. The
+    * query captures the width at start; the session conf is restored
+    * immediately after, never leaked (the A-block discipline: no silent
+    * config mutation).
+    */
+  private def withConf[T](spark: SparkSession, key: String, value: String)(
+      body: => T): T = {
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  def qStreamJoin(spark: SparkSession, dir: String): DataFrame = withConf(
+      spark, "spark.sql.shuffle.partitions", "8") {
     import org.apache.spark.sql.streaming.Trigger
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema

@@ -128,4 +128,22 @@ class SourcesSpec extends AnyFunSuite {
     // row-count-only scan (empty required schema) still yields cardinality
     assert(back.count() == docs.count())
   }
+
+  test("shard DSv2 source: a truncated shard file errors instead of hanging") {
+    val out = Files.createTempDirectory("rt_shards_trunc").toString
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    graft.sources.ShardWriter.write(docs, out)
+    // chop the tail off one shard: its last record's payload is cut mid-bytes
+    val f = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard-")).minBy(_.getName)
+    val ch = java.nio.channels.FileChannel.open(f.toPath,
+      java.nio.file.StandardOpenOption.WRITE)
+    try ch.truncate(f.length() - 3) finally ch.close()
+    val back = spark.read.format("graft.sources.ShardDataSource").load(out)
+    // payload path (readFully) and pruned path (skip) must BOTH surface it
+    intercept[org.apache.spark.SparkException](back.count())
+    intercept[org.apache.spark.SparkException](
+      back.select("doc_id").collect())
+  }
 }
