@@ -1029,4 +1029,98 @@ object Extras {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
       |FROM merged WHERE rn = 1
       |GROUP BY src""".stripMargin
+
+  /** E45: CDC changelog apply — the warehouse MERGE superset dbt
+    * incremental models compile to: a keyed base table plus an
+    * upsert/delete changelog folded to final state. The events feed
+    * plays the changelog (key = user_id ≙ c_custkey, seq = event time,
+    * `error` events are deletes, everything else upserts the account
+    * balance to the event value). Latest-change-wins is ONE exact
+    * aggregate — `max(struct(seq, tiebreak, op, value))` per key, no
+    * window sort — then a full-outer join with the base decides
+    * keep / update / delete / insert per row. Exchanges are keyed on
+    * the merge key only; at scale this is the same plan MERGE INTO
+    * runs, with AQE skew-splitting hot keys.
+    */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val changes = t.events
+      .select(col("user_id").as("key"), nsToUs(col("ts")).as("seq"),
+        col("event_id"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+        dec(col("value"), 18, 2).as("new_bal"))
+    // latest change per key: struct max orders lexicographically on
+    // (seq, event_id) — deterministic, mergeable, no per-key sort
+    val latest = changes
+      .groupBy(col("key"))
+      .agg(max(struct(col("seq"), col("event_id"), col("op"), col("new_bal")))
+        .as("c"))
+      .select(col("key"), col("c.op").as("op"), col("c.new_bal").as("new_bal"))
+    val base = t.customer.select(col("c_custkey").as("key"),
+      dec(col("c_acctbal"), 18, 2).as("base_bal"))
+    base.join(latest, Seq("key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("key").as("c_custkey"),
+        coalesce(col("new_bal"), col("base_bal")).cast("double").as("acctbal"),
+        when(col("op").isNull, lit("unchanged"))
+          .when(col("base_bal").isNull, lit("inserted"))
+          .otherwise(lit("updated")).as("cdc_action"))
+  }
+
+  val cdcApplySql: String =
+    """WITH ch AS (
+      |  SELECT user_id AS key, epoch_us(ts) AS seq, event_id,
+      |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |    CAST(value AS DECIMAL(18,2)) AS new_bal
+      |  FROM events),
+      |latest AS (
+      |  SELECT key, op, new_bal FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY key
+      |      ORDER BY seq DESC, event_id DESC) AS rn FROM ch)
+      |  WHERE rn = 1),
+      |base AS (
+      |  SELECT c_custkey AS key, CAST(c_acctbal AS DECIMAL(18,2)) AS base_bal
+      |  FROM customer)
+      |SELECT key AS c_custkey,
+      |  CAST(COALESCE(new_bal, base_bal) AS DOUBLE) AS acctbal,
+      |  CASE WHEN op IS NULL THEN 'unchanged'
+      |       WHEN base_bal IS NULL THEN 'inserted'
+      |       ELSE 'updated' END AS cdc_action
+      |FROM base FULL OUTER JOIN latest USING (key)
+      |WHERE op IS NULL OR op <> 'D'""".stripMargin
+
+  /** A27: the SQL surface — the reference's users write SQL (dbt models
+    * ARE SQL), so the engine must run the same models through
+    * `spark.sql` over registered views with identical semantics to the
+    * DataFrame faces. The face registers the warehouse tables as temp
+    * views and states a monthly per-nation revenue model in pure Spark
+    * SQL (decimal money discipline and all); Catalyst plans it
+    * identically to the DataFrame form — pushdown, AQE broadcast, the
+    * lot — because both lower to the same logical plan algebra.
+    */
+  def sqlModel(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem.createOrReplaceTempView("lineitem_v")
+    t.supplier.createOrReplaceTempView("supplier_v")
+    t.nation.createOrReplaceTempView("nation_v")
+    spark.sql(
+      """SELECT n_name AS nation,
+        |  date_format(l_shipdate, 'yyyy-MM') AS ship_month,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem_v
+        |JOIN supplier_v ON l_suppkey = s_suppkey
+        |JOIN nation_v ON s_nationkey = n_nationkey
+        |GROUP BY n_name, date_format(l_shipdate, 'yyyy-MM')""".stripMargin)
+  }
+
+  val sqlModelSql: String =
+    """SELECT n_name AS nation,
+      |  strftime(l_shipdate, '%Y-%m') AS ship_month,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY 1, 2""".stripMargin
 }

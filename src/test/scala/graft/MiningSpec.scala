@@ -68,6 +68,44 @@ class MiningSpec extends AnyFunSuite {
     assert(batch.except(stream).count() == 0)
   }
 
+  test("q_cdc_apply: deletes vanish, inserts appear, unchanged keys keep base balance") {
+    import graft.functions.Fns.nsToUs
+    val out = run("q_cdc_apply").cache()
+    val ev = graft.sources.Tables(spark, dir).events
+    val cust = graft.sources.Tables(spark, dir).customer
+    // keys whose LATEST change is a delete must be absent
+    val latest = ev.select(col("user_id"), nsToUs(col("ts")).as("s"),
+        col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("s").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+    val deleted = latest.filter(col("event_type") === "error")
+      .select(col("user_id").as("c_custkey"))
+    assert(out.join(deleted, "c_custkey").count() == 0)
+    // unchanged = base keys with no changelog entry, balance preserved
+    val unchanged = out.filter(col("cdc_action") === "unchanged")
+    val expectedUnchanged = cust.join(
+      ev.select(col("user_id").as("c_custkey")).distinct(),
+      Seq("c_custkey"), "left_anti")
+    assert(unchanged.count() == expectedUnchanged.count())
+    out.unpersist()
+  }
+
+  test("q_sql_model: spark.sql over views equals the DataFrame formulation") {
+    val sql = run("q_sql_model")
+    val t = graft.sources.Tables(spark, dir)
+    val df = t.lineitem
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(t.nation, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(count(lit(1)).as("n_items"),
+        graft.functions.Fns.decSum(col("l_extendedprice")).as("revenue"))
+    assert(sql.except(df).count() == 0)
+    assert(df.except(sql).count() == 0)
+  }
+
   test("q_stream_join: streaming interval join equals the batch pair set") {
     import graft.functions.Fns.nsToUs
     val stream = run("q_stream_join")
