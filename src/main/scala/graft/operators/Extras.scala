@@ -1036,11 +1036,15 @@ object Extras {
     * plays the changelog (key = user_id ≙ c_custkey, seq = event time,
     * `error` events are deletes, everything else upserts the account
     * balance to the event value). Latest-change-wins is ONE exact
-    * aggregate — `max(struct(seq, tiebreak, op, value))` per key, no
-    * window sort — then a full-outer join with the base decides
-    * keep / update / delete / insert per row. Exchanges are keyed on
-    * the merge key only; at scale this is the same plan MERGE INTO
-    * runs, with AQE skew-splitting hot keys.
+    * aggregate — `max(struct(seq, tiebreak, op, value))` per key
+    * (struct ordering is lexicographic, so the max IS the latest
+    * change; the immutable buffer plans as a sort-based aggregate, but
+    * crucially still a PARTIAL one: the exchange carries one row per
+    * key per task, where the oracle's row_number window would exchange
+    * every changelog row) — then a full-outer join with the base
+    * decides keep / update / delete / insert per row. Exchanges are
+    * keyed on the merge key only; at scale this is the same plan MERGE
+    * INTO runs, with AQE skew-splitting hot keys.
     */
   def cdcApply(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

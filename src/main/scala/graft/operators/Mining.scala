@@ -39,11 +39,14 @@ object Mining {
       .filter(col("from_type").isNotNull)
     val counts = pairs.groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n_trans"))
-    val totals = counts.groupBy(col("from_type"))
-      .agg(sum(col("n_trans")).as("n_from"))
-    counts.join(totals, "from_type")
+    // normalize with a window over the |types|² COUNTS frame (bounded
+    // at any corpus size) — a join against a separate totals aggregate
+    // would re-execute the big per-user window for the second branch
+    counts
       .select(col("from_type"), col("to_type"), col("n_trans"),
-        (col("n_trans").cast("double") / col("n_from")).as("p"))
+        (col("n_trans").cast("double") /
+          sum(col("n_trans")).over(Window.partitionBy(col("from_type"))))
+          .as("p"))
   }
 
   val transitionMatrixSql: String =
