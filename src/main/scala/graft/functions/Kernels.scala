@@ -193,4 +193,36 @@ object Kernels {
     while (it.hasNext) { arr(i) = it.next(); i += 1 }
     new GenericArrayData(arr)
   }
+
+  /** Upper-triangle pairwise products of the 7dp-decimal-fixed
+    * elements of a float32 vector, row-major (i ≤ j), as EXACT unscaled
+    * longs (value×10¹⁴): the map-side inner loop of the covariance
+    * matrix (Mining C59). The fix step replicates Spark's
+    * `round(cast(v as double), 7)` bit-for-bit — `BigDecimal.valueOf`
+    * (shortest-string repr, what Round/Cast parse) then HALF_UP — so
+    * the kernel longs equal the DataFrame-path longs; the products are
+    * exact while |v| < 300 (`longValueExact` throws loudly past the
+    * fix-step bound rather than wrapping).
+    */
+  def covPairs(vec: ArrayData): ArrayData = {
+    val d = vec.numElements()
+    val fixed = new Array[Long](d)
+    var i = 0
+    while (i < d) {
+      fixed(i) = java.math.BigDecimal.valueOf(vec.getFloat(i).toDouble)
+        .setScale(7, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+      i += 1
+    }
+    val out = new Array[Long](d * (d + 1) / 2)
+    var p = 0
+    i = 0
+    while (i < d) {
+      val fi = fixed(i)
+      var j = i
+      while (j < d) { out(p) = fi * fixed(j); p += 1; j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }

@@ -115,6 +115,19 @@ object NativeExprs {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+
+  /** cov_pairs(float32[]) → long[d(d+1)/2] upper-triangle products of
+    * the 7dp-fixed elements (see [[Kernels.covPairs]]).
+    */
+  case class CovPairsF32(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(a: Any): Any =
+      Kernels.covPairs(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.functions.Kernels.covPairs($a)")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   // Column-API faces (GraftBridge wraps Spark 4's Column↔Expression bridge)
   import org.apache.spark.sql.GraftBridge.{column, expression}
   def cosine_f32(a: Column, b: Column): Column =
@@ -130,4 +143,5 @@ object NativeExprs {
     column(CellProbe(expression(emb), centroids.map(_.toArray).toArray, k))
   def plane_bucket(emb: Column, planes: Seq[Seq[Double]]): Column =
     column(PlaneBucket(expression(emb), planes.map(_.toArray).toArray))
+  def cov_pairs(emb: Column): Column = column(CovPairsF32(expression(emb)))
 }

@@ -206,40 +206,55 @@ object Mining {
     * the task's hash aggregate, so the exchange carries O(dim²) rows
     * per task — never corpus-sized. The O(n·dim²) multiply cost is
     * inherent to covariance; it distributes linearly across executors.
-    * Elements are decimal-fixed ONCE (7 dp off the identical
-    * float→double widening), making every sum exact; the covariance is
-    * one fixed IEEE sequence per (i,j) at the end.
+    *
+    * Exactness at codegen speed: elements fix ONCE to 7 dp and carry as
+    * UNSCALED LONGS (value×10⁷ — exact for |v| < 9·10¹¹, embeddings are
+    * unit-scale), so the hot per-pair op is one long multiply (exact:
+    * |product| < 2⁶³ while |v| < 300) instead of a precision-37
+    * BigDecimal multiply; sums are exact decimals of those longs
+    * (order-independent at any group size), and the covariance is one
+    * fixed IEEE sequence per (i,j) at the end, descaled by the same
+    * constants in both engines.
     */
   def embedCov(spark: SparkSession, dir: String): DataFrame = {
-    val fixed = Tables(spark, dir).embeddings
-      .select(col("vec_id"),
-        transform(col("embedding"),
-          v => round(v.cast("double"), 7).cast("decimal(18,7)")).as("e"))
-    // per-dim exact sums (for centering) + the global count
-    val dims = fixed
-      .select(posexplode(col("e")).as(Seq("p", "x")))
-      .groupBy((col("p") + 1).as("d"))
-      .agg(sum(col("x")).as("s"))
-    val n = fixed.agg(count(lit(1)).as("n_vecs"))
-    // upper-triangle pairwise products, exploded map-side
-    val pairs = fixed.select(
-      explode(flatten(transform(
-        sequence(lit(1), size(col("e"))),
+    val emb = Tables(spark, dir).embeddings
+    // ONE pass, one global typed aggregate: per row the native covPairs
+    // kernel emits the dim(dim+1)/2 exact long products (whole-stage
+    // codegen, no interpreted HOF — the lambda formulation of the same
+    // products was 4× slower) and vec_sum128 folds them into a 128-bit
+    // per-task accumulator. Partials on the wire are O(dim² × 16 B)
+    // per task — nothing corpus-sized ever shuffles or explodes. The
+    // per-dim linear sums (for centering) ride the same pass as a
+    // second accumulator over the 7dp-fixed elements (the DataFrame
+    // twin of the kernel's fix step).
+    val fixedE = transform(col("embedding"),
+      v => (round(v.cast("double"), 7).cast("decimal(18,7)")
+        * lit(10000000L)).cast("long"))
+    val one = emb.agg(
+      graft.functions.VecSumAgg.vec_sum128(
+        graft.functions.NativeExprs.cov_pairs(col("embedding"))).as("sxy_arr"),
+      graft.functions.VecSumAgg.vec_sum128(fixedE).as("s_arr"),
+      count(lit(1)).as("n_vecs"))
+    // (pos → i,j) in the kernel's row-major i≤j layout, derived from
+    // one row (dim is constant); 1-based to match the oracle's unnest
+    val mapping = emb.limit(1)
+      .select(posexplode(flatten(transform(
+        sequence(lit(1), size(col("embedding"))),
         i => transform(
-          sequence(i, size(col("e"))),
-          j => struct(i.as("i"), j.as("j"),
-            (element_at(col("e"), i) * element_at(col("e"), j)).as("xy"))))))
-        .as("t"))
-      .select(col("t.i"), col("t.j"), col("t.xy"))
-      .groupBy(col("i"), col("j")).agg(sum(col("xy")).as("sxy"))
-    pairs
-      .join(broadcast(dims).withColumnRenamed("d", "i").withColumnRenamed("s", "si"), "i")
-      .join(broadcast(dims).withColumnRenamed("d", "j").withColumnRenamed("s", "sj"), "j")
-      .crossJoin(broadcast(n))
+          sequence(i, size(col("embedding"))),
+          j => struct(i.as("i"), j.as("j"))))))
+        .as(Seq("pos", "ij")))
+      .select(col("pos"), col("ij.i"), col("ij.j"))
+    one
+      .select(col("s_arr"), col("n_vecs"),
+        posexplode(col("sxy_arr")).as(Seq("pos", "sxy")))
+      .join(broadcast(mapping), "pos")
       .select(col("i").as("dim_i"), col("j").as("dim_j"),
         round(
-          (col("sxy").cast("double")
-            - col("si").cast("double") * col("sj").cast("double") / col("n_vecs"))
+          (col("sxy").cast("double") / lit(1.0e14)
+            - (element_at(col("s_arr"), col("i")).cast("double") / lit(1.0e7))
+              * (element_at(col("s_arr"), col("j")).cast("double") / lit(1.0e7))
+              / col("n_vecs"))
             / col("n_vecs"), 6).cast("decimal(18,6)").as("cov"))
   }
 
@@ -247,7 +262,7 @@ object Mining {
     """WITH f AS (
       |  SELECT vec_id,
       |    list_transform(CAST(embedding AS DOUBLE[]),
-      |      v -> CAST(round(v, 7) AS DECIMAL(18,7))) AS e
+      |      v -> CAST(CAST(round(v, 7) AS DECIMAL(18,7)) * 10000000 AS BIGINT)) AS e
       |  FROM embeddings),
       |x AS (
       |  SELECT vec_id, CAST(i AS INTEGER) AS d, e[i] AS xi
@@ -260,7 +275,8 @@ object Mining {
       |  GROUP BY a.d, b.d)
       |SELECT i AS dim_i, j AS dim_j,
       |  CAST(round(
-      |    (CAST(sxy AS DOUBLE) - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE) / n_vecs)
+      |    (CAST(sxy AS DOUBLE) / 1.0e14
+      |      - (CAST(si.s AS DOUBLE) / 1.0e7) * (CAST(sj.s AS DOUBLE) / 1.0e7) / n_vecs)
       |      / n_vecs, 6) AS DECIMAL(18,6)) AS cov
       |FROM p
       |JOIN dims si ON p.i = si.d
