@@ -184,7 +184,13 @@ object GraftExtensions {
     ("graft_freq_items",
       new ExpressionInfo(classOf[graft.functions.FreqAgg].getName, "graft_freq_items"),
       (args: Seq[Expression]) => graft.functions.FreqAgg(
-        args(0), intArg(args(1), "capacity")).toAggregateExpression()))
+        args(0), intArg(args(1), "capacity")).toAggregateExpression()),
+    ("graft_cov_pairs",
+      new ExpressionInfo(classOf[NativeExprs.CovPairsF32].getName, "graft_cov_pairs"),
+      (args: Seq[Expression]) => NativeExprs.CovPairsF32(args(0))),
+    ("graft_vec_sum128",
+      new ExpressionInfo(classOf[graft.functions.VecSumAgg].getName, "graft_vec_sum128"),
+      (args: Seq[Expression]) => graft.functions.VecSumAgg(args(0)).toAggregateExpression()))
 
   /** Register on an already-created session (temp functions) — for REPLs
     * and sessions not built with `.withExtensions`.

@@ -85,6 +85,19 @@ class BuildSpec extends AnyFunSuite {
     assert(hh.nonEmpty && hh.size <= 4)
   }
 
+  test("SQL functions: graft_cov_pairs and graft_vec_sum128") {
+    graft.core.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_vec_sum128(graft_cov_pairs(v)) AS s FROM VALUES
+        |  (array(cast(1.0 as float), cast(2.0 as float))),
+        |  (array(cast(3.0 as float), cast(-1.0 as float))) AS t(v)
+        |""".stripMargin).collect()(0).getSeq[java.math.BigDecimal](0)
+    // pairs per row: (x0², x0·x1, x1²) at scale 1e14:
+    // (1,2,4)+(9,-3,1) = (10, -1, 5) × 1e14
+    assert(r.map(_.toBigInteger.longValueExact()) ==
+      Seq(10e14.toLong, -1e14.toLong, 5e14.toLong))
+  }
+
   test("SimplifySelfCosine strength-reduces cosine(x,x), preserving semantics") {
     import org.apache.spark.sql.functions._
     val s2 = spark.newSession()
