@@ -31,7 +31,8 @@ class AqeOffSpec extends AnyFunSuite {
     "q1_pricing", "q5_join5", "q_fact_join", "q_monthly_rollup",
     "q_distinct_counts", "q_abc_analysis", "q_histogram_depth",
     "q_dedup_minhash", "q_seq_pack", "q_knn_join", "q_skew_join",
-    "q_tfidf", "q_window_funcs", "q_asof_native")
+    "q_tfidf", "q_window_funcs", "q_asof_native",
+    "q_embed_cov", "q_cdc_apply", "q_transition_matrix", "q_pmi")
 
   Representative.foreach { name =>
     test(s"$name: identical results with adaptive execution disabled") {
