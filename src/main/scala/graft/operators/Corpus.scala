@@ -235,6 +235,51 @@ object Corpus {
       |  start_tok // 256 AS seq_id, start_tok % 256 AS seq_off
       |FROM p""".stripMargin
 
+  /** C61: weighted systematic sampling — exactly k=100 draws (with
+    * replacement) where each document's pick count is proportional to
+    * its size: the sampler behind size-weighted corpus mixing and
+    * importance-weighted eval-set construction. Documents are laid out
+    * in deterministic pseudorandom order (the C28 hash key), the
+    * exclusive [[prefixSum]] of weights places each doc's interval on
+    * [0, W), and doc i is drawn once per systematic grid point j·W/k
+    * inside its interval — n_picks = ⌈(cum+w)·k/W⌉ − ⌈cum·k/W⌉, ALL
+    * integer arithmetic (no float boundary flips at any scale), summing
+    * to exactly k by telescoping. One range exchange; everything else
+    * is map-only against the 1-row broadcast total.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 100L
+    val d = Tables(spark, dir).documents
+      .select(col("doc_id"), col("n_chars").cast("long").as("w"),
+        shuffleKey.as("u"))
+    val tot = d.agg(sum(col("w")).as("tw"))
+    val cum = prefixSum(d, Seq(col("u"), col("doc_id")), "w", "cum")
+    def ceilDiv(a: Column, b: Column): Column =
+      call_function("div", a + b - 1, b)
+    cum.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("w").as("n_chars"),
+        (ceilDiv((col("cum") + col("w")) * k, col("tw"))
+          - ceilDiv(col("cum") * k, col("tw"))).as("n_picks"))
+      .filter(col("n_picks") > 0)
+  }
+
+  val weightedSampleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+       |    $shuffleKeySql AS u
+       |  FROM documents),
+       |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM d),
+       |p AS (
+       |  SELECT doc_id, w,
+       |    CAST(COALESCE(SUM(w) OVER (ORDER BY u, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cum
+       |  FROM d)
+       |SELECT doc_id, w AS n_chars,
+       |  ((cum + w) * 100 + tw - 1) // tw - (cum * 100 + tw - 1) // tw AS n_picks
+       |FROM p CROSS JOIN t
+       |WHERE ((cum + w) * 100 + tw - 1) // tw - (cum * 100 + tw - 1) // tw > 0""".stripMargin
+
   /** C30: bounded per-stratum sample — exactly k=20 docs per language,
     * chosen by smallest deterministic hash (min-k sampling: the
     * distributed reservoir). Rides [[graft.functions.TopKAgg]] with

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -156,4 +156,50 @@ object Interop {
       |WHERE strftime(l_shipdate, '%Y-%m') >= '1995-01'
       |  AND strftime(l_shipdate, '%Y-%m') <= '1995-12'
       |GROUP BY 1""".stripMargin
+
+  /** E50: Z-order clustered layout — E42's multi-dimensional sibling:
+    * a single sort key can cluster for ONE predicate column; a 100 TB
+    * warehouse filtered on several needs a space-filling curve.
+    * Orders are written clustered by the Morton (bit-interleaved)
+    * code of two independent 8-bit dimensions (customer bucket ×
+    * order-date bucket), so parquet row-group min/max stats stay
+    * tight on BOTH — a range predicate on either dimension (or both,
+    * as here) skips most row groups, where a plain sort on one
+    * dimension scrambles the other. The oracle states the same
+    * two-dimensional filter over the original table, so any
+    * clustering/skipping loss shows as a hash mismatch. Like every
+    * Interop face, the timing is a write+read round trip by design.
+    */
+  def zorderScan(spark: SparkSession, dir: String): DataFrame = {
+    val out = tempDir("graft_zorder") + "/orders"
+    val o = Tables(spark, dir).orders
+      .withColumn("ck_bucket", (col("o_custkey") % 256).cast("long"))
+      .withColumn("day_bucket",
+        (datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date")) % 256)
+          .cast("long"))
+    def bit(c: Column, i: Int): Column = shiftright(c, i).bitwiseAND(lit(1L))
+    val z = (0 until 8).map { i =>
+      shiftleft(bit(col("ck_bucket"), i), 2 * i)
+        .bitwiseOR(shiftleft(bit(col("day_bucket"), i), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+    o.withColumn("z", z)
+      .repartitionByRange(16, col("z"))
+      .sortWithinPartitions(col("z"))
+      .drop("z")
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("ck_bucket") < 32 && col("day_bucket") < 32)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.functions.Fns.decSum(col("o_totalprice")).as("revenue"))
+  }
+
+  val zorderScanSql: String =
+    """SELECT o_orderstatus,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |WHERE o_custkey % 256 < 32
+      |  AND date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256 < 32
+      |GROUP BY o_orderstatus""".stripMargin
 }

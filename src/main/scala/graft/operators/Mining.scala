@@ -258,6 +258,214 @@ object Mining {
             / col("n_vecs"), 6).cast("decimal(18,6)").as("cov"))
   }
 
+  /** E46: user journey paths — the top event-type sequences users
+    * actually follow (first 5 events per user in event-time order),
+    * the path-mining view behind funnel design and UX anomaly
+    * triage. One keyed window exchange (user) bounds the per-user
+    * state at 5 events; the path frame that feeds the final count is
+    * one short string per user, so the top-20 cut is a TakeOrdered
+    * over |users| rows, never |events|.
+    */
+  def userPaths(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"), nsToUs(col("ts")).as("t"),
+        col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val first5 = ev.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+    // collect_list is merge-order-nondeterministic; the sort on the
+    // (t, event_id, type) struct restores the total event-time order
+    val paths = first5.groupBy(col("user_id")).agg(
+      array_join(
+        transform(
+          array_sort(collect_list(struct(col("t"), col("event_id"), col("event_type")))),
+          s => s.getField("event_type")),
+        ">").as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(20)
+  }
+
+  val userPathsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |      AS rn
+      |  FROM events),
+      |p AS (
+      |  SELECT user_id, string_agg(event_type, '>' ORDER BY t, event_id) AS path
+      |  FROM e WHERE rn <= 5 GROUP BY user_id)
+      |SELECT path, COUNT(*) AS n_users
+      |FROM p GROUP BY path
+      |ORDER BY n_users DESC, path
+      |LIMIT 20""".stripMargin
+
+  /** E47: inter-arrival time distribution — per event type, the exact
+    * interpolated p50/p90 of the gap between a user's consecutive
+    * events of that type (the cadence profile feeding session-gap and
+    * staleness thresholds). The lag window keys on (user, type) —
+    * high-cardinality, never a single-reducer global order — and the
+    * percentile aggregate is E7's engine-identical interpolated
+    * definition over integer microsecond gaps.
+    */
+  def interarrival(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"), nsToUs(col("ts")).as("t"),
+        col("event_id"))
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("t"), col("event_id"))
+    ev.select(col("event_type"),
+        (col("t") - lag(col("t"), 1).over(w)).as("gap_us"))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(call_function("percentile", col("gap_us"), lit(0.5)), 4).as("p50_gap_us"),
+        round(call_function("percentile", col("gap_us"), lit(0.9)), 4).as("p90_gap_us"))
+  }
+
+  val interarrivalSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events),
+      |g AS (
+      |  SELECT event_type,
+      |    t - lag(t) OVER (PARTITION BY user_id, event_type ORDER BY t, event_id)
+      |      AS gap_us
+      |  FROM e)
+      |SELECT event_type, COUNT(*) AS n_gaps,
+      |  round(quantile_cont(gap_us, 0.5), 4) AS p50_gap_us,
+      |  round(quantile_cont(gap_us, 0.9), 4) AS p90_gap_us
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY event_type""".stripMargin
+
+  /** E48: time-decay engagement score — per user, Σ value·0.5^(age in
+    * weeks) against the feed's high-water mark: the recency-weighted
+    * activity metric behind churn scoring and freshness-aware ranking.
+    * Map-only terms + one keyed partial aggregate.
+    *
+    * Portability: the half-life weight 0.5^k is an EXACT power of two,
+    * so value·weight is exact scaling (exponent shift, no rounding) in
+    * both engines; the product fixes ONCE to 6 dp and sums as exact
+    * decimals (§8 — order-independent), with one final cast.
+    */
+  def decayScore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("value"), nsToUs(col("ts")).as("t"))
+    val hwm = ev.agg(max(col("t")).as("max_t"))
+    val weekUs = 7L * 86400L * 1000000L
+    ev.crossJoin(broadcast(hwm))
+      .select(col("user_id"),
+        round(col("value") * pow(lit(0.5),
+            call_function("div", col("max_t") - col("t"), lit(weekUs))), 6)
+          .cast("decimal(28,6)").as("term"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("term")).cast("double").as("decay_score"))
+  }
+
+  val decayScoreSql: String =
+    """WITH e AS (
+      |  SELECT user_id, value, epoch_us(ts) AS t FROM events),
+      |h AS (SELECT MAX(t) AS max_t FROM e),
+      |terms AS (
+      |  SELECT user_id,
+      |    CAST(round(value * power(0.5, (max_t - t) // 604800000000), 6)
+      |      AS DECIMAL(28,6)) AS term
+      |  FROM e CROSS JOIN h)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(term) AS DOUBLE) AS decay_score
+      |FROM terms GROUP BY user_id""".stripMargin
+
+  /** E49: co-purchase affinity (market basket) — for each part, the
+    * top-3 parts most often appearing in the same order: the classic
+    * co-occurrence recommender primitive. The self-join is blocked by
+    * order key (per-order line counts bound the quadratic — ~4 lines
+    * per TPC-H order, and real baskets are similarly capped), so the
+    * exchange carries (orderkey, partkey) pairs and then (p1, p2)
+    * partial counts; the ranking window runs over the pair-COUNTS
+    * frame, never over lineitem.
+    */
+  def copurchase(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = li.as("a")
+      .join(li.withColumnRenamed("pk", "pk2").as("b"), Seq("ok"))
+      .filter(col("pk") < col("pk2"))
+    // count each unordered pair once, then emit both directions so
+    // every part ranks its neighbors
+    val counts = pairs.groupBy(col("pk"), col("pk2")).agg(count(lit(1)).as("n_co"))
+    val directed = counts.select(col("pk").as("part"), col("pk2").as("other"), col("n_co"))
+      .unionAll(counts.select(col("pk2").as("part"), col("pk").as("other"), col("n_co")))
+    val w = Window.partitionBy(col("part"))
+      .orderBy(col("n_co").desc, col("other"))
+    directed.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("part"), col("other"), col("n_co"), col("rk"))
+  }
+
+  val copurchaseSql: String =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |pairs AS (
+      |  SELECT a.pk, b.pk AS pk2
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |c AS (SELECT pk, pk2, COUNT(*) AS n_co FROM pairs GROUP BY pk, pk2),
+      |d AS (
+      |  SELECT pk AS part, pk2 AS other, n_co FROM c
+      |  UNION ALL
+      |  SELECT pk2 AS part, pk AS other, n_co FROM c),
+      |r AS (
+      |  SELECT part, other, n_co,
+      |    row_number() OVER (PARTITION BY part ORDER BY n_co DESC, other) AS rk
+      |  FROM d)
+      |SELECT part, other, n_co, CAST(rk AS INTEGER) AS rk
+      |FROM r WHERE rk <= 3""".stripMargin
+
+  /** C60: source vocabulary overlap — pairwise Jaccard similarity of
+    * the distinct-token vocabularies of each corpus source: the
+    * corpus-composition diagnostic that flags near-redundant sources
+    * before mixture weighting (and the cheap screen before
+    * document-level cross-source dedup). Shuffles (source, token)
+    * DISTINCT pairs (vocabulary-sized, not corpus-sized); the
+    * token-keyed self-join fans out only to the handful of sources a
+    * token appears in, so the quadratic is bounded by |sources|² per
+    * token.
+    */
+  def vocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables(spark, dir).documents
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n_tok"))
+    val inter = st.as("a")
+      .join(st.withColumnRenamed("source", "source2").as("b"), Seq("token"))
+      .filter(col("source") < col("source2"))
+      .groupBy(col("source"), col("source2"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes).withColumnRenamed("source", "s").withColumnRenamed("n_tok", "n_a"),
+        col("source") === col("s")).drop("s")
+      .join(broadcast(sizes).withColumnRenamed("source", "s").withColumnRenamed("n_tok", "n_b"),
+        col("source2") === col("s")).drop("s")
+      .select(col("source").as("source_a"), col("source2").as("source_b"),
+        col("n_a"), col("n_b"), col("n_inter"),
+        round(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")), 6)
+          .as("jaccard"))
+  }
+
+  val vocabOverlapSql: String =
+    """WITH st AS (
+      |  SELECT DISTINCT source, token
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+      |        FROM documents)),
+      |sz AS (SELECT source, COUNT(*) AS n_tok FROM st GROUP BY source),
+      |i AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_inter
+      |  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+      |  GROUP BY a.source, b.source)
+      |SELECT source_a, source_b, za.n_tok AS n_a, zb.n_tok AS n_b, n_inter,
+      |  round(CAST(n_inter AS DOUBLE) / (za.n_tok + zb.n_tok - n_inter), 6)
+      |    AS jaccard
+      |FROM i
+      |JOIN sz za ON i.source_a = za.source
+      |JOIN sz zb ON i.source_b = zb.source""".stripMargin
+
   val embedCovSql: String =
     """WITH f AS (
       |  SELECT vec_id,

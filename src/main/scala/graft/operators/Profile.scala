@@ -189,6 +189,57 @@ object Profile {
       |  CAST(MIN(v) AS DOUBLE) AS min_v, CAST(MAX(v) AS DOUBLE) AS max_v
       |FROM x GROUP BY decile""".stripMargin
 
+  /** A28: Benford first-digit audit — the forensic data-quality screen
+    * profilers run on monetary columns: natural amounts follow
+    * P(d) = log₁₀(1 + 1/d); fabricated or truncated feeds bend the
+    * distribution. One map-only digit extraction + a 9-group partial
+    * aggregate.
+    *
+    * Portability: the leading digit comes from INTEGER-cents string
+    * formatting (pure bigint-to-text, engine-identical — never
+    * log₁₀/floor on a double, whose libm boundaries can flip a digit);
+    * expectations are fixed 6 dp literals of log₁₀(1+1/d).
+    */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    val expected = Map(1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939,
+      4 -> 0.096910, 5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992,
+      8 -> 0.051153, 9 -> 0.045757)
+    val o = Tables(spark, dir).orders
+      .filter(col("o_totalprice") > 0)
+      .select(substring(round(col("o_totalprice") * 100, 0).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+    val tot = o.agg(count(lit(1)).as("n_total"))
+    val expect = expected.foldLeft(lit(0.0)) { case (acc, (d, p)) =>
+      when(col("digit") === d, p).otherwise(acc)
+    }
+    o.groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_orders"),
+        round(col("n_orders").cast("double") / col("n_total"), 6).as("observed"),
+        expect.as("expected"),
+        round(round(col("n_orders").cast("double") / col("n_total"), 6) - expect, 6)
+          .as("delta"))
+  }
+
+  val benfordSql: String = {
+    val caseExpr = Seq(1 -> "0.301030", 2 -> "0.176091", 3 -> "0.124939",
+      4 -> "0.096910", 5 -> "0.079181", 6 -> "0.066947", 7 -> "0.057992",
+      8 -> "0.051153", 9 -> "0.045757")
+      .map { case (d, p) => s"WHEN $d THEN CAST($p AS DOUBLE)" }.mkString(" ")
+    s"""WITH d AS (
+       |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+       |    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+       |  FROM orders WHERE o_totalprice > 0),
+       |t AS (SELECT COUNT(*) AS n_total FROM d),
+       |g AS (SELECT digit, COUNT(*) AS n_orders FROM d GROUP BY digit)
+       |SELECT digit, n_orders,
+       |  round(CAST(n_orders AS DOUBLE) / n_total, 6) AS observed,
+       |  CASE digit $caseExpr ELSE 0.0 END AS expected,
+       |  round(round(CAST(n_orders AS DOUBLE) / n_total, 6)
+       |    - CASE digit $caseExpr ELSE 0.0 END, 6) AS delta
+       |FROM g CROSS JOIN t""".stripMargin
+  }
+
   val profileNumericSql: String = {
     def m(c: String, short: String, p: Int, s: Int): String =
       s"""CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${short}_nnull,

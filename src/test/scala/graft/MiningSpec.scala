@@ -106,6 +106,95 @@ class MiningSpec extends AnyFunSuite {
     assert(df.except(sql).count() == 0)
   }
 
+  test("q_user_paths: paths bounded at 5 steps, counts cover real users") {
+    val p = run("q_user_paths").cache()
+    assert(p.count() <= 20)
+    assert(p.filter(size(split(col("path"), ">")) > 5).count() == 0)
+    val nUsers = graft.sources.Tables(spark, dir).events
+      .select("user_id").distinct().count()
+    val covered = p.agg(sum("n_users")).collect()(0).getLong(0)
+    assert(covered > 0 && covered <= nUsers)
+    p.unpersist()
+  }
+
+  test("q_interarrival: gap accounting and percentile order hold") {
+    val g = run("q_interarrival").cache()
+    // total gaps = events - one per (user, type) group (first has no prior)
+    val ev = graft.sources.Tables(spark, dir).events
+    val expected = ev.count() -
+      ev.select("user_id", "event_type").distinct().count()
+    assert(g.agg(sum("n_gaps")).collect()(0).getLong(0) == expected)
+    assert(g.filter(col("p50_gap_us") > col("p90_gap_us")).count() == 0)
+    assert(g.filter(col("p50_gap_us") < 0).count() == 0)
+    g.unpersist()
+  }
+
+  test("q_decay_score: covers every event once; recency strictly raises weight") {
+    val d = run("q_decay_score").cache()
+    val ev = graft.sources.Tables(spark, dir).events
+    assert(d.agg(sum("n_events")).collect()(0).getLong(0) == ev.count())
+    assert(d.count() == ev.select("user_id").distinct().count())
+    d.unpersist()
+  }
+
+  test("q_copurchase: ranked top-3 per part, no self-pairs, dense ranks") {
+    val c = run("q_copurchase").cache()
+    assert(c.filter(col("part") === col("other")).count() == 0)
+    assert(c.filter(col("rk") > 3 || col("rk") < 1).count() == 0)
+    assert(c.filter(col("n_co") < 1).count() == 0)
+    // ranks within a part are contiguous from 1 (row_number semantics)
+    val bad = c.groupBy("part")
+      .agg(count(lit(1)).as("n"), max("rk").as("mx"), min("rk").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+    assert(bad.count() == 0)
+    c.unpersist()
+  }
+
+  test("q_vocab_overlap: Jaccard bounds and pair completeness") {
+    val v = run("q_vocab_overlap").cache()
+    val s = graft.sources.Tables(spark, dir).documents
+      .select("source").distinct().count()
+    assert(v.count() == s * (s - 1) / 2)
+    assert(v.filter(col("jaccard") < 0 || col("jaccard") > 1).count() == 0)
+    assert(v.filter(col("n_inter") > least(col("n_a"), col("n_b"))).count() == 0)
+    v.unpersist()
+  }
+
+  test("q_benford: nine digits, shares sum to one, counts cover orders") {
+    val b = run("q_benford").cache()
+    assert(b.count() <= 9)
+    assert(b.filter(col("digit") < 1 || col("digit") > 9).count() == 0)
+    val n = graft.sources.Tables(spark, dir).orders
+      .filter(col("o_totalprice") > 0).count()
+    assert(b.agg(sum("n_orders")).collect()(0).getLong(0) == n)
+    val share = b.agg(sum("observed")).collect()(0).getDouble(0)
+    assert(math.abs(share - 1.0) < 1e-4)
+    b.unpersist()
+  }
+
+  test("q_weighted_sample: exactly k draws, deterministic across runs") {
+    val s1 = run("q_weighted_sample").cache()
+    assert(s1.agg(sum("n_picks")).collect()(0).getLong(0) == 100L)
+    assert(s1.filter(col("n_picks") < 1).count() == 0)
+    val s2 = run("q_weighted_sample")
+    assert(s1.except(s2).count() == 0 && s2.except(s1).count() == 0)
+    s1.unpersist()
+  }
+
+  test("q_zorder_scan: clustered round-trip is lossless vs the direct plan") {
+    val rt = run("q_zorder_scan")
+    val direct = graft.sources.Tables(spark, dir).orders
+      .withColumn("ck_bucket", col("o_custkey") % 256)
+      .withColumn("day_bucket",
+        datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date")) % 256)
+      .filter(col("ck_bucket") < 32 && col("day_bucket") < 32)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.functions.Fns.decSum(col("o_totalprice")).as("revenue"))
+    assert(rt.except(direct).count() == 0)
+    assert(direct.except(rt).count() == 0)
+  }
+
   test("q_stream_join: streaming interval join equals the batch pair set") {
     import graft.functions.Fns.nsToUs
     val stream = run("q_stream_join")
