@@ -62,6 +62,46 @@ object Interop {
       |FROM documents
       |GROUP BY source""".stripMargin
 
+  /** E52: ORC sink + source round-trip — the second columnar format a
+    * warehouse boundary meets (ORC is the Hive-ecosystem default the
+    * way parquet is Spark's). Written with the event-feed's full row,
+    * read back format-native, and fingerprinted per event type with
+    * content-sensitive aggregates; the oracle states the same
+    * aggregate over the ORIGINAL parquet table, so any type coercion
+    * or value loss crossing the format hash-mismatches. (The ns
+    * timestamp is carried as explicit unix-micros — ORC's own
+    * timestamp type would silently re-zone, which is exactly the class
+    * of boundary bug this face pins.)
+    */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Fns.nsToUs
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        nsToUs(col("ts")).as("t_us"), col("value"))
+    val out = tempDir("graft_orc") + "/events"
+    ev.write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        // µs sums overflow int64 beyond ~10⁵ rows, and their 20-digit
+        // exact sums round to double differently across engines — a
+        // MODULAR checksum stays exact int64 at any scale and is just
+        // as content-sensitive
+        sum(col("t_us") % 1000000007L).as("sum_t_mod"),
+        graft.functions.Fns.decSum(col("value"), 18, 4).as("sum_value"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+  }
+
+  val orcRoundtripSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(epoch_us(ts) % 1000000007) AS BIGINT) AS sum_t_mod,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+      |  MIN(event_id) AS min_event_id,
+      |  MAX(event_id) AS max_event_id
+      |FROM events
+      |GROUP BY event_type""".stripMargin
+
   /** C53: binary shard sink + DataSource V2 source round-trip — C51's
     * layout made durable and re-consumed through the engine's own
     * custom source ([[graft.sources.ShardDataSource]]): payloads packed

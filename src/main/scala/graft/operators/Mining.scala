@@ -386,19 +386,40 @@ object Mining {
   def copurchase(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir).lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val pairs = li.as("a")
-      .join(li.withColumnRenamed("pk", "pk2").as("b"), Seq("ok"))
-      .filter(col("pk") < col("pk2"))
+    // ONE (orderkey) exchange builds per-order baskets; the quadratic
+    // pair expansion happens MAP-SIDE over each (bounded-size) basket —
+    // a self-join on orderkey would exchange lineitem TWICE for the
+    // same pair multiset (measured 21→8 MB shuffled at sf0.1)
+    val baskets = li.groupBy(col("ok"))
+      .agg(sort_array(collect_list(col("pk"))).as("parts"))
+    val pairs = baskets
+      .filter(size(col("parts")) >= 2) // sequence(1, 0) would run DESCENDING
+      .select(
+      explode(flatten(transform(
+        sequence(lit(1), size(col("parts")) - 1),
+        i => transform(
+          sequence(i + 1, size(col("parts"))),
+          j => struct(element_at(col("parts"), i).as("pk"),
+            element_at(col("parts"), j).as("pk2"))))))
+        .as("pair"))
+      .select(col("pair.pk"), col("pair.pk2"))
+      .filter(col("pk") < col("pk2")) // drop equal-part positions
     // count each unordered pair once, then emit both directions so
     // every part ranks its neighbors
     val counts = pairs.groupBy(col("pk"), col("pk2")).agg(count(lit(1)).as("n_co"))
     val directed = counts.select(col("pk").as("part"), col("pk2").as("other"), col("n_co"))
       .unionAll(counts.select(col("pk2").as("part"), col("pk").as("other"), col("n_co")))
-    val w = Window.partitionBy(col("part"))
-      .orderBy(col("n_co").desc, col("other"))
-    directed.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
-      .select(col("part"), col("other"), col("n_co"), col("rk"))
+    // rank through the bounded-heap TopKAgg: each task ships ≤3
+    // (score, other) pairs per part — a row_number window here would
+    // exchange the full directed pair-counts frame (measured 2×: the
+    // directed union is nearly pair-count-sized at any scale)
+    directed.groupBy(col("part"))
+      .agg(graft.functions.TopKAgg.top_k(
+        struct(col("n_co").cast("double"), col("other")), 3).as("top"))
+      .select(col("part"), posexplode(col("top")).as(Seq("idx", "e")))
+      .select(col("part"), col("e.id").as("other"),
+        col("e.score").cast("long").as("n_co"),
+        (col("idx") + 1).cast("int").as("rk"))
   }
 
   val copurchaseSql: String =
@@ -465,6 +486,113 @@ object Mining {
       |FROM i
       |JOIN sz za ON i.source_a = za.source
       |JOIN sz zb ON i.source_b = zb.source""".stripMargin
+
+  /** E51: cohort LTV curves — customers grouped by first-order month;
+    * for each cohort and month-of-life, the cumulative revenue per
+    * cohort member (the lifetime-value curve growth teams read next to
+    * E25's retention triangle). Money stays decimal-exact through the
+    * per-(cohort, age) partials AND the cumulative window — the window
+    * runs over the cohort × age COUNTS frame (bounded by months², not
+    * customers), and the only customer-keyed exchange is the
+    * first-order aggregate.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("m"),
+        dec(col("o_totalprice")).as("rev"))
+    val firstM = o.groupBy(col("o_custkey")).agg(min(col("m")).as("m0"))
+    val cohortSize = firstM.groupBy(col("m0")).agg(count(lit(1)).as("n_customers"))
+    val aged = o.join(firstM, "o_custkey")
+      .groupBy(col("m0"), (col("m") - col("m0")).as("age_months"))
+      .agg(sum(col("rev")).as("cohort_rev"))
+    val w = Window.partitionBy(col("m0")).orderBy(col("age_months"))
+    aged
+      .select(col("m0"), col("age_months"),
+        sum(col("cohort_rev")).over(w).as("cum_rev"))
+      .join(broadcast(cohortSize), "m0")
+      .select(
+        concat(
+          format_string("%04d", call_function("div", col("m0"), lit(12L))),
+          lit("-"),
+          format_string("%02d", col("m0") % 12 + 1)).as("cohort_month"),
+        col("age_months"), col("n_customers"),
+        (col("cum_rev").cast("double") / col("n_customers")).as("ltv_per_customer"))
+  }
+
+  val cohortLtvSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey,
+      |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS rev
+      |  FROM orders),
+      |f AS (SELECT o_custkey, MIN(m) AS m0 FROM o GROUP BY o_custkey),
+      |cs AS (SELECT m0, COUNT(*) AS n_customers FROM f GROUP BY m0),
+      |aged AS (
+      |  SELECT f.m0, o.m - f.m0 AS age_months, SUM(rev) AS cohort_rev
+      |  FROM o JOIN f ON o.o_custkey = f.o_custkey
+      |  GROUP BY f.m0, o.m - f.m0),
+      |c AS (
+      |  SELECT m0, age_months,
+      |    SUM(cohort_rev) OVER (PARTITION BY m0 ORDER BY age_months) AS cum_rev
+      |  FROM aged)
+      |SELECT printf('%04d-%02d', m0 // 12, m0 % 12 + 1) AS cohort_month,
+      |  age_months, n_customers,
+      |  CAST(cum_rev AS DOUBLE) / n_customers AS ltv_per_customer
+      |FROM c JOIN cs USING (m0)""".stripMargin
+
+  /** C62: distinctive terms per source — smoothed log-odds of each
+    * token in one source against the rest of the corpus (Monroe et
+    * al.'s "fightin' words" scoring), the corpus-characterization
+    * report that names WHAT each source contributes to the mixture.
+    * One (token, source) count pass (vocabulary-sized partials), the
+    * per-source/global totals re-enter as 1-row broadcasts, and the
+    * log-odds is ONE fixed IEEE expression over exact integers,
+    * 6 dp-rounded before the deterministic top-5 cut.
+    */
+  def distinctiveTerms(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(spark, dir).documents
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+    val cs = tok.groupBy(col("source"), col("token")).agg(count(lit(1)).as("c_s"))
+    val ct = cs.groupBy(col("token")).agg(sum(col("c_s")).as("c_all"))
+    val ns = cs.groupBy(col("source")).agg(sum(col("c_s")).as("n_s"))
+    val nAll = ns.agg(sum(col("n_s")).as("n_all"))
+    val scored = cs.join(ct, "token").join(broadcast(ns), "source")
+      .crossJoin(broadcast(nAll))
+      .select(col("source"), col("token"), col("c_s"),
+        round(
+          log((col("c_s") + 0.5) / (col("n_s") - col("c_s") + 0.5))
+            - log((col("c_all") - col("c_s") + 0.5)
+              / (col("n_all") - col("n_s") - (col("c_all") - col("c_s")) + 0.5)),
+          6).as("log_odds"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("log_odds").desc, col("token"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("token"), col("c_s"), col("log_odds"), col("rk"))
+  }
+
+  val distinctiveTermsSql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+      |cs AS (SELECT source, token, COUNT(*) AS c_s FROM tok GROUP BY source, token),
+      |ct AS (SELECT token, CAST(SUM(c_s) AS BIGINT) AS c_all FROM cs GROUP BY token),
+      |ns AS (SELECT source, CAST(SUM(c_s) AS BIGINT) AS n_s FROM cs GROUP BY source),
+      |na AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_all FROM ns),
+      |s AS (
+      |  SELECT source, token, c_s,
+      |    round(
+      |      ln((c_s + 0.5) / (n_s - c_s + 0.5))
+      |        - ln((c_all - c_s + 0.5) / (n_all - n_s - (c_all - c_s) + 0.5)),
+      |      6) AS log_odds
+      |  FROM cs JOIN ct USING (token) JOIN ns USING (source) CROSS JOIN na),
+      |r AS (
+      |  SELECT source, token, c_s, log_odds,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY log_odds DESC, token) AS rk
+      |  FROM s)
+      |SELECT source, token, c_s, log_odds, CAST(rk AS INTEGER) AS rk
+      |FROM r WHERE rk <= 5""".stripMargin
 
   val embedCovSql: String =
     """WITH f AS (

@@ -195,6 +195,51 @@ class MiningSpec extends AnyFunSuite {
     assert(direct.except(rt).count() == 0)
   }
 
+  test("q_cohort_ltv: curves are monotone, cohorts cover every customer") {
+    val c = run("q_cohort_ltv").cache()
+    // LTV is a cumulative sum of non-negative revenue: non-decreasing in age
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cohort_month").orderBy("age_months")
+    val bad = c.withColumn("prev", lag(col("ltv_per_customer"), 1).over(w))
+      .filter(col("prev").isNotNull && col("ltv_per_customer") < col("prev"))
+    assert(bad.count() == 0)
+    // every cohort starts at age 0, and cohort sizes partition customers
+    assert(c.filter(col("age_months") === 0).select("cohort_month").distinct().count()
+      == c.select("cohort_month").distinct().count())
+    val sizes = c.select("cohort_month", "n_customers").distinct()
+      .agg(sum("n_customers")).collect()(0).getLong(0)
+    val nCust = graft.sources.Tables(spark, dir).orders
+      .select("o_custkey").distinct().count()
+    assert(sizes == nCust)
+    c.unpersist()
+  }
+
+  test("q_distinctive_terms: five ranked terms per source, finite scores") {
+    val d = run("q_distinctive_terms").cache()
+    val bad = d.groupBy("source")
+      .agg(count(lit(1)).as("n"), max("rk").as("mx"), min("rk").as("mn"))
+      .filter(col("n") =!= 5 || col("mx") =!= 5 || col("mn") =!= 1)
+    assert(bad.count() == 0)
+    assert(d.filter(col("log_odds").isNull).count() == 0)
+    d.unpersist()
+  }
+
+  test("q_orc_roundtrip: ORC boundary is lossless vs the parquet-direct plan") {
+    import graft.functions.Fns.nsToUs
+    val rt = run("q_orc_roundtrip")
+    val direct = graft.sources.Tables(spark, dir).events
+      .select(col("event_id"), col("event_type"), nsToUs(col("ts")).as("t_us"),
+        col("value"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("t_us") % 1000000007L).as("sum_t_mod"),
+        graft.functions.Fns.decSum(col("value"), 18, 4).as("sum_value"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+    assert(rt.except(direct).count() == 0)
+    assert(direct.except(rt).count() == 0)
+  }
+
   test("q_stream_join: streaming interval join equals the batch pair set") {
     import graft.functions.Fns.nsToUs
     val stream = run("q_stream_join")
