@@ -594,6 +594,214 @@ object Mining {
       |SELECT source, token, c_s, log_odds, CAST(rk AS INTEGER) AS rk
       |FROM r WHERE rk <= 5""".stripMargin
 
+  /** E54: PageRank over the co-purchase graph — the canonical iterative
+    * graph algorithm (product importance here; the same plan shape is
+    * domain/site authority on a link graph). Three synchronous rounds,
+    * each ONE edge-keyed join + ONE destination-keyed partial-count
+    * aggregate — the Pregel step expressed relationally, so AQE/codegen
+    * apply and nothing is driver-resident but the 1-row node count.
+    *
+    * Determinism (§8, strengthened): the rank is FIXED-POINT — integer
+    * billionths end to end. Contributions are floor-divided longs, the
+    * damping update is `150000000÷N + (85·Σ)÷100` in int64, and sums
+    * are exact by type — so no engine's `round(double)` boundary can
+    * ever flip a digit (9-dp float rounding across 3 rounds × |V|
+    * nodes DID flip one at sf0.01; integers cannot). Fixed iteration
+    * count keeps the plan static and the oracle expressible —
+    * convergence-looped PageRank is the same round repeated, with a
+    * driver-side delta check per round.
+    */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val baskets = li.groupBy(col("ok"))
+      .agg(sort_array(collect_list(col("pk"))).as("parts"))
+    val e0 = baskets
+      .filter(size(col("parts")) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("parts")) - 1),
+        i => transform(
+          sequence(i + 1, size(col("parts"))),
+          j => struct(element_at(col("parts"), i).as("p1"),
+            element_at(col("parts"), j).as("p2"))))))
+        .as("pair"))
+      .select(col("pair.p1"), col("pair.p2"))
+      .filter(col("p1") < col("p2"))
+      .distinct()
+    val und = e0.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionAll(e0.select(col("p2").as("src"), col("p1").as("dst")))
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val n = deg.agg(count(lit(1)).as("nn"))
+    def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+    var pr = deg.crossJoin(broadcast(n))
+      .select(col("src").as("node"), col("deg"),
+        idiv(lit(1000000000L), col("nn")).as("pr_e9"))
+    for (_ <- 1 to 3) {
+      val contribs = und.join(pr, col("src") === col("node"))
+        .select(col("dst"), idiv(col("pr_e9"), col("deg")).as("c"))
+      val sums = contribs.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      pr = deg.crossJoin(broadcast(n))
+        .join(sums, col("src") === col("dst"), "left")
+        .select(col("src").as("node"), col("deg"),
+          (idiv(lit(150000000L), col("nn"))
+            + idiv(lit(85L) * coalesce(col("s"), lit(0L)), lit(100L))).as("pr_e9"))
+    }
+    pr.select(col("node").as("part"), col("pr_e9"))
+      .orderBy(col("pr_e9").desc, col("part"))
+      .limit(20)
+  }
+
+  val pagerankSql: String = {
+    def round_(i: Int): String =
+      s"""c$i AS (
+         |  SELECT und.dst, pr_e9 // pr${i - 1}.deg AS c
+         |  FROM und JOIN pr${i - 1} ON und.src = pr${i - 1}.node),
+         |s$i AS (SELECT dst, CAST(SUM(c) AS BIGINT) AS s FROM c$i GROUP BY dst),
+         |pr$i AS (
+         |  SELECT node, deg,
+         |    150000000 // nn + (85 * COALESCE(s, 0)) // 100 AS pr_e9
+         |  FROM pr${i - 1} LEFT JOIN s$i ON node = dst CROSS JOIN n)""".stripMargin
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e0 AS (
+       |  SELECT DISTINCT a.pk AS p1, b.pk AS p2
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+       |und AS (
+       |  SELECT p1 AS src, p2 AS dst FROM e0
+       |  UNION ALL
+       |  SELECT p2 AS src, p1 AS dst FROM e0),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM und GROUP BY src),
+       |n AS (SELECT COUNT(*) AS nn FROM deg),
+       |pr0 AS (
+       |  SELECT src AS node, deg, 1000000000 // nn AS pr_e9
+       |  FROM deg CROSS JOIN n),
+       |${round_(1)},
+       |${round_(2)},
+       |${round_(3)}
+       |SELECT node AS part, CAST(pr_e9 AS BIGINT) AS pr_e9
+       |FROM pr3 ORDER BY pr_e9 DESC, node LIMIT 20""".stripMargin
+  }
+
+  /** E53: DAU / trailing-7-day WAU / stickiness — the engagement
+    * dashboard every product ships. Exact windowed distinct users
+    * WITHOUT a per-day re-scan: the (day, user) distinct pairs fan out
+    * map-side to the ≤7 observation days they support, and one distinct
+    * + count per observation day finishes it. Shuffle is bounded at 7×
+    * the distinct (day, user) pairs — never events — and there is no
+    * sliding-window state or driver loop.
+    */
+  def activeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables(spark, dir).events
+      .select(to_date(nsToTimestamp(col("ts"))).as("day"), col("user_id"))
+      .distinct()
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = du
+      .select(col("user_id"),
+        explode(transform(sequence(lit(0), lit(6)),
+          i => date_add(col("day"), i))).as("obs_day"))
+      .distinct()
+      .groupBy(col("obs_day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, col("day") === col("obs_day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+  }
+
+  val activeUsersSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day),
+      |c AS (
+      |  SELECT DISTINCT day + CAST(i AS INTEGER) AS obs_day, user_id
+      |  FROM du, unnest(range(0, 7)) AS t(i)),
+      |wau AS (SELECT obs_day, COUNT(*) AS wau FROM c GROUP BY obs_day)
+      |SELECT day, dau, wau,
+      |  round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+      |FROM dau JOIN wau ON day = obs_day""".stripMargin
+
+  /** C63: participation-ratio effective dimension — the
+    * embedding-collapse diagnostic: PR(Σ) = trace(Σ)² / ‖Σ‖²_F equals
+    * the number of dimensions carrying variance when the spectrum is
+    * flat and →1 as it collapses (the standard eigen-free proxy for
+    * effective rank). ONE tiny aggregate over C59's dim²-sized
+    * covariance frame — the corpus-sized work was already paid by the
+    * single-pass covariance kernel. Squared terms fix to 12 dp and sum
+    * as exact decimals (§8).
+    */
+  def embedPrDim(spark: SparkSession, dir: String): DataFrame = {
+    val cov = embedCov(spark, dir)
+    val terms = cov.select(
+      when(col("dim_i") === col("dim_j"), col("cov")).otherwise(lit(null))
+        .as("diag"),
+      round(col("cov").cast("double") * col("cov").cast("double")
+          * when(col("dim_i") === col("dim_j"), 1.0).otherwise(2.0), 12)
+        .cast("decimal(28,12)").as("sq"))
+    terms.agg(
+        sum(col("diag")).as("tr"),
+        sum(col("sq")).as("fr"),
+        count(col("diag")).as("n_dims"))
+      .select(col("n_dims"),
+        col("tr").cast("double").as("trace"),
+        round(col("fr").cast("double"), 8).as("frob_sq"),
+        round(col("tr").cast("double") * col("tr").cast("double")
+            / col("fr").cast("double"), 4).as("pr_dim"))
+  }
+
+  // lazy: interpolates embedCovSql, which is declared later in this object
+  lazy val embedPrDimSql: String =
+    s"""WITH cov AS (
+       |$embedCovSql
+       |),
+       |terms AS (
+       |  SELECT
+       |    CASE WHEN dim_i = dim_j THEN cov END AS diag,
+       |    CAST(round(CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE)
+       |      * CASE WHEN dim_i = dim_j THEN 1.0 ELSE 2.0 END, 12)
+       |      AS DECIMAL(28,12)) AS sq
+       |  FROM cov)
+       |SELECT COUNT(diag) AS n_dims,
+       |  CAST(SUM(diag) AS DOUBLE) AS trace,
+       |  round(CAST(SUM(sq) AS DOUBLE), 8) AS frob_sq,
+       |  round(CAST(SUM(diag) AS DOUBLE) * CAST(SUM(diag) AS DOUBLE)
+       |    / CAST(SUM(sq) AS DOUBLE), 4) AS pr_dim
+       |FROM terms""".stripMargin
+
+  /** E55: seasonality profile — each calendar month's average share of
+    * its year's revenue (the seasonal index planners deseasonalize
+    * with). Shares are one fixed IEEE division per (year, month) off
+    * exact decimal partials, 6 dp-fixed, then averaged exactly across
+    * years — order-independent end to end; every frame past the first
+    * partial aggregate is months²-bounded.
+    */
+  def seasonality(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select(year(col("l_shipdate")).as("yr"), month(col("l_shipdate")).as("mo"),
+        dec(col("l_extendedprice")).as("rev"))
+    val ym = li.groupBy(col("yr"), col("mo")).agg(sum(col("rev")).as("m_rev"))
+    val w = Window.partitionBy(col("yr"))
+    val shares = ym.select(col("yr"), col("mo"),
+      round(col("m_rev").cast("double") / sum(col("m_rev")).over(w).cast("double"), 6)
+        .cast("decimal(18,6)").as("share"))
+    shares.groupBy(col("mo"))
+      .agg(count(lit(1)).as("n_years"),
+        round(sum(col("share")).cast("double") / count(lit(1)), 6)
+          .as("avg_rev_share"))
+  }
+
+  val seasonalitySql: String =
+    """WITH li AS (
+      |  SELECT year(l_shipdate) AS yr, month(l_shipdate) AS mo,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS rev
+      |  FROM lineitem),
+      |ym AS (SELECT yr, mo, SUM(rev) AS m_rev FROM li GROUP BY yr, mo),
+      |sh AS (
+      |  SELECT yr, mo,
+      |    CAST(round(CAST(m_rev AS DOUBLE)
+      |      / CAST(SUM(m_rev) OVER (PARTITION BY yr) AS DOUBLE), 6)
+      |      AS DECIMAL(18,6)) AS share
+      |  FROM ym)
+      |SELECT mo, COUNT(*) AS n_years,
+      |  round(CAST(SUM(share) AS DOUBLE) / COUNT(*), 6) AS avg_rev_share
+      |FROM sh GROUP BY mo""".stripMargin
+
   val embedCovSql: String =
     """WITH f AS (
       |  SELECT vec_id,

@@ -240,6 +240,55 @@ class MiningSpec extends AnyFunSuite {
     assert(direct.except(rt).count() == 0)
   }
 
+  test("q_pagerank: fixed-point mass stays bounded and ranks are ordered") {
+    val p = run("q_pagerank").cache()
+    assert(p.count() <= 20)
+    // fixed-point floor divisions only LOSE mass: every rank is within
+    // (0, 1e9], and the top-20 cut is strictly ordered
+    assert(p.filter(col("pr_e9") <= 0 || col("pr_e9") > 1000000000L).count() == 0)
+    val rows = p.orderBy(col("pr_e9").desc, col("part")).collect()
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        val (pa, pb) = (a.getLong(1), b.getLong(1))
+        assert(pa > pb || (pa == pb && a.getLong(0) < b.getLong(0)))
+      case _ =>
+    }
+    p.unpersist()
+  }
+
+  test("q_active_users: WAU dominates DAU; day-one stickiness is 1") {
+    val a = run("q_active_users").cache()
+    assert(a.filter(col("wau") < col("dau")).count() == 0)
+    assert(a.filter(col("stickiness") <= 0 || col("stickiness") > 1).count() == 0)
+    // the first observed day's trailing week contains only itself
+    val first = a.orderBy("day").first()
+    assert(first.getLong(1) == first.getLong(2))
+    a.unpersist()
+  }
+
+  test("q_embed_prdim: effective dimension between 1 and dim") {
+    val r = run("q_embed_prdim").collect()
+    assert(r.length == 1)
+    val nDims = r(0).getLong(0)
+    val prDim = r(0).getAs[Double]("pr_dim")
+    assert(prDim >= 1.0 - 1e-9 && prDim <= nDims + 1e-9)
+    assert(r(0).getAs[Double]("frob_sq") > 0)
+  }
+
+  test("q_seasonality: shares valid, year mass conserved") {
+    val s = run("q_seasonality").cache()
+    assert(s.count() <= 12)
+    assert(s.filter(col("avg_rev_share") <= 0 || col("avg_rev_share") > 1).count() == 0)
+    // every year's shares sum to 1 across ITS months (partial years
+    // included), so Σ_m avg_m · n_years_m = number of distinct years
+    val mass = s.agg(sum(col("avg_rev_share") * col("n_years")))
+      .collect()(0).getDouble(0)
+    val nYears = graft.sources.Tables(spark, dir).lineitem
+      .select(year(col("l_shipdate"))).distinct().count()
+    assert(math.abs(mass - nYears) < 1e-3)
+    s.unpersist()
+  }
+
   test("q_stream_join: streaming interval join equals the batch pair set") {
     import graft.functions.Fns.nsToUs
     val stream = run("q_stream_join")
