@@ -802,6 +802,159 @@ object Mining {
       |  round(CAST(SUM(share) AS DOUBLE) / COUNT(*), 6) AS avg_rev_share
       |FROM sh GROUP BY mo""".stripMargin
 
+  /** E56: growth accounting — the period-over-period user ledger every
+    * growth team closes: new (first-ever period), retained (also
+    * active the period before), resurrected (active before, but not
+    * last period), churned (active last period, gone this period), at
+    * epoch-week grain. One keyed lag window over distinct (user,
+    * period) pairs — periods-sized per user, never events — and churn
+    * is the same pair set probed one period forward through a
+    * left-anti join (no generate-all-periods blowup).
+    */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    // epoch-week grain (the feed spans weeks, not years — a monthly
+    // ledger would collapse to one row; the operator is grain-generic)
+    val am = Tables(spark, dir).events
+      .select(col("user_id"),
+        call_function("div", nsToUs(col("ts")), lit(604800000000L)).as("m"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("m"))
+    val tagged = am
+      .select(col("user_id"), col("m"),
+        lag(col("m"), 1).over(w).as("prev_m"),
+        min(col("m")).over(Window.partitionBy(col("user_id"))).as("first_m"))
+      .select(col("m"),
+        when(col("m") === col("first_m"), "new")
+          .when(col("prev_m") === col("m") - 1, "retained")
+          .otherwise("resurrected").as("status"))
+    val active = tagged.groupBy(col("m")).agg(
+      sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("status") === "retained", 1L).otherwise(0L)).as("n_retained"),
+      sum(when(col("status") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+    val churned = am.select(col("user_id"), (col("m") + 1).as("m"))
+      .join(am, Seq("user_id", "m"), "left_anti")
+      .groupBy(col("m")).agg(count(lit(1)).as("n_churned"))
+    active.join(churned, Seq("m"), "left")
+      .select(col("m").as("week_idx"),
+        col("n_new"), col("n_retained"), col("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+  }
+
+  val growthAccountingSql: String =
+    """WITH am AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_us(ts) // 604800000000 AS m
+      |  FROM events),
+      |tagged AS (
+      |  SELECT m,
+      |    CASE
+      |      WHEN m = MIN(m) OVER (PARTITION BY user_id) THEN 'new'
+      |      WHEN lag(m) OVER (PARTITION BY user_id ORDER BY m) = m - 1
+      |        THEN 'retained'
+      |      ELSE 'resurrected'
+      |    END AS status
+      |  FROM am),
+      |active AS (
+      |  SELECT m,
+      |    CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |    CAST(SUM(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+      |    CAST(SUM(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      |  FROM tagged GROUP BY m),
+      |churned AS (
+      |  SELECT a.m + 1 AS m, COUNT(*) AS n_churned
+      |  FROM am a
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM am b WHERE b.user_id = a.user_id AND b.m = a.m + 1)
+      |  GROUP BY a.m + 1)
+      |SELECT active.m AS week_idx,
+      |  n_new, n_retained, n_resurrected,
+      |  COALESCE(n_churned, 0) AS n_churned
+      |FROM active LEFT JOIN churned ON active.m = churned.m""".stripMargin
+
+  /** E57: Gini concentration of customer revenue — the inequality
+    * index behind whale-risk and corpus-source-concentration checks.
+    * The size-ordered cumulative position comes from the distributed
+    * [[Corpus.globalIndex]] total order (never a single-reducer
+    * window); revenue is whole-dollar int64, the rank-weighted terms
+    * stay int64 (exact to ~10⁶× this scale), and the Gini is one fixed
+    * IEEE expression over two int64→double casts — casts both engines
+    * define identically (unlike wide-decimal→double, which E52's
+    * checksum dodged for the same reason).
+    */
+  def gini(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables(spark, dir).orders
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice"), 0).cast("long")).as("x"))
+    val idx = Corpus.globalIndex(x, Seq(col("x"), col("o_custkey")), "idx")
+    idx.agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("x")).as("s"),
+        sum((col("idx") + 1) * col("x")).as("s1"))
+      .select(col("n_customers"), col("s").as("total_rev_dollars"),
+        round(
+          lit(2.0) * col("s1").cast("double")
+            / (col("n_customers").cast("double") * col("s").cast("double"))
+            - (col("n_customers") + 1).cast("double") / col("n_customers"),
+          6).as("gini"))
+  }
+
+  val giniSql: String =
+    """WITH x AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(round(o_totalprice, 0) AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY o_custkey),
+      |r AS (
+      |  SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS rk FROM x)
+      |SELECT COUNT(*) AS n_customers,
+      |  CAST(SUM(x) AS BIGINT) AS total_rev_dollars,
+      |  round(
+      |    2.0 * CAST(SUM(rk * x) AS DOUBLE)
+      |      / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+      |      - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*),
+      |    6) AS gini
+      |FROM r""".stripMargin
+
+  /** E58: burstiness (Fano factor) per event type — variance/mean of
+    * DAILY event counts: ≈1 is Poisson-uniform traffic, ≫1 is bursty
+    * (incident retries, bot storms, templated crawls). Daily counts
+    * are exact integers, the moments are exact integer sums, and the
+    * Fano is one fixed IEEE expression per type — the E27 engine-exact
+    * moment discipline on a counting process.
+    */
+  def burstiness(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .groupBy(col("event_type"), to_date(nsToTimestamp(col("ts"))).as("day"))
+      .agg(count(lit(1)).as("c"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("c")).as("sc"), sum(col("c") * col("c")).as("sc2"))
+      .select(col("event_type"), col("n_days"),
+        round(col("sc").cast("double") / col("n_days"), 6).as("mean_daily"),
+        round(
+          (col("sc2").cast("double") / col("n_days")
+            - (col("sc").cast("double") / col("n_days"))
+              * (col("sc").cast("double") / col("n_days")))
+            / (col("sc").cast("double") / col("n_days")),
+          6).as("fano"))
+  }
+
+  val burstinessSql: String =
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+      |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+      |m AS (
+      |  SELECT event_type, COUNT(*) AS n_days,
+      |    CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(c * c) AS BIGINT) AS sc2
+      |  FROM d GROUP BY event_type)
+      |SELECT event_type, n_days,
+      |  round(CAST(sc AS DOUBLE) / n_days, 6) AS mean_daily,
+      |  round(
+      |    (CAST(sc2 AS DOUBLE) / n_days
+      |      - (CAST(sc AS DOUBLE) / n_days) * (CAST(sc AS DOUBLE) / n_days))
+      |      / (CAST(sc AS DOUBLE) / n_days),
+      |    6) AS fano
+      |FROM m""".stripMargin
+
   val embedCovSql: String =
     """WITH f AS (
       |  SELECT vec_id,

@@ -289,6 +289,40 @@ class MiningSpec extends AnyFunSuite {
     s.unpersist()
   }
 
+  test("q_growth_accounting: ledger balances week over week") {
+    val g = run("q_growth_accounting").orderBy("week_idx").collect()
+    // active(w) = new + retained + resurrected; retained(w) =
+    // active(w-1) - churned(w): the ledger identity
+    g.sliding(2).foreach {
+      case Array(prev, cur) if cur.getLong(0) == prev.getLong(0) + 1 =>
+        val prevActive = prev.getLong(1) + prev.getLong(2) + prev.getLong(3)
+        assert(cur.getLong(2) == prevActive - cur.getLong(4),
+          s"retained != prev_active - churned at week ${cur.getLong(0)}")
+      case _ =>
+    }
+    // first week is all-new
+    assert(g.head.getLong(2) == 0 && g.head.getLong(3) == 0 && g.head.getLong(4) == 0)
+  }
+
+  test("q_gini: index within [0,1) and mass matches the orders table") {
+    val r = run("q_gini").collect()(0)
+    val gini = r.getAs[Double]("gini")
+    assert(gini >= 0.0 && gini < 1.0)
+    val direct = graft.sources.Tables(spark, dir).orders
+      .agg(sum(round(col("o_totalprice"), 0).cast("long"))).collect()(0).getLong(0)
+    assert(r.getAs[Long]("total_rev_dollars") == direct)
+  }
+
+  test("q_burstiness: Fano non-negative, day counts conserve events") {
+    val b = run("q_burstiness").cache()
+    assert(b.filter(col("fano") < 0).count() == 0)
+    val total = b.agg(sum(col("mean_daily") * col("n_days")))
+      .collect()(0).getDouble(0)
+    val nEvents = graft.sources.Tables(spark, dir).events.count()
+    assert(math.abs(total - nEvents) < 1e-3 * nEvents)
+    b.unpersist()
+  }
+
   test("q_stream_join: streaming interval join equals the batch pair set") {
     import graft.functions.Fns.nsToUs
     val stream = run("q_stream_join")
