@@ -144,38 +144,64 @@ object Corpus {
     * rdd.id, so two executions can draw different boundaries once the
     * sample is non-trivial.) `order` must be a total order.
     */
-  def prefixSum(df: DataFrame, order: Seq[Column], valueCol: String, sumCol: String): DataFrame = {
+  def prefixSum(df: DataFrame, order: Seq[Column], valueCol: String, sumCol: String): DataFrame =
+    prefixSumN(df, order, Seq(valueCol -> sumCol))
+
+  /** [[prefixSum]] generalized to N value columns in the SAME single
+    * range exchange — running several related cumulative measures
+    * (e.g. the per-side ECDF counts of a two-sample test) costs one
+    * sort, not one per measure.
+    */
+  def prefixSumN(df: DataFrame, order: Seq[Column], cols: Seq[(String, String)]): DataFrame = {
     val spark = df.sparkSession
     val sorted = df
       .repartitionByRange(rangeParts(spark), order: _*)
       .sortWithinPartitions(order: _*)
-    require(sorted.schema(valueCol).dataType == LongType,
-      s"prefixSum requires $valueCol: bigint, got ${sorted.schema(valueCol).dataType}")
-    val vIdx = sorted.schema.fieldIndex(valueCol)
+    cols.foreach { case (valueCol, _) =>
+      require(sorted.schema(valueCol).dataType == LongType,
+        s"prefixSum requires $valueCol: bigint, got ${sorted.schema(valueCol).dataType}")
+    }
+    val vIdxs = cols.map { case (valueCol, _) => sorted.schema.fieldIndex(valueCol) }.toArray
+    val nc = vIdxs.length
     val rdd0 = sorted.rdd // single instance: both passes see the same shuffle output
     val perPart = rdd0.mapPartitionsWithIndex { case (pid, it) =>
-      var s = 0L
-      it.foreach(r => if (!r.isNullAt(vIdx)) s += r.getLong(vIdx))
+      val s = new Array[Long](nc)
+      it.foreach { r =>
+        var i = 0
+        while (i < nc) {
+          if (!r.isNullAt(vIdxs(i))) s(i) += r.getLong(vIdxs(i))
+          i += 1
+        }
+      }
       Iterator(pid -> s)
     }.collect().toMap
     val parts = rdd0.getNumPartitions
-    val offsets = new Array[Long](parts)
-    var acc = 0L
+    val offsets = Array.fill(parts)(new Array[Long](nc))
+    val acc = new Array[Long](nc)
     var p = 0
     while (p < parts) {
-      offsets(p) = acc
-      acc += perPart.getOrElse(p, 0L)
+      Array.copy(acc, 0, offsets(p), 0, nc)
+      perPart.get(p).foreach { s =>
+        var i = 0
+        while (i < nc) { acc(i) += s(i); i += 1 }
+      }
       p += 1
     }
     val bc = spark.sparkContext.broadcast(offsets)
     val schema = StructType(
-      sorted.schema.fields :+ StructField(sumCol, LongType, nullable = false))
+      sorted.schema.fields ++ cols.map { case (_, sumCol) =>
+        StructField(sumCol, LongType, nullable = false)
+      })
     val rdd = rdd0.mapPartitionsWithIndex { case (pid, it) =>
-      var running = bc.value(pid)
+      val running = bc.value(pid).clone()
       it.map { r =>
-        val out = Row.fromSeq(r.toSeq :+ running)
+        val out = Row.fromSeq(r.toSeq ++ running.toSeq)
         // null contributes 0, mirroring pass 1's null-skipping
-        if (!r.isNullAt(vIdx)) running += r.getLong(vIdx)
+        var i = 0
+        while (i < nc) {
+          if (!r.isNullAt(vIdxs(i))) running(i) += r.getLong(vIdxs(i))
+          i += 1
+        }
         out
       }
     }

