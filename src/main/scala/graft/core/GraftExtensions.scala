@@ -190,7 +190,11 @@ object GraftExtensions {
       (args: Seq[Expression]) => NativeExprs.CovPairsF32(args(0))),
     ("graft_vec_sum128",
       new ExpressionInfo(classOf[graft.functions.VecSumAgg].getName, "graft_vec_sum128"),
-      (args: Seq[Expression]) => graft.functions.VecSumAgg(args(0)).toAggregateExpression()))
+      (args: Seq[Expression]) => graft.functions.VecSumAgg(args(0)).toAggregateExpression()),
+    ("graft_bitmap_distinct",
+      new ExpressionInfo(classOf[graft.functions.BitmapAgg].getName, "graft_bitmap_distinct"),
+      (args: Seq[Expression]) => graft.functions.BitmapAgg(
+        args(0), intArg(args(1), "domain")).toAggregateExpression()))
 
   /** Register on an already-created session (temp functions) — for REPLs
     * and sessions not built with `.withExtensions`.

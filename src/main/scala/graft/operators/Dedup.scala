@@ -172,6 +172,56 @@ object Dedup {
       |FROM inter JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
       |WHERE n_inter / (x.n + y.n - n_inter) >= 0.2""".stripMargin
 
+  /** C65: n-gram CONTAINMENT pairs (overlap coefficient
+    * |A∩B| / min(|A|,|B|)) — the asymmetric near-dup Jaccard misses: a
+    * short document quoted whole inside a long one scores
+    * n_inter/min = 1.0 while its Jaccard ≈ |A|/|B| can sit far below
+    * any dedup threshold. Standard quote/boilerplate-inclusion screen
+    * in corpus dedup (the containment variant of C4). Same
+    * shingle-inverted-index join shape as [[ngramJaccard]] — the gram
+    * exchange carries (hash, id), never text; blocking by `lang` bounds
+    * the candidate quadratic — with only the final scoring expression
+    * changed, so the plan cost is identical.
+    */
+  def ngramContainment(spark: SparkSession, dir: String): DataFrame =
+    ngramContainment(Tables(spark, dir).documents)
+
+  /** Library face: containment pairs over any (doc_id, lang, text) frame. */
+  def ngramContainment(docs: DataFrame): DataFrame = {
+    val sh = tokenized(docs)
+      .select(col("doc_id"), col("lang"), explode(col("sh")).as("s"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.lang") === col("b.lang") && col("a.s") === col("b.s") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
+        (col("n_inter") / least(col("n_a"), col("n_b"))).as("containment"))
+      .filter(col("containment") >= 0.5)
+  }
+
+  val ngramContainmentSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, lang, array_to_string(tk[i:i+2], ' ') AS s
+      |  FROM toks, unnest(range(1, greatest(len(tk) - 1, 2))) AS t(i)
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b, n_inter, x.n AS n_a, y.n AS n_b,
+      |  n_inter / least(x.n, y.n) AS containment
+      |FROM inter JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+      |WHERE n_inter / least(x.n, y.n) >= 0.5""".stripMargin
+
   /** C5: embedding cosine near-dup pairs, blocked by `label` (IVF-style
     * blocking: at scale the block key bounds the quadratic term).
     * Cosine is rounded to 3 decimals before the threshold compare so

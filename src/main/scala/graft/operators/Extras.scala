@@ -1127,4 +1127,30 @@ object Extras {
       |JOIN supplier ON l_suppkey = s_suppkey
       |JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY 1, 2""".stripMargin
+
+  /** E60: bitmap-index exact distinct count — distinct users per event
+    * type through [[graft.functions.BitmapAgg]]. `COUNT(DISTINCT)`
+    * plans as a two-phase expand whose exchange carries one row per
+    * distinct (group, user) pair — proportional to the data; the
+    * bitmap partial is a FIXED ⌈domain/64⌉-word buffer per group per
+    * task OR-merged on the reduce side, so the exchange is
+    * groups × words regardless of row count. The domain bound comes
+    * from the dimension itself (one tiny max() agg here; a known
+    * dimension cardinality in production — the reference's location
+    * dim is 265 values = 5 words). Oracle is the plain
+    * COUNT(DISTINCT): the bitmap must reproduce it bit-for-bit.
+    */
+  def bitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val domain = ev.agg(max(col("user_id"))).collect()(0).getLong(0).toInt + 1
+    ev.groupBy(col("event_type"))
+      .agg(graft.functions.BitmapAgg
+        .bitmap_distinct(col("user_id"), domain).as("distinct_users"))
+  }
+
+  val bitmapDistinctSql: String =
+    """SELECT event_type,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+      |FROM events
+      |GROUP BY event_type""".stripMargin
 }

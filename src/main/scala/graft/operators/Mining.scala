@@ -955,6 +955,36 @@ object Mining {
       |    6) AS fano
       |FROM m""".stripMargin
 
+  /** E59: cumulative unique users by day — the audience-accretion
+    * ledger. `COUNT(DISTINCT user) OVER (ORDER BY day)` — the direct
+    * formulation — funnels every (day, user) pair through ONE reducer;
+    * here distinctness becomes a keyed partial aggregate (each user's
+    * FIRST day, groupBy user), the per-day new-user frame is at most
+    * |days| rows, and the running total rides [[Corpus.prefixSum]]'s
+    * two-pass range exchange — every stage keyed, nothing global. The
+    * identity `cum_uniques(d) = Σ_{d'≤d} new_users(d')` holds because
+    * each user counts exactly once, on their first day.
+    */
+  def cumUniques(spark: SparkSession, dir: String): DataFrame = {
+    val first = Tables(spark, dir).events
+      .select(col("user_id"), to_date(nsToTimestamp(col("ts"))).as("day"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("day"))
+    val daily = first.groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    Corpus.prefixSum(daily, Seq(col("day")), "new_users", "cum0")
+      .select(col("day"), col("new_users"),
+        (col("cum0") + col("new_users")).as("cum_users"))
+  }
+
+  val cumUniquesSql: String =
+    """WITH f AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+      |  FROM events GROUP BY user_id),
+      |d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+      |      FROM f GROUP BY day)
+      |SELECT day, new_users,
+      |  CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+      |FROM d""".stripMargin
+
   val embedCovSql: String =
     """WITH f AS (
       |  SELECT vec_id,

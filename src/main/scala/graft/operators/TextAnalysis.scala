@@ -622,4 +622,86 @@ object TextAnalysis {
       |  MIN(n_chars) AS chars_min, MAX(n_chars) AS chars_max
       |FROM documents
       |GROUP BY 1, 2""".stripMargin
+
+  /** C64: EXACT corpus heavy hitters (tokens with frequency > n/k) via
+    * two-pass Misra–Gries — the classic streaming sketch made exact by
+    * a verification pass, so the output hash-matches a brute-force
+    * oracle. Pass 1 treeAggregates a MERGEABLE MG summary with k−1
+    * counters (seqOp = the textbook decrement-all update; combOp = sum
+    * counts then subtract the k-th largest and drop non-positives —
+    * the Agarwal et al. "Mergeable Summaries" merge, which preserves
+    * the ≤ n/k undercount bound), so the candidate set reaching the
+    * driver stays ≤ k−1 entries REGARDLESS of partition count: every
+    * token with true count > n/k survives the sketch. The same pass
+    * counts n, so pass 1 is one token-stream scan with no shuffle at
+    * all (treeAggregate moves ≤ k-entry sketches). Pass 2
+    * broadcast-joins the candidate set back onto the token stream and
+    * counts candidates exactly.
+    *
+    * Scale shape: the only exchange proportional to the corpus is pass
+    * 2's partial-agg groupBy over candidate tokens — reduced map-side
+    * to ≤ k−1 rows per task. The naive formulation (groupBy over ALL
+    * tokens, then filter) shuffles the full vocabulary; on a 100 TB
+    * web corpus that's billions of rare-token rows exchanged to be
+    * immediately discarded.
+    *
+    * The threshold test is exact integer cross-multiplication
+    * (cnt·k > n), never a float division at the boundary; the reported
+    * `share` is one int64→double division both engines define
+    * identically, rounded once.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    heavyHittersOn(
+      Tables(spark, dir).documents
+        .select(explode(split(col("text"), " ")).as("token")),
+      k = 1000)
+
+  /** DataFrame-in face of [[heavyHitters]]: exact items with
+    * count·k > n over `toks`'s single string column.
+    */
+  def heavyHittersOn(toks0: DataFrame, k: Int): DataFrame = {
+    val spark = toks0.sparkSession
+    import spark.implicits._
+    val toks = toks0.toDF("token")
+    type Sketch = scala.collection.mutable.HashMap[String, Long]
+    def trim(m: Sketch): Sketch = {
+      if (m.size > k - 1) {
+        // subtract the k-th largest count; ≤ k−1 entries stay positive
+        val cut = m.values.toArray.sorted(Ordering[Long].reverse)(k - 1)
+        val dead = List.newBuilder[String]
+        m.foreachEntry((t, c) => if (c - cut <= 0L) dead += t else m.update(t, c - cut))
+        dead.result().foreach(m.remove)
+      }
+      m
+    }
+    val (n, sketch) = toks.as[String].rdd.treeAggregate((0L, new Sketch))(
+      seqOp = { case ((cnt, m), t) =>
+        m.get(t) match {
+          case Some(c) => m.update(t, c + 1)
+          case None => m.update(t, 1L); trim(m): Unit
+        }
+        (cnt + 1, m)
+      },
+      combOp = { case ((na, a), (nb, b)) =>
+        b.foreachEntry((t, c) => a.update(t, a.getOrElse(t, 0L) + c))
+        (na + nb, trim(a))
+      })
+    val cands = sketch.keys.toSeq.toDF("token")
+    toks
+      .join(broadcast(cands), "token") // semi shape: candidates are unique
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * k > lit(n))
+      .select(col("token"), col("cnt"),
+        round(col("cnt").cast("double") / lit(n), 6).as("share"))
+  }
+
+  val heavyHittersSql: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+      |c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+      |      FROM tok GROUP BY token)
+      |SELECT token, cnt, round(CAST(cnt AS DOUBLE) / n, 6) AS share
+      |FROM c CROSS JOIN t
+      |WHERE cnt * 1000 > n""".stripMargin
 }

@@ -323,6 +323,19 @@ class MiningSpec extends AnyFunSuite {
     b.unpersist()
   }
 
+  test("q_cum_uniques: final cumulative count equals total distinct users") {
+    val rows = run("q_cum_uniques").orderBy(col("day")).collect()
+    val distinctUsers = graft.sources.Tables(spark, dir).events
+      .select("user_id").distinct().count()
+    assert(rows.last.getAs[Long]("cum_users") == distinctUsers)
+    // ledger telescopes: each cum equals the running sum of new_users
+    var acc = 0L
+    rows.foreach { r =>
+      acc += r.getAs[Long]("new_users")
+      assert(r.getAs[Long]("cum_users") == acc)
+    }
+  }
+
   test("q_ks_drift: statistic in [0,1], sides partition the table") {
     val r = run("q_ks_drift").collect()(0)
     val ks = r.getAs[Double]("ks_stat")

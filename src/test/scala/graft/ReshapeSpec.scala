@@ -267,6 +267,44 @@ class ReshapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ngram_containment: catches doc-inside-doc pairs Jaccard misses") {
+    val short = "alpha beta gamma delta epsilon"
+    val long = short + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = docsFrame(Seq((1L, "en", short), (2L, "en", long)))
+    val cont = Dedup.ngramContainment(docs).collect()
+    assert(cont.length == 1)
+    val r = cont(0)
+    assert(r.getAs[Double]("containment") == 1.0) // short's grams all inside long
+    // the same pair is invisible to the 0.2-Jaccard screen
+    assert(Dedup.ngramJaccard(docs).collect().isEmpty)
+    // corpus face runs and respects the threshold
+    SparkEntry.queries("q_ngram_containment")(spark, dir).collect()
+      .foreach(x => assert(x.getAs[Double]("containment") >= 0.5))
+  }
+
+  test("q_heavy_hitters: two-pass MG equals brute force, incl. the trim path") {
+    import spark.implicits._
+    // corpus face: equals the brute-force threshold count
+    val got = SparkEntry.queries("q_heavy_hitters")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val toks = graft.sources.Tables(spark, dir).documents
+      .select(explode(split(col("text"), " ")).as("token"))
+    val n = toks.count()
+    val exact = toks.groupBy("token").count()
+      .where(col("count") * 1000 > n)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact && got.nonEmpty)
+    // trim path: vocabulary ≫ k with planted heavies, tiny k, many partitions
+    val heavy = Seq.fill(500)("hot1") ++ Seq.fill(300)("hot2")
+    val tail = (0 until 2000).map(i => s"rare$i")
+    val frame = spark.sparkContext
+      .parallelize(scala.util.Random.shuffle(heavy ++ tail), 16).toDF("w")
+    val small = graft.operators.TextAnalysis.heavyHittersOn(frame, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // threshold n/k = 280: exactly the two planted tokens qualify
+    assert(small == Map("hot1" -> 500L, "hot2" -> 300L))
+  }
+
   test("q_length_buckets: buckets partition the corpus and bounds respect the bucket") {
     val t = graft.sources.Tables(spark, dir)
     val rows = SparkEntry.queries("q_length_buckets")(spark, dir).collect()

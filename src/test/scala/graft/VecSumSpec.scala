@@ -40,6 +40,45 @@ class VecSumSpec extends AnyFunSuite {
     assert(sum128(rows, 4) == expected)
   }
 
+  test("bitmap_distinct: equals countDistinct at any partitioning, word boundaries included") {
+    import spark.implicits._
+    // ids straddle the 64-bit word boundaries (63, 64, 127, 128)
+    val rows = Seq(0L, 63L, 63L, 64L, 127L, 128L, 128L, 128L, 5L, 200L)
+      .map(id => (id % 2, id))
+    for (parts <- Seq(1, 3, 8)) {
+      val df = rows.toDF("g", "id").repartition(parts)
+      val got = df.groupBy("g")
+        .agg(graft.functions.BitmapAgg.bitmap_distinct(col("id"), 201).as("d"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exp = df.groupBy("g").agg(countDistinct(col("id")).as("d"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == exp, s"parts=$parts")
+    }
+    // SQL registration path
+    rows.toDF("g", "id").createOrReplaceTempView("bm")
+    graft.core.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT g, graft_bitmap_distinct(id, 201) AS d FROM bm GROUP BY g")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql.values.sum == 7L) // {0,5,63,64,127,128,200}
+  }
+
+  test("bitmap_distinct: out-of-domain id fails loudly, nulls are skipped") {
+    import spark.implicits._
+    val bad = Seq(0L, 300L).toDF("id").coalesce(1)
+    val e = intercept[Exception](
+      bad.agg(graft.functions.BitmapAgg.bitmap_distinct(col("id"), 201)).collect())
+    def mentions(t: Throwable): Boolean =
+      t != null && (t.getMessage != null && t.getMessage.contains("bitmap_distinct")
+        || mentions(t.getCause))
+    assert(mentions(e))
+    val withNull = Seq(Some(1L), None, Some(1L)).toDF("id")
+    val n = withNull
+      .agg(graft.functions.BitmapAgg.bitmap_distinct(col("id"), 201))
+      .collect()(0).getLong(0)
+    assert(n == 1L)
+  }
+
   test("vec_sum128: rejects mixed array lengths loudly") {
     import spark.implicits._
     val bad = Seq(Array(1L, 2L), Array(1L, 2L, 3L)).toDF("a").coalesce(1)
