@@ -1153,4 +1153,53 @@ object Extras {
       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
       |FROM events
       |GROUP BY event_type""".stripMargin
+
+  /** E61: open-order backlog sweep line — how many line items are
+    * ordered but not yet shipped on each change day. The
+    * interval-overlap COUNT (`WHERE day BETWEEN o_orderdate AND
+    * l_shipdate` against a date spine) is a range join whose work is
+    * |days|×|matching items|; the sweep-line encoding turns each
+    * interval into two map-side delta rows (+1 at order date, −1 the
+    * day after ship), one keyed partial agg collapses them to
+    * ≤|distinct days| net rows, and the running level rides
+    * [[Corpus.prefixSum]]'s two-pass range exchange. The level is
+    * exact int64 at every step — no float anywhere — and the output is
+    * the step function at its change points (day, net, open_items),
+    * from which any calendar rollup derives. The orderkey join feeding
+    * the spans is the same co-partitioned fact-join shape as A6. (The
+    * span is [least, greatest] of the two dates: the synthetic
+    * generator does not preserve TPC-H's ship-after-order invariant,
+    * and a sweep line requires start ≤ end.)
+    */
+  def intransitSweep(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val spans = t.lineitem.select(col("l_orderkey"), col("l_shipdate"))
+      .join(t.orders.select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_d")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(least(col("o_d"), col("l_shipdate")).as("lo"),
+        greatest(col("o_d"), col("l_shipdate")).as("hi"))
+    val deltas = spans.select(col("lo").as("day"), lit(1L).as("delta"))
+      .unionAll(spans.select(
+        date_add(col("hi"), 1).as("day"), lit(-1L).as("delta")))
+      .groupBy(col("day")).agg(sum(col("delta")).as("net"))
+    Corpus.prefixSum(deltas, Seq(col("day")), "net", "cum0")
+      .select(col("day"), col("net"),
+        (col("cum0") + col("net")).as("open_items"))
+  }
+
+  val intransitSweepSql: String =
+    """WITH spans AS (
+      |  SELECT least(CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lo,
+      |    greatest(CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS hi
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |deltas AS (
+      |  SELECT lo AS day, 1 AS delta FROM spans
+      |  UNION ALL
+      |  SELECT hi + 1 AS day, -1 AS delta FROM spans),
+      |d AS (
+      |  SELECT day, CAST(SUM(delta) AS BIGINT) AS net
+      |  FROM deltas GROUP BY day)
+      |SELECT day, net,
+      |  CAST(SUM(net) OVER (ORDER BY day) AS BIGINT) AS open_items
+      |FROM d""".stripMargin
 }

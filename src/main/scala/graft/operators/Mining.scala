@@ -955,6 +955,95 @@ object Mining {
       |    6) AS fano
       |FROM m""".stripMargin
 
+  /** E62: triangle census of the co-purchase graph — the
+    * cohesion/community diagnostic (clustering coefficient's
+    * numerator). Algorithm is the degree-ordered orientation standard:
+    * orient every support-≥2 edge from lower to higher (degree, id) —
+    * a total order — so each triangle is counted EXACTLY once, at its
+    * π-minimal apex, by one wedge self-join (out-neighbors of the
+    * apex, π-ordered) closed by one oriented-edge join. Orientation is
+    * what makes this scale: out-degrees under a degree ordering are
+    * bounded by O(√|E|) (arboricity), so the wedge exchange is
+    * Σ out-deg² ≪ Σ deg² — the naive undirected wedge join explodes
+    * on hub nodes (and counts every triangle 3×). Pair generation
+    * reuses the ONE-basket-exchange shape of E49; everything after is
+    * integer joins on the (small) edge frame.
+    */
+  def triangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesOn(Tables(spark, dir).lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+
+  /** Library face: triangle census over any (ok, pk) basket-membership
+    * frame (edge = pair co-occurring in ≥2 baskets).
+    */
+  def trianglesOn(li: DataFrame): DataFrame = {
+    val baskets = li.groupBy(col("ok"))
+      .agg(sort_array(collect_list(col("pk"))).as("parts"))
+    val pairs = baskets
+      .filter(size(col("parts")) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("parts")) - 1),
+        i => transform(
+          sequence(i + 1, size(col("parts"))),
+          j => struct(element_at(col("parts"), i).as("p1"),
+            element_at(col("parts"), j).as("p2")))))).as("pair"))
+      .select(col("pair.p1"), col("pair.p2"))
+      .filter(col("p1") < col("p2"))
+    val e = pairs.groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_co")).filter(col("n_co") >= 2)
+      .select(col("p1"), col("p2"))
+    val deg = e.select(col("p1").as("n")).unionAll(e.select(col("p2").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val oriented = e
+      .join(deg.select(col("n").as("p1"), col("d").as("da")), "p1")
+      .join(deg.select(col("n").as("p2"), col("d").as("db")), "p2")
+      .select(
+        when(struct(col("da"), col("p1")) < struct(col("db"), col("p2")),
+          col("p1")).otherwise(col("p2")).as("u"),
+        when(struct(col("da"), col("p1")) < struct(col("db"), col("p2")),
+          col("p2")).otherwise(col("p1")).as("v"),
+        when(struct(col("da"), col("p1")) < struct(col("db"), col("p2")),
+          col("db")).otherwise(col("da")).as("dv"))
+    val e1 = oriented.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+    val e2 = oriented.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
+    val wedges = e1.join(e2,
+      Seq("u")).filter(struct(col("dv1"), col("v1")) < struct(col("dv2"), col("v2")))
+    val closing = oriented.select(col("u").as("v1"), col("v").as("v2"))
+    val tri = wedges.join(closing, Seq("v1", "v2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val edges = e.agg(count(lit(1)).as("n_edges"))
+    nodes.crossJoin(edges).crossJoin(tri)
+  }
+
+  val trianglesSql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |pairs AS (
+      |  SELECT a.pk AS p1, b.pk AS p2
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |e AS (
+      |  SELECT p1, p2 FROM pairs GROUP BY p1, p2 HAVING COUNT(*) >= 2),
+      |deg AS (
+      |  SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+      |  FROM (SELECT p1 AS n FROM e UNION ALL SELECT p2 AS n FROM e)
+      |  GROUP BY n),
+      |o AS (
+      |  SELECT
+      |    CASE WHEN (da.d, e.p1) < (db.d, e.p2) THEN e.p1 ELSE e.p2 END AS u,
+      |    CASE WHEN (da.d, e.p1) < (db.d, e.p2) THEN e.p2 ELSE e.p1 END AS v,
+      |    CASE WHEN (da.d, e.p1) < (db.d, e.p2) THEN db.d ELSE da.d END AS dv
+      |  FROM e JOIN deg da ON e.p1 = da.n JOIN deg db ON e.p2 = db.n),
+      |tri AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      |  FROM o e1
+      |  JOIN o e2 ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)
+      |  JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v)
+      |SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+      |  (SELECT n_triangles FROM tri) AS n_triangles""".stripMargin
+
   /** E59: cumulative unique users by day — the audience-accretion
     * ledger. `COUNT(DISTINCT user) OVER (ORDER BY day)` — the direct
     * formulation — funnels every (day, user) pair through ONE reducer;

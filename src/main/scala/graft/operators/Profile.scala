@@ -344,6 +344,91 @@ object Profile {
       |  round(CAST(SUM(term) AS DOUBLE), 4) AS chi2
       |FROM terms""".stripMargin
 
+  /** A31: Population Stability Index — the model-monitoring drift
+    * score (PSI = Σ (p_a − p_b)·ln(p_a/p_b)) of the price distribution
+    * across the two snapshot windows, on 10 equal-width bins fixed
+    * from the BASE window's range (the standard protocol: bins are
+    * frozen on the expected distribution, target values outside clamp
+    * into the edge bins).
+    *
+    * Engine-exactness: bin assignment is pure int64 arithmetic on
+    * integer cents — `(vc−min)·10 div (max−min)` with INTEGER
+    * division, so no float boundary can flip a row's bin between
+    * engines; a 10-row bin spine left-joins the counts so empty bins
+    * still contribute their Laplace-smoothed term
+    * (p = (c+1)/(n+10) — the deterministic zero-proportion guard);
+    * each bin's term is one fixed IEEE expression rounded at 6 dp and
+    * the 10 terms sum as exact decimals.
+    *
+    * Scale shape: one partial-agg pass per side over the fact (the
+    * window split is a projection), a 1-row broadcast of base stats,
+    * and a 10-row frame thereafter.
+    */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1995-06-01").cast("date")
+    val rows = Tables(spark, dir).lineitem
+      .select(
+        round(col("l_extendedprice") * 100, 0).cast("long").as("vc"),
+        when(col("l_shipdate") < cut, 1L).otherwise(0L).as("a"))
+    val stats = rows.where(col("a") === 1L)
+      .agg(min(col("vc")).as("lo"), max(col("vc")).as("hi"),
+        count(lit(1)).as("na"))
+    val nb = rows.agg(sum(lit(1L) - col("a")).as("nbt"))
+    val binned = rows.crossJoin(broadcast(stats))
+      .select(
+        least(greatest(
+          call_function("div", (col("vc") - col("lo")) * 10, col("hi") - col("lo")),
+          lit(0L)), lit(9L))
+          .as("bin"),
+        col("a"))
+    val counts = binned.groupBy(col("bin"))
+      .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+    val spine = spark.range(10).select(col("id").as("bin"))
+    val filled = spine.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .crossJoin(broadcast(stats.select(col("na"))))
+      .crossJoin(broadcast(nb))
+    val pa = (col("ca").cast("double") + lit(1.0)) / (col("na").cast("double") + lit(10.0))
+    val pb = (col("cb").cast("double") + lit(1.0)) / (col("nbt").cast("double") + lit(10.0))
+    filled
+      .select(round((pa - pb) * log(pa / pb), 6).cast("decimal(18,6)").as("term"))
+      .agg(count(lit(1)).as("n_bins"),
+        round(sum(col("term")).cast("double"), 4).as("psi"))
+  }
+
+  val psiDriftSql: String =
+    """WITH x AS (
+      |  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS vc,
+      |    CASE WHEN l_shipdate < DATE '1995-06-01' THEN 1 ELSE 0 END AS a
+      |  FROM lineitem),
+      |stats AS (
+      |  SELECT MIN(vc) AS lo, MAX(vc) AS hi, CAST(COUNT(*) AS BIGINT) AS na
+      |  FROM x WHERE a = 1),
+      |nb AS (SELECT CAST(SUM(1 - a) AS BIGINT) AS nbt FROM x),
+      |binned AS (
+      |  SELECT least(greatest(((vc - lo) * 10) // (hi - lo), 0), 9) AS bin, a
+      |  FROM x CROSS JOIN stats),
+      |counts AS (
+      |  SELECT bin, CAST(SUM(a) AS BIGINT) AS ca,
+      |    CAST(SUM(1 - a) AS BIGINT) AS cb
+      |  FROM binned GROUP BY bin),
+      |spine AS (SELECT CAST(i AS BIGINT) AS bin FROM unnest(range(0, 10)) AS t(i)),
+      |filled AS (
+      |  SELECT spine.bin, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+      |  FROM spine LEFT JOIN counts ON spine.bin = counts.bin),
+      |terms AS (
+      |  SELECT CAST(round(
+      |    ((CAST(ca AS DOUBLE) + 1.0) / (CAST(na AS DOUBLE) + 10.0)
+      |      - (CAST(cb AS DOUBLE) + 1.0) / (CAST(nbt AS DOUBLE) + 10.0))
+      |    * ln(((CAST(ca AS DOUBLE) + 1.0) / (CAST(na AS DOUBLE) + 10.0))
+      |         / ((CAST(cb AS DOUBLE) + 1.0) / (CAST(nbt AS DOUBLE) + 10.0))),
+      |    6) AS DECIMAL(18,6)) AS term
+      |  FROM filled CROSS JOIN stats CROSS JOIN nb)
+      |SELECT COUNT(*) AS n_bins, round(CAST(SUM(term) AS DOUBLE), 4) AS psi
+      |FROM terms""".stripMargin
+
   val profileNumericSql: String = {
     def m(c: String, short: String, p: Int, s: Int): String =
       s"""CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${short}_nnull,

