@@ -1098,4 +1098,200 @@ object Mining {
       |JOIN dims si ON p.i = si.d
       |JOIN dims sj ON p.j = sj.d
       |CROSS JOIN n""".stripMargin
+
+  /** E63: last-touch channel attribution — each purchase credits the
+    * most recent preceding non-purchase event (the "touch") by the
+    * same user; purchases with no prior touch are 'direct'. The
+    * carry-forward is `last(..., ignoreNulls) OVER (user, (t, id)
+    * ROWS UNBOUNDED PRECEDING TO 1 PRECEDING)` — ONE keyed window
+    * exchange (the semantically required one, same cost class as
+    * sessionization), never a per-purchase lookback join whose work
+    * is purchases × history. The (t, event_id) order key makes the
+    * tie-break total, so the credited channel is engine-identical.
+    * Revenue sums exact integer cents; the /100 happens once per
+    * output row.
+    */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        nsToUs(col("ts")).as("t"),
+        round(col("value") * 100, 0).cast("long").as("vc"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("channel",
+        coalesce(
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w),
+          lit("direct")))
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("vc")).cast("double") / 100.0, 2).as("revenue"))
+  }
+
+  val attributionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS t,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS vc
+      |  FROM events),
+      |t AS (
+      |  SELECT event_type, vc,
+      |    COALESCE(last_value(CASE WHEN event_type <> 'purchase'
+      |        THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY t, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      'direct') AS channel
+      |  FROM e)
+      |SELECT channel, COUNT(*) AS n_purchases,
+      |  round(CAST(SUM(vc) AS DOUBLE) / 100.0, 2) AS revenue
+      |FROM t WHERE event_type = 'purchase'
+      |GROUP BY channel""".stripMargin
+
+  /** E64: A/B experiment readout — deterministic hash arm assignment
+    * (the Knuth multiplicative split C17 uses, so assignment is
+    * reproducible across runs AND engines), conversion = first
+    * purchase within 24 h of the user's first event, two-proportion
+    * pooled z-test. Counts are exact integers off one keyed
+    * aggregate; the z statistic is ONE fixed IEEE expression over
+    * int64 casts (sqrt is correctly rounded by IEEE 754, so both
+    * engines produce the identical double). The output is a 1-row
+    * frame — at any scale the only exchange is the per-user partial
+    * aggregate.
+    */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val u = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"), nsToUs(col("ts")).as("t"))
+      .groupBy(col("user_id")).agg(
+        min(col("t")).as("t0"),
+        min(when(col("event_type") === "purchase", col("t"))).as("tp"))
+      .select(((col("user_id") % 1000) * 2654435761L % 2).as("arm"),
+        when(col("tp").isNotNull && col("tp") - col("t0") < 86400000000L, 1L)
+          .otherwise(0L).as("conv"))
+    val s = u.agg(
+      sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 0L, col("conv")).otherwise(0L)).as("conv_a"),
+      sum(when(col("arm") === 1L, col("conv")).otherwise(0L)).as("conv_b"))
+    val pA = col("conv_a").cast("double") / col("n_a").cast("double")
+    val pB = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    s.select(col("n_a"), col("n_b"),
+      round(pA, 6).as("rate_a"), round(pB, 6).as("rate_b"),
+      round((pA - pB) / sqrt(pp * (lit(1.0) - pp)
+        * (lit(1.0) / col("n_a").cast("double")
+          + lit(1.0) / col("n_b").cast("double"))), 4).as("z"))
+  }
+
+  val abTestSql: String =
+    """WITH u AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS t0,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp
+      |  FROM events GROUP BY user_id),
+      |arms AS (
+      |  SELECT (user_id % 1000) * 2654435761 % 2 AS arm,
+      |    CASE WHEN tp IS NOT NULL AND tp - t0 < 86400000000 THEN 1 ELSE 0 END AS conv
+      |  FROM u),
+      |s AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+      |  FROM arms)
+      |SELECT n_a, n_b,
+      |  round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+      |  round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+      |  round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |       - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |      * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 4) AS z
+      |FROM s""".stripMargin
+
+  /** E65: Kaplan–Meier time-to-conversion curve — survival S(t) of
+    * "hours from first event to first purchase", users who never
+    * purchase right-censored at the feed high-water mark (the
+    * product-analytics conversion-lag curve; identical machinery
+    * serves churn when the data has churners).
+    *
+    * Engine-exactness: lifetimes are integer hours from integer-µs
+    * division; d/at-risk counts are exact int64 (at-risk via ONE
+    * descending [[Corpus.prefixSum]] range exchange — `SUM() OVER
+    * (ORDER BY t DESC)` without the single-reducer funnel); each
+    * hazard factor enters as ln((n−d)/n) of an exact-integer ratio
+    * rounded ONCE to integer micro-units, the cumulative log-survival
+    * rides a second prefixSum over the (tiny) step frame, and S(t)
+    * is exp of the exact micro-unit sum rounded at 4 dp. The only
+    * corpus-sized exchange is the per-user aggregate; both prefix
+    * passes run on ≤|distinct hours| rows.
+    */
+  def kaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"), nsToUs(col("ts")).as("t"))
+    val mx = ev.agg(max(col("t")).as("tmax"))
+    val life = ev.groupBy(col("user_id")).agg(
+        min(col("t")).as("t0"),
+        min(when(col("event_type") === "purchase", col("t"))).as("tp"))
+      .crossJoin(broadcast(mx))
+      .select(
+        call_function("div",
+          when(col("tp").isNotNull, col("tp") - col("t0"))
+            .otherwise(col("tmax") - col("t0")),
+          lit(3600000000L)).as("life_h"),
+        when(col("tp").isNotNull, 1L).otherwise(0L).as("observed"))
+    val byT = life.groupBy(col("life_h")).agg(
+      sum(col("observed")).as("d"), count(lit(1)).as("c"))
+    val steps = Corpus.prefixSum(byT, Seq(col("life_h").desc), "c", "cum0")
+      .select(col("life_h"), col("d"), (col("cum0") + col("c")).as("n_risk"))
+      .filter(col("d") > 0L)
+      .select(col("life_h"), col("d"), col("n_risk"),
+        when(col("n_risk") > col("d"),
+          round(log((col("n_risk") - col("d")).cast("double")
+            / col("n_risk").cast("double")) * 1e6, 0).cast("long"))
+          .otherwise(0L).as("term"))
+    Corpus.prefixSum(steps, Seq(col("life_h")), "term", "cumt")
+      .select(col("life_h"), col("d"), col("n_risk"),
+        round((col("cumt") + col("term")).cast("double") / 1e6, 6).as("ln_s"),
+        when(col("n_risk") === col("d"), lit(0.0))
+          .otherwise(round(exp((col("cumt") + col("term")).cast("double") / 1e6), 4))
+          .as("s"))
+  }
+
+  val kaplanMeierSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+      |mx AS (SELECT MAX(t) AS tmax FROM e),
+      |u AS (
+      |  SELECT user_id, MIN(t) AS t0,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN t END) AS tp
+      |  FROM e GROUP BY user_id),
+      |life AS (
+      |  SELECT CASE WHEN tp IS NOT NULL THEN (tp - t0) // 3600000000
+      |         ELSE ((SELECT tmax FROM mx) - t0) // 3600000000 END AS life_h,
+      |    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS observed
+      |  FROM u),
+      |byt AS (
+      |  SELECT life_h, CAST(SUM(observed) AS BIGINT) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM life GROUP BY life_h),
+      |ar AS (
+      |  SELECT life_h, d,
+      |    CAST(SUM(c) OVER (ORDER BY life_h DESC) AS BIGINT) AS n_risk
+      |  FROM byt),
+      |ev AS (
+      |  SELECT life_h, d, n_risk,
+      |    CASE WHEN n_risk > d THEN CAST(round(
+      |      ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)) * 1e6, 0)
+      |      AS BIGINT) ELSE 0 END AS term
+      |  FROM ar WHERE d > 0),
+      |cum AS (
+      |  SELECT life_h, d, n_risk,
+      |    CAST(SUM(term) OVER (ORDER BY life_h) AS BIGINT) AS cum_term
+      |  FROM ev)
+      |SELECT life_h, d, n_risk,
+      |  round(CAST(cum_term AS DOUBLE) / 1e6, 6) AS ln_s,
+      |  CASE WHEN n_risk = d THEN 0.0
+      |    ELSE round(exp(CAST(cum_term AS DOUBLE) / 1e6), 4) END AS s
+      |FROM cum""".stripMargin
 }

@@ -429,6 +429,55 @@ object Profile {
       |SELECT COUNT(*) AS n_bins, round(CAST(SUM(term) AS DOUBLE), 4) AS psi
       |FROM terms""".stripMargin
 
+  /** A32: CUSUM changepoint trace on daily revenue — the
+    * level-shift detector monitoring runs after the distribution
+    * gates (A29–A31): S_d = Σ_{i≤d}(x_i − μ), whose max |S| marks
+    * the most likely changepoint.
+    *
+    * Engine-exactness: daily revenue is exact integer cents; the
+    * running sum AND the day index ride ONE [[Corpus.prefixSumN]]
+    * range exchange (two measures, one sort — never `SUM() OVER` on
+    * a single reducer); μ never materializes as a float — the trace
+    * is the integer numerator n·cum_d − d_idx·total, divided and
+    * rounded once per output row. Overflow headroom: n_days ≤ 10⁴
+    * and cum ≤ 10¹⁴ cents keeps the product < 2⁶³ at 100 TB's daily
+    * grain.
+    */
+  def cusumDrift(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).lineitem
+      .groupBy(col("l_shipdate").as("day"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("rc"))
+      .withColumn("one", lit(1L))
+    val tot = daily.agg(sum(col("rc")).as("tt"), count(lit(1)).as("nd"))
+    Corpus.prefixSumN(daily, Seq(col("day")),
+        Seq("rc" -> "crev0", "one" -> "cidx0"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("day"),
+        round(col("rc").cast("double") / 100.0, 2).as("revenue"),
+        round((col("nd") * (col("crev0") + col("rc"))
+            - (col("cidx0") + lit(1L)) * col("tt")).cast("double")
+          / col("nd").cast("double") / 100.0, 2).as("cusum"))
+  }
+
+  val cusumDriftSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS day,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rc
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(rc) AS BIGINT) AS tt, CAST(COUNT(*) AS BIGINT) AS nd
+      |  FROM daily),
+      |p AS (
+      |  SELECT day, rc,
+      |    CAST(SUM(rc) OVER (ORDER BY day) AS BIGINT) AS cumrev,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS idx
+      |  FROM daily)
+      |SELECT day, round(CAST(rc AS DOUBLE) / 100.0, 2) AS revenue,
+      |  round(CAST(nd * cumrev - idx * tt AS DOUBLE)
+      |    / CAST(nd AS DOUBLE) / 100.0, 2) AS cusum
+      |FROM p CROSS JOIN tot""".stripMargin
+
   val profileNumericSql: String = {
     def m(c: String, short: String, p: Int, s: Int): String =
       s"""CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${short}_nnull,

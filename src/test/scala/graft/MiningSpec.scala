@@ -403,6 +403,57 @@ class MiningSpec extends AnyFunSuite {
     assert(r.getAs[Double]("psi") >= 0.0)
   }
 
+  test("q_attribution: purchase count and revenue conserved across channels") {
+    val rows = run("q_attribution").collect()
+    val ev = graft.sources.Tables(spark, dir).events
+      .filter(col("event_type") === "purchase")
+    val nP = ev.count()
+    val totalCents = ev
+      .agg(sum(round(col("value") * 100, 0).cast("long"))).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum == nP)
+    // per-channel 2dp rounding only moves sub-cent amounts
+    val got = rows.map(_.getAs[Double]("revenue")).sum
+    assert(math.abs(got - totalCents / 100.0) < 0.01 * rows.length)
+    // attribution channels are never 'purchase' itself
+    assert(!rows.exists(_.getAs[String]("channel") == "purchase"))
+  }
+
+  test("q_ab_test: arm sizes partition the user base, z finite") {
+    val r = run("q_ab_test").collect()(0)
+    val users = graft.sources.Tables(spark, dir).events
+      .select("user_id").distinct().count()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == users)
+    assert(!r.getAs[Double]("z").isNaN)
+    // rates are proportions
+    assert(r.getAs[Double]("rate_a") >= 0.0 && r.getAs[Double]("rate_a") <= 1.0)
+    assert(r.getAs[Double]("rate_b") >= 0.0 && r.getAs[Double]("rate_b") <= 1.0)
+  }
+
+  test("q_kaplan_meier: survival is non-increasing from S(first)<=1") {
+    val rows = run("q_kaplan_meier").orderBy(col("life_h")).collect()
+    assert(rows.nonEmpty)
+    var prev = 1.0
+    rows.foreach { r =>
+      val s = r.getAs[Double]("s")
+      assert(s <= prev + 1e-9, s"S increased at ${r.get(0)}")
+      assert(s >= 0.0)
+      // deaths never exceed the at-risk set
+      assert(r.getAs[Long]("d") <= r.getAs[Long]("n_risk"))
+      prev = s
+    }
+    // at-risk is non-increasing in time
+    val risks = rows.map(_.getAs[Long]("n_risk"))
+    assert(risks.zip(risks.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_cusum: trace telescopes to zero at the last day") {
+    val rows = run("q_cusum").orderBy(col("day")).collect()
+    // S_n = sum(x) - n*mean = 0 (up to the 2dp output rounding)
+    assert(math.abs(rows.last.getAs[Double]("cusum")) < 0.01)
+    // revenue column reproduces the daily totals
+    assert(rows.map(_.getAs[Double]("revenue")).sum > 0)
+  }
+
   test("q_chi2_drift: non-negative with one term per category") {
     val r = run("q_chi2_drift").collect()(0)
     assert(r.getAs[Double]("chi2") >= 0.0)
