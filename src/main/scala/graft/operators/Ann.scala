@@ -370,4 +370,127 @@ object Ann {
         round(NativeExprs.cosine_f32(col("q_emb"), col("embedding")), 3).as("cosine"))
     rank(scored)
   }
+
+  /** C67: contrastive hard-negative mining — for each query vector,
+    * the top-5 most-similar vectors with a DIFFERENT label (the
+    * embedding-training counterpart of C6: contrastive and triplet
+    * losses want near-misses across the boundary, not random
+    * negatives). Same plan as C6 — queries broadcast, corpus streams
+    * map-side through the native cosine kernel, bounded-heap TopKAgg
+    * ships ≤5 pairs per query per task — with only the join predicate
+    * changed to label inequality.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+      .repartition(spark.sparkContext.defaultParallelism)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"))
+    e.join(broadcast(q), col("label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id"),
+        round(NativeExprs.cosine_f32(col("q_emb"), col("embedding")), 3).as("cosine"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.top_k(
+        struct(col("cosine"), col("vec_id")), 5).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("idx", "e")))
+      .select(col("query_id"), (col("idx") + 1).as("rank"),
+        col("e.id").as("vec_id"), col("e.score").as("cosine"))
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, label AS q_label, embedding AS q_emb
+       |  FROM embeddings WHERE vec_id < $NQueries),
+       |scored AS (
+       |  SELECT query_id, vec_id,
+       |    round(list_cosine_similarity(CAST(q_emb AS DOUBLE[]),
+       |                                 CAST(embedding AS DOUBLE[])), 3) AS cosine
+       |  FROM q JOIN embeddings ON label != q_label),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, cosine
+       |FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** C68: label-outlier screen — per label, the 3 members FARTHEST
+    * from their label centroid by cosine (the mislabeled-example /
+    * annotation-noise detector run before training on labeled data).
+    *
+    * The centroid enters in C43's long form and the member–centroid
+    * dot product is a (label, dim)-keyed join on the exploded
+    * positions — the exchange carries (label, vec_id) partial sums,
+    * never whole vectors, and the centroid side is a broadcast of
+    * |labels|·dim rows. Float discipline: each product is rounded
+    * ONCE at 10 dp from identical doubles and summed as exact
+    * DECIMAL; centroid self-norms come off the same tiny frame; the
+    * final cosine is one fixed divide-divide-round sequence. The
+    * bottom-3 rank ships ≤3 pairs per label per task via the
+    * bounded-heap TopKAgg on negated similarity.
+    */
+  def labelOutliers(spark: SparkSession, dir: String): DataFrame =
+    labelOutliersOn(Tables(spark, dir).embeddings)
+
+  /** Library face over any (vec_id, label, embedding float[]) frame. */
+  def labelOutliersOn(embeddings: DataFrame): DataFrame = {
+    val cent = embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg((sum(round(col("v").cast("double"), 7).cast("decimal(18,7)"))
+        .cast("double") / count(lit(1))).as("c"))
+    val cnorm = cent.groupBy(col("label"))
+      .agg(sum(round(col("c") * col("c"), 10).cast("decimal(28,10)"))
+        .cast("double").as("nc"))
+    val x = embeddings
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("label"), (col("pos") + 1).as("dim"),
+        col("v").cast("double").as("xi"))
+    val perVec = x.join(broadcast(cent), Seq("label", "dim"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(
+        sum(round(col("xi") * col("c"), 10).cast("decimal(28,10)"))
+          .cast("double").as("dot"),
+        sum(round(col("xi") * col("xi"), 10).cast("decimal(28,10)"))
+          .cast("double").as("nx"))
+    perVec.join(broadcast(cnorm), "label")
+      .select(col("label"), col("vec_id"),
+        round(col("dot") / sqrt(col("nx")) / sqrt(col("nc")), 3).as("cos_centroid"))
+      .groupBy(col("label"))
+      .agg(graft.functions.TopKAgg.top_k(
+        struct((-col("cos_centroid")).as("score"), col("vec_id").as("id")), 3).as("top"))
+      .select(col("label"), posexplode(col("top")).as(Seq("idx", "e")))
+      .select(col("label"), (col("idx") + 1).as("rank"),
+        col("e.id").as("vec_id"), (-col("e.score")).as("cos_centroid"))
+  }
+
+  val labelOutliersSql: String =
+    """WITH x AS (
+      |  SELECT vec_id, label, CAST(j AS INTEGER) AS dim,
+      |    CAST(embedding[j] AS DOUBLE) AS xi
+      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(j)),
+      |cent AS (
+      |  SELECT label, dim,
+      |    CAST(SUM(CAST(round(xi, 7) AS DECIMAL(18,7))) AS DOUBLE) / COUNT(*) AS c
+      |  FROM x GROUP BY label, dim),
+      |cnorm AS (
+      |  SELECT label,
+      |    CAST(SUM(CAST(round(c * c, 10) AS DECIMAL(28,10))) AS DOUBLE) AS nc
+      |  FROM cent GROUP BY label),
+      |pv AS (
+      |  SELECT x.label, vec_id,
+      |    CAST(SUM(CAST(round(xi * c, 10) AS DECIMAL(28,10))) AS DOUBLE) AS dot,
+      |    CAST(SUM(CAST(round(xi * xi, 10) AS DECIMAL(28,10))) AS DOUBLE) AS nx
+      |  FROM x JOIN cent ON x.label = cent.label AND x.dim = cent.dim
+      |  GROUP BY x.label, vec_id),
+      |scored AS (
+      |  SELECT pv.label, vec_id,
+      |    round(dot / sqrt(nx) / sqrt(nc), 3) AS cos_centroid
+      |  FROM pv JOIN cnorm ON pv.label = cnorm.label),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY label
+      |    ORDER BY cos_centroid ASC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT label, CAST(rank AS INTEGER) AS rank, vec_id, cos_centroid
+      |FROM ranked WHERE rank <= 3""".stripMargin
 }

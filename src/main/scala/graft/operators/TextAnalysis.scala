@@ -776,6 +776,48 @@ object TextAnalysis {
        |WHERE tf1 + tf2 + tf3 > 0""".stripMargin
   }
 
+  /** C69: quality-curriculum deciles — the corpus in quality order,
+    * cut into 10 equal-population bands (curriculum-learning's data
+    * schedule: train easy-to-hard, or mix bands at fixed rates).
+    *
+    * The decile boundary is NEVER an interpolated percentile (engines
+    * disagree at 1 ulp on interpolation arithmetic, and a whole
+    * tie-class of 6dp scores can sit ON the cut): each doc's rank in
+    * the (score, doc_id) TOTAL order comes off the distributed
+    * [[Corpus.globalIndex]] — one range exchange, no single-reducer
+    * window — and `decile = rank·10 div n + 1` is pure int64
+    * arithmetic. Engine-identical at every scale by construction.
+    */
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables(spark, dir).documents
+      .select(col("doc_id"), round(compositeScore, 6).as("q"),
+        (substrCount(col("text"), " ") + 1).cast("long").as("n_tokens"))
+    val tot = scored.agg(count(lit(1)).as("n"))
+    Corpus.globalIndex(scored, Seq(col("q"), col("doc_id")), "gi")
+      .crossJoin(broadcast(tot))
+      .select(
+        (call_function("div", col("gi") * 10, col("n")) + 1).as("decile"),
+        col("q"), col("n_tokens"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("q")).as("q_min"), max(col("q")).as("q_max"))
+  }
+
+  val curriculumSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, round($compositeScoreSql, 6) AS q,
+       |    CAST($wordsSql AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |i AS (
+       |  SELECT *, row_number() OVER (ORDER BY q, doc_id) - 1 AS gi FROM s),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s)
+       |SELECT (gi * 10) // n + 1 AS decile,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  MIN(q) AS q_min, MAX(q) AS q_max
+       |FROM i CROSS JOIN n
+       |GROUP BY 1""".stripMargin
+
   val heavyHittersSql: String =
     """WITH tok AS (
       |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),

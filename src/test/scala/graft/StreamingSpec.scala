@@ -279,4 +279,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateful.nonEmpty)
     assert(statefulSet == nativeSet)
   }
+
+  test("qStreamCdc: multi-batch foreachBatch merge equals batch CDC apply") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.Events.qStreamCdc(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    val batch = graft.operators.Extras.cdcApply(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(streamed.nonEmpty)
+    // batch-split invariance: the per-micro-batch latest-wins fold over
+    // 4 files lands on exactly the single-pass batch merge
+    assert(streamed == batch)
+  }
 }
