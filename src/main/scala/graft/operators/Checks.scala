@@ -203,4 +203,122 @@ object Checks {
       |  CAST(COUNT(*) AS BIGINT), COUNT(*) = 0,
       |  CASE WHEN COUNT(*) = 0 THEN 'pass' ELSE 'fail' END
       |FROM (""".stripMargin + Facts.rollupTotalNullsSql + ")"
+
+  /** A33: cross-engine table content checksum — the migration-
+    * validation primitive this project itself needs: a content-
+    * sensitive fingerprint two engines can compute INDEPENDENTLY and
+    * compare (dbt-audit-helper's quick "are these relations equal"
+    * screen before a row-level diff). Each row renders to ONE
+    * canonical string (ints/strings render identically everywhere;
+    * money renders as integer cents — a raw double would format
+    * differently per engine), md5's 60-bit prefix maps to int64, and
+    * rows fold with a MODULAR sum — order-independent, exact at any
+    * scale, no overflow (Interop's E52 discipline). One partial-agg
+    * pass, one 1-row result.
+    */
+  def tableChecksum(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).customer
+      .select(col("c_custkey"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("bal_c"),
+        concat_ws("|",
+          col("c_custkey").cast("string"), col("c_name"),
+          col("c_nationkey").cast("string"),
+          round(col("c_acctbal") * 100, 0).cast("long").cast("string"),
+          col("c_mktsegment")).as("row_str"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(conv(substring(md5(col("row_str")), 1, 15), 16, 10).cast("long")
+          % 1000000007L).as("row_checksum"),
+        sum(col("bal_c") % 1000000007L).as("bal_checksum"),
+        min(col("c_custkey")).as("min_key"),
+        max(col("c_custkey")).as("max_key"))
+
+  val tableChecksumSql: String =
+    """WITH r AS (
+      |  SELECT c_custkey,
+      |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_c,
+      |    concat_ws('|',
+      |      CAST(c_custkey AS VARCHAR), c_name,
+      |      CAST(c_nationkey AS VARCHAR),
+      |      CAST(CAST(round(c_acctbal * 100, 0) AS BIGINT) AS VARCHAR),
+      |      c_mktsegment) AS row_str
+      |  FROM customer)
+      |SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(concat('0x', substr(md5(row_str), 1, 15)) AS BIGINT)
+      |    % 1000000007) AS BIGINT) AS row_checksum,
+      |  CAST(SUM(bal_c % 1000000007) AS BIGINT) AS bal_checksum,
+      |  MIN(c_custkey) AS min_key,
+      |  MAX(c_custkey) AS max_key
+      |FROM r""".stripMargin
+
+  /** A34: two-relation audit diff — dbt-audit-helper's
+    * `compare_relations` over a base snapshot and a mutated target
+    * (here: a deterministic 5% delete / 10% reprice / 5% insert of the
+    * part table, so the op is self-contained and both engines derive
+    * the identical target). Rows pair on the primary key in ONE
+    * full-outer join keyed on it; row equality is an md5 over the
+    * canonical row string (integer cents, never raw doubles); the
+    * readout is the 4-way added/removed/changed/unchanged census every
+    * migration signs off on. At scale: the join shuffles on the key
+    * only — the hashes travel, the wide columns don't (projected
+    * before the exchange).
+    */
+  def auditDiff(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables(spark, dir).part
+    val hk = (col("p_partkey") % 1000) * 2654435761L % 100
+    def rowHash(price: org.apache.spark.sql.Column) =
+      md5(concat_ws("|", col("p_name"), col("p_brand"), col("p_type"),
+        col("p_size").cast("string"),
+        round(price * 100, 0).cast("long").cast("string")))
+    val base = part.select(col("p_partkey").as("key"),
+      rowHash(col("p_retailprice")).as("h"))
+    val target = part.filter(hk >= 5)
+      .select(col("p_partkey").as("key"),
+        rowHash(when(hk < 15, col("p_retailprice") + 1.0)
+          .otherwise(col("p_retailprice"))).as("h"))
+      .unionAll(part.filter(hk >= 95)
+        .select((col("p_partkey") + 10000000L).as("key"),
+          rowHash(col("p_retailprice")).as("h")))
+    base.withColumnRenamed("h", "h_base")
+      .join(target.withColumnRenamed("h", "h_target"), Seq("key"), "full_outer")
+      .select(
+        when(col("h_base").isNull, "only_target")
+          .when(col("h_target").isNull, "only_base")
+          .when(col("h_base") === col("h_target"), "unchanged")
+          .otherwise("changed").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
+  val auditDiffSql: String =
+    """WITH hk AS (
+      |  SELECT *, (p_partkey % 1000) * 2654435761 % 100 AS k FROM part),
+      |base AS (
+      |  SELECT p_partkey AS key,
+      |    md5(concat_ws('|', p_name, p_brand, p_type,
+      |      CAST(p_size AS VARCHAR),
+      |      CAST(CAST(round(p_retailprice * 100, 0) AS BIGINT) AS VARCHAR)))
+      |      AS h
+      |  FROM hk),
+      |target AS (
+      |  SELECT p_partkey AS key,
+      |    md5(concat_ws('|', p_name, p_brand, p_type,
+      |      CAST(p_size AS VARCHAR),
+      |      CAST(CAST(round((CASE WHEN k < 15 THEN p_retailprice + 1.0
+      |                       ELSE p_retailprice END) * 100, 0) AS BIGINT)
+      |        AS VARCHAR))) AS h
+      |  FROM hk WHERE k >= 5
+      |  UNION ALL
+      |  SELECT p_partkey + 10000000 AS key,
+      |    md5(concat_ws('|', p_name, p_brand, p_type,
+      |      CAST(p_size AS VARCHAR),
+      |      CAST(CAST(round(p_retailprice * 100, 0) AS BIGINT) AS VARCHAR)))
+      |  FROM hk WHERE k >= 95)
+      |SELECT CASE WHEN b.h IS NULL THEN 'only_target'
+      |            WHEN t.h IS NULL THEN 'only_base'
+      |            WHEN b.h = t.h THEN 'unchanged'
+      |            ELSE 'changed' END AS status,
+      |  COUNT(*) AS n_rows
+      |FROM base b FULL OUTER JOIN target t USING (key)
+      |GROUP BY 1""".stripMargin
 }

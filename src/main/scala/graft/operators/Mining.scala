@@ -976,7 +976,11 @@ object Mining {
   /** Library face: triangle census over any (ok, pk) basket-membership
     * frame (edge = pair co-occurring in ≥2 baskets).
     */
-  def trianglesOn(li: DataFrame): DataFrame = {
+  /** Support-≥2 co-occurrence edges (p1 < p2) of a (ok, pk) basket
+    * frame — the ONE-basket-exchange pair generation of E49, shared by
+    * the triangle census (E62) and connected components (E66).
+    */
+  private[operators] def basketEdges(li: DataFrame): DataFrame = {
     val baskets = li.groupBy(col("ok"))
       .agg(sort_array(collect_list(col("pk"))).as("parts"))
     val pairs = baskets
@@ -989,9 +993,13 @@ object Mining {
             element_at(col("parts"), j).as("p2")))))).as("pair"))
       .select(col("pair.p1"), col("pair.p2"))
       .filter(col("p1") < col("p2"))
-    val e = pairs.groupBy(col("p1"), col("p2"))
+    pairs.groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("n_co")).filter(col("n_co") >= 2)
       .select(col("p1"), col("p2"))
+  }
+
+  def trianglesOn(li: DataFrame): DataFrame = {
+    val e = basketEdges(li)
     val deg = e.select(col("p1").as("n")).unionAll(e.select(col("p2").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val oriented = e
@@ -1258,6 +1266,80 @@ object Mining {
           .otherwise(round(exp((col("cumt") + col("term")).cast("double") / 1e6), 4))
           .as("s"))
   }
+
+  /** E66: connected components of the co-purchase graph — min-label
+    * propagation run to the fixed point (substitutability clusters /
+    * dedup-cluster closure; C23 runs the same algorithm over MinHash
+    * pairs, where hashing keeps it rows-only — here the edge set is
+    * exact, so the whole component structure ORACLE-CHECKS against a
+    * recursive-CTE reachability closure).
+    *
+    * Iteration is the Spark-idiomatic fixed point: each round is one
+    * edge-keyed join + one min-aggregate (exact int64 labels — no
+    * float anywhere, so every round is engine-deterministic), frames
+    * persist round-to-round and unpersist behind themselves, and the
+    * loop exits when a round changes NOTHING (counted distributively).
+    * Rounds needed = graph diameter (≤ log n with doubling variants;
+    * plain propagation suffices at this density — the co-purchase
+    * graph is forest-like sparse). The driver holds one long per
+    * round, never data.
+    */
+  def components(spark: SparkSession, dir: String): DataFrame =
+    componentsOn(basketEdges(Tables(spark, dir).lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))))
+
+  /** Library face: components of any (p1, p2) undirected edge frame.
+    * Output: (node, comp) where comp = min node id reachable.
+    *
+    * Each round `localCheckpoint`s the label frame — the fixed-point
+    * idiom for UNBOUNDED iteration counts: without it every round's
+    * plan chains through all previous rounds and the job graph grows
+    * quadratically (PageRank's fixed 3 rounds can skip this; a
+    * convergence loop cannot). Checkpoint content is exact int64, so
+    * cutting lineage costs no determinism.
+    */
+  def componentsOn(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("p1").as("a"), col("p2").as("b"))
+      .unionAll(edges.select(col("p2").as("a"), col("p1").as("b")))
+      .persist()
+    var labels = und.select(col("a").as("n")).distinct()
+      .select(col("n"), col("n").as("comp"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 64) {
+      val nbr = und.join(labels.select(col("n").as("b"), col("comp")), "b")
+        .groupBy(col("a")).agg(min(col("comp")).as("nbr_min"))
+      val stepped = labels.join(nbr.select(col("a").as("n"), col("nbr_min")),
+          Seq("n"), "left")
+        .select(col("n"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
+          col("comp").as("prev"))
+        .localCheckpoint(true)
+      changed = stepped.filter(col("comp") < col("prev")).count()
+      labels = stepped.select(col("n"), col("comp"))
+      iter += 1
+    }
+    require(changed == 0, s"components did not converge in $iter rounds")
+    und.unpersist(blocking = false)
+    labels.select(col("n").as("node"), col("comp"))
+  }
+
+  val componentsSql: String =
+    """WITH RECURSIVE
+      |li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |pairs AS (
+      |  SELECT a.pk AS p1, b.pk AS p2
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |e AS (SELECT p1, p2 FROM pairs GROUP BY p1, p2 HAVING COUNT(*) >= 2),
+      |und AS (SELECT p1 AS a, p2 AS b FROM e
+      |        UNION ALL SELECT p2, p1 FROM e),
+      |nodes AS (SELECT DISTINCT a AS n FROM und),
+      |reach(n, m) AS (
+      |  SELECT n, n FROM nodes
+      |  UNION
+      |  SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a)
+      |SELECT n AS node, CAST(MIN(m) AS BIGINT) AS comp
+      |FROM reach GROUP BY n""".stripMargin
 
   val kaplanMeierSql: String =
     """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),

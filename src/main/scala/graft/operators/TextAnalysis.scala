@@ -776,6 +776,50 @@ object TextAnalysis {
        |WHERE tf1 + tf2 + tf3 > 0""".stripMargin
   }
 
+  /** C70: tokenizer-merge application — a FIXED merge table (the
+    * shape C36's trained rules take) folded over the corpus as chained
+    * literal replaces, reporting per-doc token compression. Map-only:
+    * at 100 TB this is the tokenize-everything pass, and it ships zero
+    * bytes — no shuffle, no state, pure codegen'd string work.
+    *
+    * Portability: literal (non-regex) replace scans left-to-right
+    * non-overlapping in both engines — identical on every engine that
+    * implements SQL `replace` — and token counts are exact integer
+    * space-counts on the padded form. (The trained-rules face stays
+    * rows-only in C36 because rule LEARNING isn't portable; rule
+    * APPLICATION is.)
+    */
+  private val bpeMerges = Seq(
+    "batch batch" -> "batch_batch", "the fast" -> "the_fast",
+    "table scan" -> "table_scan", "hash join" -> "hash_join",
+    "window window" -> "window_window")
+
+  def bpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val merged = bpeMerges.foldLeft(padded) { case (c, (from, to)) =>
+      call_function("replace", c, lit(s" $from "), lit(s" $to "))
+    }
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        (substrCount(col("text"), " ") + 1).cast("long").as("n_before"),
+        (substrCount(merged, " ") - 1).cast("long").as("n_after"))
+      .select(col("doc_id"), col("n_before"), col("n_after"),
+        (col("n_before") - col("n_after")).as("n_merged"))
+  }
+
+  val bpeApplySql: String = {
+    val padded = "concat(' ', text, ' ')"
+    val merged = bpeMerges.foldLeft(padded) { case (c, (from, to)) =>
+      s"replace($c, ' $from ', ' $to ')"
+    }
+    def spaces(e: String) = s"(length($e) - length(replace($e, ' ', '')))"
+    s"""SELECT doc_id,
+       |  CAST($wordsSql AS BIGINT) AS n_before,
+       |  CAST(${spaces(merged)} - 1 AS BIGINT) AS n_after,
+       |  CAST($wordsSql - (${spaces(merged)} - 1) AS BIGINT) AS n_merged
+       |FROM documents""".stripMargin
+  }
+
   /** C69: quality-curriculum deciles — the corpus in quality order,
     * cut into 10 equal-population bands (curriculum-learning's data
     * schedule: train easy-to-hard, or mix bands at fixed rates).

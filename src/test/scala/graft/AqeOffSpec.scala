@@ -35,7 +35,8 @@ class AqeOffSpec extends AnyFunSuite {
     "q_embed_cov", "q_cdc_apply", "q_transition_matrix", "q_pmi",
     "q_heavy_hitters", "q_bitmap_distinct", "q_intransit_sweep",
     "q_ks_drift", "q_bm25", "q_attribution", "q_kaplan_meier", "q_cusum",
-    "q_hard_negatives", "q_label_outliers", "q_curriculum")
+    "q_hard_negatives", "q_label_outliers", "q_curriculum",
+    "q_audit_diff", "q_table_checksum", "q_bpe_apply")
 
   Representative.foreach { name =>
     test(s"$name: identical results with adaptive execution disabled") {

@@ -396,6 +396,59 @@ class MiningSpec extends AnyFunSuite {
     assert(a.getAs[Long]("n_triangles") >= 0L)
   }
 
+  test("q_components: matches hand-computed components on a constructed graph") {
+    import spark.implicits._
+    // K4 {1,2,3,4} + pendant (4,5) + disjoint triangle {6,7,8}:
+    // two components, min-labels 1 and 6
+    val edges = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+      (4L,5L),(6L,7L),(6L,8L),(7L,8L)).toDF("p1", "p2")
+    val got = graft.operators.Mining.componentsOn(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L->1L, 2L->1L, 3L->1L, 4L->1L, 5L->1L,
+      6L->6L, 7L->6L, 8L->6L))
+    // corpus face: component ids are always <= their members (min-label)
+    val corpus = run("q_components").collect()
+    assert(corpus.forall(r => r.getLong(1) <= r.getLong(0)))
+  }
+
+  test("q_audit_diff: statuses census matches the mutation rates") {
+    val rows = run("q_audit_diff").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val part = graft.sources.Tables(spark, dir).part
+    val hk = (col("p_partkey") % 1000) * 2654435761L % 100
+    val nDel = part.filter(hk < 5).count()
+    val nUpd = part.filter(hk >= 5 && hk < 15).count()
+    val nIns = part.filter(hk >= 95).count()
+    val n = part.count()
+    assert(rows("only_base") == nDel)
+    assert(rows("changed") == nUpd)
+    assert(rows("only_target") == nIns)
+    assert(rows("unchanged") == n - nDel - nUpd)
+    assert(rows.values.sum == n + nIns)
+  }
+
+  test("q_table_checksum: deterministic and content-sensitive") {
+    val a = run("q_table_checksum").collect()(0)
+    val b = run("q_table_checksum").collect()(0)
+    assert(a == b) // stable across runs / shuffle layouts
+    assert(a.getAs[Long]("n_rows") ==
+      graft.sources.Tables(spark, dir).customer.count())
+    assert(a.getAs[Long]("row_checksum") != 0L)
+  }
+
+  test("q_bpe_apply: merges only shrink, and only when patterns occur") {
+    val rows = run("q_bpe_apply").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_after") <= r.getAs[Long]("n_before"))
+      assert(r.getAs[Long]("n_merged") ==
+        r.getAs[Long]("n_before") - r.getAs[Long]("n_after"))
+    }
+    // somewhere in the corpus at least one merge fires (the patterns
+    // are chosen from the generator's vocabulary)
+    assert(rows.map(_.getAs[Long]("n_merged")).sum > 0)
+  }
+
   test("q_psi_drift: ten bins always present, self-drift is ~zero") {
     val r = run("q_psi_drift").collect()(0)
     assert(r.getAs[Long]("n_bins") == 10L)
