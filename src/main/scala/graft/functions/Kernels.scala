@@ -225,4 +225,47 @@ object Kernels {
     }
     new GenericArrayData(out)
   }
+
+  /** All ordered pairs (a(i), a(j)), i < j, a(i) != a(j), of a SORTED
+    * long array — the basket→co-occurrence-pair expansion in one tight
+    * loop. Replaces a nested `transform(sequence(...))` + `flatten` +
+    * struct-building HOF tree that dominated every co-purchase-graph
+    * operator's profile: the HOF tree allocates a struct array per
+    * outer index per basket and runs largely interpreted; this is one
+    * static call emitting the final struct rows. Input sortedness
+    * makes p1 < p2 by construction (the caller sorts once in the
+    * basket aggregate); equal adjacent elements (repeated partkey in
+    * an order) are skipped — the pair filter the callers previously
+    * applied post-hoc.
+    */
+  def pairArray(parts: ArrayData): ArrayData = {
+    val n = parts.numElements()
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        if (parts.getLong(i) != parts.getLong(j)) cnt += 1
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](cnt)
+    var k = 0
+    i = 0
+    while (i < n) {
+      val a = parts.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        val b = parts.getLong(j)
+        if (a != b) {
+          out(k) = org.apache.spark.sql.catalyst.InternalRow(a, b)
+          k += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }

@@ -128,8 +128,27 @@ object NativeExprs {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** pair_array(sorted bigint[]) → array<struct<p1,p2>>: all i<j pairs
+    * with p1 != p2 — the basket→pair expansion kernel (see
+    * [[Kernels.pairArray]]). Feeds the builtin `explode`, which stays
+    * codegen-integrated; this expression is one static call.
+    */
+  case class PairArrayExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("p1", LongType, nullable = false),
+        StructField("p2", LongType, nullable = false))),
+      containsNull = false)
+    override def nullSafeEval(a: Any): Any =
+      Kernels.pairArray(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.functions.Kernels.pairArray($a)")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   // Column-API faces (GraftBridge wraps Spark 4's Column↔Expression bridge)
   import org.apache.spark.sql.GraftBridge.{column, expression}
+  def pair_array(parts: Column): Column = column(PairArrayExpr(expression(parts)))
   def cosine_f32(a: Column, b: Column): Column =
     column(CosineSimF32(expression(a), expression(b)))
   def minhash_sig(tokens: Column, ngram: Int, k: Int): Column =

@@ -387,23 +387,12 @@ object Mining {
     val li = Tables(spark, dir).lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     // ONE (orderkey) exchange builds per-order baskets; the quadratic
-    // pair expansion happens MAP-SIDE over each (bounded-size) basket —
-    // a self-join on orderkey would exchange lineitem TWICE for the
-    // same pair multiset (measured 21→8 MB shuffled at sf0.1)
-    val baskets = li.groupBy(col("ok"))
-      .agg(sort_array(collect_list(col("pk"))).as("parts"))
-    val pairs = baskets
-      .filter(size(col("parts")) >= 2) // sequence(1, 0) would run DESCENDING
-      .select(
-      explode(flatten(transform(
-        sequence(lit(1), size(col("parts")) - 1),
-        i => transform(
-          sequence(i + 1, size(col("parts"))),
-          j => struct(element_at(col("parts"), i).as("pk"),
-            element_at(col("parts"), j).as("pk2"))))))
-        .as("pair"))
-      .select(col("pair.pk"), col("pair.pk2"))
-      .filter(col("pk") < col("pk2")) // drop equal-part positions
+    // pair expansion happens MAP-SIDE over each (bounded-size) basket
+    // via the native pair kernel — a self-join on orderkey would
+    // exchange lineitem TWICE for the same pair multiset (measured
+    // 21→8 MB shuffled at sf0.1)
+    val pairs = basketPairs(li)
+      .select(col("p1").as("pk"), col("p2").as("pk2"))
     // count each unordered pair once, then emit both directions so
     // every part ranks its neighbors
     val counts = pairs.groupBy(col("pk"), col("pk2")).agg(count(lit(1)).as("n_co"))
@@ -614,20 +603,10 @@ object Mining {
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir).lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val baskets = li.groupBy(col("ok"))
-      .agg(sort_array(collect_list(col("pk"))).as("parts"))
-    val e0 = baskets
-      .filter(size(col("parts")) >= 2)
-      .select(explode(flatten(transform(
-        sequence(lit(1), size(col("parts")) - 1),
-        i => transform(
-          sequence(i + 1, size(col("parts"))),
-          j => struct(element_at(col("parts"), i).as("p1"),
-            element_at(col("parts"), j).as("p2"))))))
-        .as("pair"))
-      .select(col("pair.p1"), col("pair.p2"))
-      .filter(col("p1") < col("p2"))
-      .distinct()
+    // distinct edge set via the native pair kernel; localCheckpoint
+    // cuts lineage so the 3 fixed-point rounds (and the degree/size
+    // frames) don't re-expand the baskets per branch
+    val e0 = basketPairs(li).distinct().localCheckpoint(true)
     val und = e0.select(col("p1").as("src"), col("p2").as("dst"))
       .unionAll(e0.select(col("p2").as("src"), col("p1").as("dst")))
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -980,26 +959,35 @@ object Mining {
     * frame — the ONE-basket-exchange pair generation of E49, shared by
     * the triangle census (E62) and connected components (E66).
     */
-  private[operators] def basketEdges(li: DataFrame): DataFrame = {
-    val baskets = li.groupBy(col("ok"))
-      .agg(sort_array(collect_list(col("pk"))).as("parts"))
-    val pairs = baskets
-      .filter(size(col("parts")) >= 2)
-      .select(explode(flatten(transform(
-        sequence(lit(1), size(col("parts")) - 1),
-        i => transform(
-          sequence(i + 1, size(col("parts"))),
-          j => struct(element_at(col("parts"), i).as("p1"),
-            element_at(col("parts"), j).as("p2")))))).as("pair"))
-      .select(col("pair.p1"), col("pair.p2"))
-      .filter(col("p1") < col("p2"))
-    pairs.groupBy(col("p1"), col("p2"))
+  private[operators] def basketEdges(li: DataFrame): DataFrame =
+    basketPairs(li)
+      .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("n_co")).filter(col("n_co") >= 2)
       .select(col("p1"), col("p2"))
-  }
+
+  /** The per-basket i<j pair multiset (p1 < p2, equal-element pairs
+    * dropped), expanded map-side by the native [[graft.functions
+    * .NativeExprs.pair_array]] kernel — one static call per basket
+    * feeding the codegen'd `explode`, where the previous nested
+    * `transform`/`flatten` HOF tree allocated interpreted struct
+    * arrays per index and dominated every co-purchase operator's
+    * profile (2.5 s of a 4 s q_triangles at sf0.1).
+    */
+  private[operators] def basketPairs(li: DataFrame): DataFrame =
+    li.groupBy(col("ok"))
+      .agg(sort_array(collect_list(col("pk"))).as("parts"))
+      .filter(size(col("parts")) >= 2)
+      .select(explode(graft.functions.NativeExprs.pair_array(col("parts")))
+        .as("pair"))
+      .select(col("pair.p1"), col("pair.p2"))
 
   def trianglesOn(li: DataFrame): DataFrame = {
-    val e = basketEdges(li)
+    // e is referenced by FOUR plan branches (degrees twice via the
+    // union, orientation, closure) — without cutting lineage the
+    // basket expansion recomputes per branch; the edge frame is
+    // |E|-bounded and exact ints, so one eager localCheckpoint
+    // materializes it once for all branches.
+    val e = basketEdges(li).localCheckpoint(true)
     val deg = e.select(col("p1").as("n")).unionAll(e.select(col("p2").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val oriented = e
@@ -1299,27 +1287,60 @@ object Mining {
     * cutting lineage costs no determinism.
     */
   def componentsOn(edges: DataFrame): DataFrame = {
+    // The loop's frames are |V|-bounded — orders of magnitude smaller
+    // than the corpus that produced the edges — so the fixed point
+    // runs at a narrow shuffle width (the streaming faces' scoped-conf
+    // discipline): at scan width, every tiny round pays full-width
+    // task scheduling; on a real cluster size this to |V|/partition.
+    val spark = edges.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "8")
+    try componentsLoop(edges)
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def componentsLoop(edges: DataFrame): DataFrame = {
     val und = edges.select(col("p1").as("a"), col("p2").as("b"))
       .unionAll(edges.select(col("p2").as("a"), col("p1").as("b")))
       .persist()
+    // one neighbor-min propagation step; passes `prev` through so a
+    // super-round can compare against its start labels
+    def propagate(l: DataFrame): DataFrame = {
+      val nbr = und.join(l.select(col("n").as("b"), col("comp")), "b")
+        .groupBy(col("a")).agg(min(col("comp")).as("nbr_min"))
+      l.join(nbr.select(col("a").as("n"), col("nbr_min")), Seq("n"), "left")
+        .select(col("n"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
+          col("prev"))
+    }
     var labels = und.select(col("a").as("n")).distinct()
       .select(col("n"), col("n").as("comp"))
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 64) {
-      val nbr = und.join(labels.select(col("n").as("b"), col("comp")), "b")
-        .groupBy(col("a")).agg(min(col("comp")).as("nbr_min"))
-      val stepped = labels.join(nbr.select(col("a").as("n"), col("nbr_min")),
-          Seq("n"), "left")
-        .select(col("n"),
-          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
-          col("comp").as("prev"))
-        .localCheckpoint(true)
+    // TWO propagation steps per checkpoint/convergence-check: the
+    // checkpoint job and the count job dominate a round's cost at any
+    // graph size (the joins are |V|/|E|-bounded), so batching halves
+    // the expensive jobs for one extra cheap join. A pointer-jumping
+    // variant (comp ← comp(comp)) was measured and did NOT cut rounds
+    // on these small-diameter co-occurrence graphs — the tail is
+    // label-arrival limited — so plain BFS propagation it is.
+    while (changed > 0 && iter < 32) {
+      val start = labels.select(col("n"), col("comp"),
+        col("comp").as("prev"))
+      val stepped = propagate(propagate(start)).localCheckpoint(true)
       changed = stepped.filter(col("comp") < col("prev")).count()
       labels = stepped.select(col("n"), col("comp"))
       iter += 1
+      if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
+        // scalastyle:off println
+        println(s"[components] super-round $iter changed=$changed")
+        // scalastyle:on println
     }
-    require(changed == 0, s"components did not converge in $iter rounds")
+    require(changed == 0, s"components did not converge in $iter super-rounds")
     und.unpersist(blocking = false)
     labels.select(col("n").as("node"), col("comp"))
   }
