@@ -450,6 +450,50 @@ object Corpus {
       |  CAST(n_tokens AS DOUBLE) / n_total AS token_share
       |FROM cells, tot""".stripMargin
 
+  /** C73: temperature-scaled source sampling weights — the α-knob
+    * every multi-source pretraining mix runs (α = 1 is proportional,
+    * α → 0 uniform; α = 1/2 here, the multilingual-sampling standard):
+    * w_s ∝ n_s^α over per-source token counts.
+    *
+    * Float discipline: n^(1/2) is `sqrt`, which IEEE 754 requires to
+    * be CORRECTLY ROUNDED — the one transcendental-looking function
+    * that is bit-identical across engines (no libm variance, unlike
+    * pow/ln elsewhere in this library, which get fixed-point
+    * treatment). Each sqrt is then cast to a 6 dp decimal so the
+    * cross-source normalizer is an EXACT decimal sum (merge-order
+    * free), and each weight is ONE double division at the end.
+    *
+    * Scale shape: one map-side-combinable groupBy to |sources| rows;
+    * the normalizer is a 1-row broadcast. Nothing downstream of the
+    * first aggregate scales with the corpus.
+    */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val bySource = Tables(spark, dir).documents
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val scaled = bySource.select(col("source"), col("n_docs"), col("n_tokens"),
+      sqrt(col("n_tokens").cast("double")).cast("decimal(28,6)").as("sq"))
+    val tot = scaled.agg(sum(col("sq")).as("tot"))
+    scaled.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("sq").cast("double") / col("tot").cast("double")).as("weight"))
+  }
+
+  val temperatureMixSql: String =
+    """WITH s AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |r AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,6)) AS sq
+      |  FROM s),
+      |t AS (SELECT SUM(sq) AS tot FROM r)
+      |SELECT source, n_docs, n_tokens,
+      |  CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE) AS weight
+      |FROM r CROSS JOIN t""".stripMargin
+
   /** C35: out-of-vocabulary rate — per doc, the fraction of tokens
     * outside the top-100 corpus vocabulary (C16); the tokenizer-coverage
     * screen. The 100-row vocab broadcasts; the explode's (doc, token)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Fns._
 import graft.sources.Tables
@@ -433,4 +434,89 @@ object Dedup {
       |             substring(text, 1, 40) AS prefix FROM documents) b
       |  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
       |WHERE levenshtein(a.prefix, b.prefix) <= 10""".stripMargin
+
+  /** C71: prefix-filtered exact set-similarity self-join — the
+    * All-Pairs/PPJoin candidate generation (Bayardo et al., WWW'07;
+    * Xiao et al., WWW'08: prefix length |s| − ⌈τ·|s|⌉ + 1 under one
+    * global token order): exact 3-gram-set Jaccard ≥ τ = 0.6 pairs,
+    * but the self-join runs ONLY over each document's
+    * frequency-ascending PREFIX, not its full shingle set.
+    *
+    * Why this is the exact-join scale path (vs C4's full inverted
+    * index): the prefix keeps the ~40% RAREST shingles of each set, so
+    * (a) the candidate exchange carries a fraction of the (hash, id)
+    * pairs, and (b) the high-frequency shingles — whose inverted-index
+    * posting lists drive the quadratic candidate fanout — never become
+    * join keys at all. The length filter τ·max ≤ min prunes map-side.
+    * Candidates are then verified EXACTLY (codegen'd array_intersect
+    * over the full hash sets), with the τ threshold as the integer
+    * cross-multiplication 8·|∩| ≥ 3·(|a|+|b|) — no float boundary.
+    * No false negatives: any pair with J ≥ τ shares a prefix token
+    * under a common total order (prefix-filtering lemma); the oracle
+    * states the brute-force inverted-index join and must agree exactly.
+    * The (f, s) rank order is collision-free per doc (s distinct), so
+    * the prefix choice is deterministic at any partitioning.
+    */
+  def setsimPrefix(spark: SparkSession, dir: String): DataFrame =
+    setsimPrefix(Tables(spark, dir).documents)
+
+  /** Library face: τ=0.6 exact-Jaccard pairs over any (doc_id, lang,
+    * text) frame, prefix-filtered candidates.
+    */
+  def setsimPrefix(docs: DataFrame): DataFrame = {
+    val tok = tokenized(docs)
+    val ex = tok.select(col("doc_id"), col("lang"), explode(col("sh")).as("s"))
+    // document frequency of each shingle — the global rarity order
+    val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("f"))
+    val sizes = tok.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("s"))
+    val pfx = ex.join(freq, "s")
+      .select(col("doc_id"), col("lang"), col("s"),
+        row_number().over(byRarity).cast("long").as("rn"))
+      .join(sizes, "doc_id")
+      // p = n − ⌈3n/5⌉ + 1, all-integer (div is floor; args positive)
+      .filter(col("rn") <=
+        col("n") - call_function("div", col("n") * 3 + 4, lit(5L)) + 1)
+    val cand = pfx.as("a").join(pfx.as("b"),
+        col("a.lang") === col("b.lang") && col("a.s") === col("b.s") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          greatest(col("a.n"), col("b.n")) * 3 <=
+            least(col("a.n"), col("b.n")) * 5)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = tok.select(col("doc_id"), col("sh"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(col("sa")).cast("long").as("n_a"),
+        size(col("sb")).cast("long").as("n_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("n_inter"))
+      .filter(col("n_inter") * 8 >= (col("n_a") + col("n_b")) * 3)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("n_inter"),
+        (col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
+          .as("jaccard"))
+  }
+
+  /** Oracle: the brute-force inverted-index formulation (C4's shape) at
+    * the same τ — the prefix filter must lose nothing.
+    */
+  val setsimPrefixSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, lang, array_to_string(tk[i:i+2], ' ') AS s
+      |  FROM toks, unnest(range(1, greatest(len(tk) - 1, 2))) AS t(i)
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b, x.n AS n_a, y.n AS n_b, n_inter,
+      |  n_inter / (x.n + y.n - n_inter) AS jaccard
+      |FROM inter JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+      |WHERE n_inter * 8 >= (x.n + y.n) * 3""".stripMargin
 }

@@ -695,6 +695,72 @@ object TextAnalysis {
         round(col("cnt").cast("double") / lit(n), 6).as("share"))
   }
 
+  private val CmsDepth = 4
+  private val CmsWidth = 512L
+
+  /** C72: Count-Min sketch (Cormode & Muthukrishnan, J.Alg'05) over the
+    * corpus token stream, with per-token estimates audited against the
+    * exact counts — the mergeable fixed-size frequency summary for
+    * streams/corpora whose vocabulary is too large to count exactly.
+    *
+    * Everything is deterministic integer arithmetic, so the WHOLE
+    * sketch — not just its contract — is oracle-checkable: row d's
+    * bucket for token t is the md5-derived 60-bit integer of "d:t"
+    * mod width (the engine-portable hash this library standardizes on,
+    * cf. A33), counts are exact int64 sums, and the estimate is the
+    * min over the D row counters. Output: every distinct token with
+    * its exact count, CMS estimate, and overcount (≥ 0 by
+    * construction — the spec pins the one-sided error).
+    *
+    * Scale shape: the sketch build is ONE map-side-combinable groupBy
+    * folding the token stream into a FIXED D×W integer grid (2048
+    * cells here) — the grid size is independent of corpus size, which
+    * is the whole point: at 100 TB the grid is still 2048 rows, so it
+    * is broadcast (a hint that stays correct at every SF, unlike a
+    * dimension that grows) and the estimate probe is map-only against
+    * it. Exact per-token counts are computed here only to audit the
+    * sketch; a production pipeline ships just the grid.
+    */
+  def cmsEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir).documents
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    def bucket(d: Column, tok: Column): Column =
+      conv(substring(md5(concat(d.cast("string"), lit(":"), tok)), 1, 15),
+        16, 10).cast("long") % CmsWidth
+    val probes = counts.select(col("tok"), col("n"),
+        explode(array((0 until CmsDepth).map(lit): _*)).as("d"))
+      .select(col("tok"), col("n"), col("d"),
+        bucket(col("d"), col("tok")).as("bucket"))
+    // the sketch grid: D×W cells, partial-agg'd map-side
+    val grid = probes.groupBy(col("d"), col("bucket"))
+      .agg(sum(col("n")).as("cnt"))
+    probes.join(broadcast(grid), Seq("d", "bucket"))
+      .groupBy(col("tok"))
+      .agg(max(col("n")).as("n_exact"), min(col("cnt")).as("cms_est"))
+      .select(col("tok"), col("n_exact"), col("cms_est"),
+        (col("cms_est") - col("n_exact")).as("overcount"))
+  }
+
+  val cmsEstimateSql: String =
+    """WITH tk AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      |), c AS (
+      |  SELECT tok, COUNT(*) AS n FROM tk GROUP BY tok
+      |), e AS (
+      |  SELECT tok, n, d,
+      |    CAST(concat('0x', substr(md5(concat(CAST(d AS VARCHAR), ':', tok)), 1, 15))
+      |      AS BIGINT) % 512 AS bucket
+      |  FROM c CROSS JOIN (SELECT unnest(range(4)) AS d) ds
+      |), s AS (
+      |  SELECT d, bucket, CAST(SUM(n) AS BIGINT) AS cnt
+      |  FROM e GROUP BY d, bucket
+      |)
+      |SELECT e.tok, MAX(e.n) AS n_exact, MIN(s.cnt) AS cms_est,
+      |  CAST(MIN(s.cnt) - MAX(e.n) AS BIGINT) AS overcount
+      |FROM e JOIN s ON e.d = s.d AND e.bucket = s.bucket
+      |GROUP BY e.tok""".stripMargin
+
   /** C66: BM25 relevance scoring (Okapi, Lucene's +1-inside-ln idf so
     * weights never go negative; k1=1.2, b=0.75) of the corpus against
     * a fixed 3-term query — the standard retrieval scorer a

@@ -109,6 +109,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(exact.subsetOf(lsh), s"LSH missed ${exact -- lsh}")
   }
 
+  test("q_setsim_prefix: prefix filtering loses no pair vs brute force") {
+    // brute force = C4's inverted-index exact join, re-thresholded with
+    // the same integer predicate 8·|∩| ≥ 3·(|a|+|b|)
+    val brute = run("q_ngram_jaccard")
+      .filter(col("n_inter") * 8 >= (col("n_a") + col("n_b")) * 3)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pfx = run("q_setsim_prefix")
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "test data should contain >=0.6-jaccard pairs")
+    assert(pfx == brute, s"missed=${brute -- pfx} extra=${pfx -- brute}")
+  }
+
+  test("q_cms_estimate: one-sided error, exact totals preserved") {
+    val d = run("q_cms_estimate").cache()
+    assert(d.filter(col("overcount") < 0).count() == 0) // CMS never undercounts
+    assert(d.filter(col("cms_est") < col("n_exact")).count() == 0)
+    val totTok = run("q_token_count")
+      .agg(sum(col("ws_token_count").cast("long"))).collect()(0).getLong(0)
+    assert(d.agg(sum("n_exact")).collect()(0).getLong(0) == totTok)
+    d.unpersist()
+  }
+
+  test("q_temperature_mix: weights normalize and compress vs proportional") {
+    val rows = run("q_temperature_mix")
+      .select("n_tokens", "weight").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-9)
+    // α=1/2 damps: the largest source's weight is below its token share
+    val totTok = rows.map(_._1).sum.toDouble
+    val (maxTok, maxW) = rows.maxBy(_._1)
+    assert(maxW < maxTok / totTok)
+    val (minTok, minW) = rows.minBy(_._1)
+    assert(minW > minTok / totTok)
+  }
+
   test("q_dedup_simhash: planted near-dup docs have nonzero neighbor counts") {
     val planted = run("q_ngram_jaccard").filter(col("jaccard") >= 0.9)
       .select("doc_a", "doc_b").collect()
