@@ -20,6 +20,27 @@ import graft.sources.Tables
   */
 object Mining {
 
+  /** Runs `body` with `spark.sql.shuffle.partitions` scoped to `n`.
+    * The conf is read at EXECUTION time, so this narrows only plans
+    * actually run inside the scope (eager `localCheckpoint`/`count`
+    * rounds) — a lazy frame returned outward plans at the caller's
+    * width. For graph fixed points and other |V|-bounded frames that
+    * are orders of magnitude smaller than the corpus that produced
+    * them: at scan width every tiny round pays full-width task
+    * scheduling. On a real cluster size n to |V|/partition.
+    */
+  private[operators] def withShufflePartitions[A](
+      spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, n.toString)
+    try body
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** E44: event-type Markov transition matrix — P(next event type |
     * current type) per user journey, the session-flow fingerprint
     * behind next-action prediction and anomaly detection on event
@@ -606,6 +627,13 @@ object Mining {
     // distinct edge set via the native pair kernel; localCheckpoint
     // cuts lineage so the 3 fixed-point rounds (and the degree/size
     // frames) don't re-expand the baskets per branch
+    // One chained 3-round plan at scan width: the per-round frames are
+    // |E|-sized (the und-side join dominates), so narrowing the width
+    // or checkpointing per round was MEASURED SLOWER at sf0.1 (3.7 s
+    // chained vs 6.0 s with 8-partition eager rounds) — the fixed
+    // iteration count keeps the chain shallow enough that exchange
+    // reuse beats materialization. Contrast componentsOn, whose
+    // unbounded iteration count forces eager rounds.
     val e0 = basketPairs(li).distinct().localCheckpoint(true)
     val und = e0.select(col("p1").as("src"), col("p2").as("dst"))
       .unionAll(e0.select(col("p2").as("src"), col("p1").as("dst")))
@@ -1289,18 +1317,9 @@ object Mining {
   def componentsOn(edges: DataFrame): DataFrame = {
     // The loop's frames are |V|-bounded — orders of magnitude smaller
     // than the corpus that produced the edges — so the fixed point
-    // runs at a narrow shuffle width (the streaming faces' scoped-conf
-    // discipline): at scan width, every tiny round pays full-width
-    // task scheduling; on a real cluster size this to |V|/partition.
-    val spark = edges.sparkSession
-    val key = "spark.sql.shuffle.partitions"
-    val old = spark.conf.getOption(key)
-    spark.conf.set(key, "8")
-    try componentsLoop(edges)
-    finally old match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    // runs at a narrow shuffle width; each round executes eagerly
+    // (checkpoint + count) inside the scope.
+    withShufflePartitions(edges.sparkSession, 8)(componentsLoop(edges))
   }
 
   private def componentsLoop(edges: DataFrame): DataFrame = {
