@@ -494,6 +494,63 @@ object Corpus {
       |  CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE) AS weight
       |FROM r CROSS JOIN t""".stripMargin
 
+  /** C74: quantile normalization of a per-doc score across sources —
+    * every source's score distribution is mapped onto the GLOBAL
+    * distribution by rank, so a "0.9-quantile doc" means the same
+    * thing in every source (cross-source score calibration: per-source
+    * scorers drift, ranks don't). Classic rank-based normalization
+    * (microarray lineage), here on `n_chars` as the score column.
+    *
+    * All-integer: doc rank r within its source (keyed window, tiebreak
+    * doc_id), source size m from the same window exchange, global
+    * reference rank ⌈r·N/m⌉ by integer ceil-div, and the mapped value
+    * is an equi-join against the globalIndex-ordered reference — no
+    * interpolated quantile whose 1-ulp cross-engine wobble could
+    * reassign whole tie-classes (the C69 discipline).
+    *
+    * Scale shape: the reference order is the DISTRIBUTED globalIndex
+    * total order (range exchange + O(partitions) driver offsets), not
+    * a single-reducer window; the per-source window is keyed by
+    * source; the final mapping is one equi-join on an integer rank.
+    */
+  def quantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("x"))
+    val ref = globalIndex(d.select(col("x"), col("doc_id")),
+        Seq(col("x"), col("doc_id")), "gi")
+      .select((col("gi") + 1).as("ref_rank"), col("x").as("ref_x"))
+    val tot = d.agg(count(lit(1)).as("nn"))
+    val bySrc = Window.partitionBy(col("source")).orderBy(col("x"), col("doc_id"))
+    val m = Window.partitionBy(col("source"))
+    d.select(col("doc_id"), col("source"), col("x"),
+        row_number().over(bySrc).cast("long").as("r"),
+        count(lit(1)).over(m).as("m"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("source"), col("x").as("n_chars"),
+        call_function("div", col("r") * col("nn") + col("m") - 1, col("m"))
+          .as("ref_rank"))
+      .join(ref, "ref_rank")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("ref_x").as("norm_chars"))
+  }
+
+  val quantileNormSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x FROM documents),
+      |t AS (SELECT COUNT(*) AS nn FROM d),
+      |ref AS (
+      |  SELECT row_number() OVER (ORDER BY x, doc_id) AS ref_rank, x AS ref_x
+      |  FROM d),
+      |r AS (
+      |  SELECT doc_id, source, x,
+      |    row_number() OVER (PARTITION BY source ORDER BY x, doc_id) AS r,
+      |    COUNT(*) OVER (PARTITION BY source) AS m
+      |  FROM d)
+      |SELECT r.doc_id, r.source, r.x AS n_chars, ref.ref_x AS norm_chars
+      |FROM r CROSS JOIN t
+      |JOIN ref ON ref.ref_rank = (r.r * t.nn + r.m - 1) // r.m""".stripMargin
+
   /** C35: out-of-vocabulary rate — per doc, the fraction of tokens
     * outside the top-100 corpus vocabulary (C16); the tokenizer-coverage
     * screen. The 100-row vocab broadcasts; the explode's (doc, token)

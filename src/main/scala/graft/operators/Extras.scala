@@ -1202,4 +1202,56 @@ object Extras {
       |SELECT day, net,
       |  CAST(SUM(net) OVER (ORDER BY day) AS BIGINT) AS open_items
       |FROM d""".stripMargin
+
+  /** E69: weighted median — per return flag, the quantity-weighted
+    * median unit price: the robust "typical price actually paid"
+    * (each price counts by units sold, not by line count). The
+    * SQL-awkward weighted quantile, stated distributively.
+    *
+    * Plan: ONE map-combinable groupBy folds the corpus to
+    * (flag, price-cents) → total weight cells; the running-weight
+    * window then runs over a frame bounded by the PRICE DOMAIN
+    * (distinct cent values), not by corpus row count — that is what
+    * makes the 3-partition window scale-safe where a per-row window
+    * would not be. The median pick is the integer predicate
+    * 2·cum ≥ tot — no float boundary, no interpolation.
+    */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("price_c"))
+      .agg(sum(col("l_quantity").cast("long")).as("w"))
+    val run = Window.partitionBy(col("flag")).orderBy(col("price_c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("flag"))
+    cells
+      .select(col("flag"), col("price_c"), col("w"),
+        sum(col("w")).over(run).as("cum"),
+        sum(col("w")).over(tot).as("tw"))
+      .filter(col("cum") * 2 >= col("tw"))
+      .groupBy(col("flag"))
+      .agg(min(col("price_c")).as("median_price_c"),
+        max(col("tw")).as("total_qty"))
+      .select(col("flag"), col("median_price_c"),
+        round(col("median_price_c").cast("double") / 100.0, 2)
+          .as("median_price"),
+        col("total_qty"))
+  }
+
+  val weightedMedianSql: String =
+    """WITH cells AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |p AS (
+      |  SELECT flag, price_c, w,
+      |    CAST(SUM(w) OVER (PARTITION BY flag ORDER BY price_c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+      |  FROM cells)
+      |SELECT flag, MIN(price_c) AS median_price_c,
+      |  round(CAST(MIN(price_c) AS DOUBLE) / 100.0, 2) AS median_price,
+      |  MAX(tw) AS total_qty
+      |FROM p WHERE cum * 2 >= tw GROUP BY flag""".stripMargin
 }

@@ -809,6 +809,101 @@ object Mining {
       |  round(CAST(SUM(share) AS DOUBLE) / COUNT(*), 6) AS avg_rev_share
       |FROM sh GROUP BY mo""".stripMargin
 
+  /** E67: lag-1..7 autocorrelation of daily revenue — the
+    * periodicity/memory fingerprint read before fitting any
+    * forecasting or anomaly model on a metric series (weekly cycles
+    * show as a lag-7 peak).
+    *
+    * Determinism: the series is exact integer cents per day; every
+    * Pearson partial (Σx, Σy, Σxy, Σx², Σy², n) is summed as EXACT
+    * decimal(38,0) over per-pair products formed in decimal — no
+    * int64 overflow at any SF, no float merge-order. Each r_k is ONE
+    * fixed IEEE expression over those exact aggregates (the oracle's
+    * HUGEINT partials cast to double the same way).
+    *
+    * Scale shape: the daily rollup is a map-combinable groupBy to
+    * |days| rows; the 7 lag pairings are a |days|×7 self-join on the
+    * integer epoch-day — everything downstream of the first aggregate
+    * is calendar-bounded, not corpus-bounded.
+    */
+  def autocorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).lineitem
+      .groupBy(col("l_shipdate").cast("date").as("day"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("rc"))
+      .select(datediff(col("day"), to_date(lit("1970-01-01"))).cast("long").as("di"),
+        col("rc"))
+    val lags = spark.range(1, 8).select(col("id").as("lag"))
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val pairs = daily.as("a").crossJoin(lags)
+      .join(daily.as("b"), col("a.di") + col("lag") === col("b.di"))
+      .select(col("lag"), col("a.rc").as("x"), col("b.rc").as("y"))
+    pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
+        sum(d38(col("x")) * d38(col("y"))).as("sxy"),
+        sum(d38(col("x")) * d38(col("x"))).as("sxx"),
+        sum(d38(col("y")) * d38(col("y"))).as("syy"))
+      .select(col("lag"), col("n").as("n_pairs"),
+        ((d38(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double")
+          / sqrt((d38(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double")
+            * (d38(col("n")) * col("syy") - col("sy") * col("sy")).cast("double")))
+          .as("r"))
+  }
+
+  val autocorrSql: String =
+    """WITH daily AS (
+      |  SELECT datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS di,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rc
+      |  FROM lineitem GROUP BY 1),
+      |pairs AS (
+      |  SELECT lag, a.rc AS x, b.rc AS y
+      |  FROM daily a
+      |  CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+      |  JOIN daily b ON a.di + lag = b.di),
+      |s AS (
+      |  SELECT lag, COUNT(*) AS n,
+      |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+      |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+      |    SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+      |  FROM pairs GROUP BY lag)
+      |SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+      |  CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |         * CAST(n * syy - sy * sy AS DOUBLE)) AS r
+      |FROM s""".stripMargin
+
+  /** E68: co-purchase graph degree distribution — the scale-free-ness
+    * profile (how heavy is the hub tail) read before choosing graph
+    * algorithms or partitioning strategies; hub parts are the skew
+    * keys every downstream graph join must plan for. Reuses E62's
+    * support≥2 edge builder (one basket exchange + map-side pair
+    * kernel); both groupBys are map-combinable over |V|- then
+    * degree-bounded frames.
+    */
+  def degreeDist(spark: SparkSession, dir: String): DataFrame = {
+    val e = basketEdges(Tables(spark, dir).lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+    val deg = e.select(col("p1").as("n")).unionAll(e.select(col("p2").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    deg.groupBy(col("d").as("degree")).agg(count(lit(1)).as("n_parts"))
+  }
+
+  val degreeDistSql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |pairs AS (
+      |  SELECT a.pk AS p1, b.pk AS p2
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |e AS (
+      |  SELECT p1, p2 FROM pairs GROUP BY p1, p2 HAVING COUNT(*) >= 2),
+      |deg AS (
+      |  SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+      |  FROM (SELECT p1 AS n FROM e UNION ALL SELECT p2 AS n FROM e)
+      |  GROUP BY n)
+      |SELECT d AS degree, CAST(COUNT(*) AS BIGINT) AS n_parts
+      |FROM deg GROUP BY d""".stripMargin
+
   /** E56: growth accounting — the period-over-period user ledger every
     * growth team closes: new (first-ever period), retained (also
     * active the period before), resurrected (active before, but not

