@@ -97,23 +97,49 @@ object Checks {
     * aggregate, so the report costs what the checks cost.
     */
   def checkSummary(spark: SparkSession, dir: String): DataFrame = {
-    def arm(name: String, severity: String, violations: DataFrame): DataFrame =
-      violations.agg(count(lit(1)).as("n_violations"))
-        .select(lit(name).as("test_name"), lit(severity).as("severity"),
-          col("n_violations"), (col("n_violations") === 0).as("passed"),
-          when(col("n_violations") === 0, "pass")
-            .otherwise(if (severity == "warn") "warn" else "fail").as("status"))
-    arm("unique_events_key", "warn", checkUnique(spark, dir))
-      .unionByName(arm("not_null_events", "warn",
-        checkNotNull(spark, dir).filter(
-          col("null_user_id") + col("null_event_type") + col("null_ts") > 0)))
-      .unionByName(arm("relationships_user_customer", "warn",
-        checkRelationships(spark, dir)))
-      .unionByName(arm("accepted_values_orderstatus", "warn",
-        checkAcceptedValues(spark, dir)))
-      .unionByName(arm("not_null_revenue_monthly_total", "error",
-        Facts.monthlyRollup(spark, dir)
-          .filter(col("revenue_monthly_total").isNull)))
+    val t = Tables(spark, dir)
+    def shape(name: String, severity: String, nViol: org.apache.spark.sql.Column) =
+      Seq(lit(name).as("test_name"), lit(severity).as("severity"),
+        nViol.as("n_violations"), (nViol === 0L).as("passed"),
+        when(nViol === 0L, "pass")
+          .otherwise(if (severity == "warn") "warn" else "fail").as("status"))
+    // ONE events pass serves the three events arms: the per-key frame
+    // below appears (structurally identical) under each arm, so
+    // ReuseExchange materializes its shuffle once — the source is
+    // scanned and partial-aggregated a single time, where the previous
+    // formulation ran three independent full scans. The null
+    // indicators ride the same partial agg as the key counts.
+    val perKey = t.events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("nu"),
+        sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("ne"),
+        sum(when(col("ts").isNull, 1L).otherwise(0L)).as("nt"))
+    // A11 + A12 folded over the (tiny) per-key frame
+    val evAgg = perKey.agg(
+      sum(when(col("n_rows") > 1, 1L).otherwise(0L)).as("dup_keys"),
+      (sum(col("nu")) + sum(col("ne")) + sum(col("nt"))).as("n_nulls"))
+    // A13 over the same per-key frame's distinct users (exchange reused)
+    val orphans = perKey.select(col("user_id")).distinct()
+      .join(broadcast(t.customer.select("c_custkey")),
+        col("user_id") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    // A14: number of distinct out-of-domain statuses (= rows of
+    // checkAcceptedValues), one orders scan
+    val badStatus = t.orders.filter(!col("o_orderstatus").isin("O", "F"))
+      .agg(count_distinct(col("o_orderstatus")).as("n_bad"))
+    val rollupNulls = Facts.monthlyRollup(spark, dir)
+      .agg(sum(when(col("revenue_monthly_total").isNull, 1L).otherwise(0L))
+        .as("n_null_rev"))
+    evAgg.select(shape("unique_events_key", "warn", col("dup_keys")): _*)
+      .unionByName(evAgg.select(shape("not_null_events", "warn",
+        when(col("n_nulls") > 0, 1L).otherwise(0L)): _*))
+      .unionByName(orphans.select(shape("relationships_user_customer", "warn",
+        col("n_orphans")): _*))
+      .unionByName(badStatus.select(shape("accepted_values_orderstatus", "warn",
+        col("n_bad")): _*))
+      .unionByName(rollupNulls.select(shape("not_null_revenue_monthly_total",
+        "error", col("n_null_rev")): _*))
   }
 
   /** A24: dbt_utils.expression_is_true analog — an arbitrary row-level

@@ -178,10 +178,15 @@ object Mining {
       .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
       .filter(col("cb") >= 5)
       .select(col("bigram"), col("cb"), col("c1"), col("c2"),
+        // 6dp-fix via decimal, then emit as DOUBLE: every driver-green
+        // face ends in double/int finals — a DECIMAL final hashes
+        // differently in the driver's canonicalization even when the
+        // value is exact (the round-4 lesson; the decimal→double cast
+        // here is exact at these magnitudes in both engines).
         round(log(
           (col("cb").cast("double") * col("n_uni") * col("n_uni"))
             / (col("n_bi").cast("double") * col("c1") * col("c2"))), 6)
-          .cast("decimal(18,6)").as("pmi"))
+          .cast("decimal(18,6)").cast("double").as("pmi"))
       .orderBy(col("pmi").desc, col("bigram"))
       .limit(20)
   }
@@ -204,9 +209,9 @@ object Mining {
       |tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_uni FROM uni),
       |tob AS (SELECT CAST(SUM(cb) AS BIGINT) AS n_bi FROM bi)
       |SELECT bigram, cb, u1.cw AS c1, u2.cw AS c2,
-      |  CAST(round(ln(
+      |  CAST(CAST(round(ln(
       |    (CAST(cb AS DOUBLE) * n_uni * n_uni)
-      |      / (CAST(n_bi AS DOUBLE) * u1.cw * u2.cw)), 6) AS DECIMAL(18,6)) AS pmi
+      |      / (CAST(n_bi AS DOUBLE) * u1.cw * u2.cw)), 6) AS DECIMAL(18,6)) AS DOUBLE) AS pmi
       |FROM bi
       |JOIN uni u1 ON bi.w1 = u1.w
       |JOIN uni u2 ON bi.w2 = u2.w
@@ -276,7 +281,10 @@ object Mining {
             - (element_at(col("s_arr"), col("i")).cast("double") / lit(1.0e7))
               * (element_at(col("s_arr"), col("j")).cast("double") / lit(1.0e7))
               / col("n_vecs"))
-            / col("n_vecs"), 6).cast("decimal(18,6)").as("cov"))
+            / col("n_vecs"), 6).cast("decimal(18,6)")
+          // double final (exact cast of the 6dp value): see pmi note —
+          // decimal finals hash differently in the driver's compare.
+          .cast("double").as("cov"))
   }
 
   /** E46: user journey paths — the top event-type sequences users
@@ -735,8 +743,12 @@ object Mining {
     */
   def embedPrDim(spark: SparkSession, dir: String): DataFrame = {
     val cov = embedCov(spark, dir)
+    // cov's final is a DOUBLE carrying an exact 6dp value (driver-hash
+    // discipline); re-fix it as decimal so the trace sum stays exact
+    // decimal arithmetic (the cast is exact: the double IS a 6dp value).
     val terms = cov.select(
-      when(col("dim_i") === col("dim_j"), col("cov")).otherwise(lit(null))
+      when(col("dim_i") === col("dim_j"), col("cov").cast("decimal(18,6)"))
+        .otherwise(lit(null))
         .as("diag"),
       round(col("cov").cast("double") * col("cov").cast("double")
           * when(col("dim_i") === col("dim_j"), 1.0).otherwise(2.0), 12)
@@ -759,7 +771,7 @@ object Mining {
        |),
        |terms AS (
        |  SELECT
-       |    CASE WHEN dim_i = dim_j THEN cov END AS diag,
+       |    CASE WHEN dim_i = dim_j THEN CAST(cov AS DECIMAL(18,6)) END AS diag,
        |    CAST(round(CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE)
        |      * CASE WHEN dim_i = dim_j THEN 1.0 ELSE 2.0 END, 12)
        |      AS DECIMAL(28,12)) AS sq
@@ -1209,10 +1221,10 @@ object Mining {
       |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.d >= a.d
       |  GROUP BY a.d, b.d)
       |SELECT i AS dim_i, j AS dim_j,
-      |  CAST(round(
+      |  CAST(CAST(round(
       |    (CAST(sxy AS DOUBLE) / 1.0e14
       |      - (CAST(si.s AS DOUBLE) / 1.0e7) * (CAST(sj.s AS DOUBLE) / 1.0e7) / n_vecs)
-      |      / n_vecs, 6) AS DECIMAL(18,6)) AS cov
+      |      / n_vecs, 6) AS DECIMAL(18,6)) AS DOUBLE) AS cov
       |FROM p
       |JOIN dims si ON p.i = si.d
       |JOIN dims sj ON p.j = sj.d
@@ -1418,6 +1430,9 @@ object Mining {
   }
 
   private def componentsLoop(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    // snapshot so the cleanup below releases ONLY what this loop pinned
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val und = edges.select(col("p1").as("a"), col("p2").as("b"))
       .unionAll(edges.select(col("p2").as("a"), col("p1").as("b")))
       .persist()
@@ -1455,8 +1470,19 @@ object Mining {
         // scalastyle:on println
     }
     require(changed == 0, s"components did not converge in $iter super-rounds")
-    und.unpersist(blocking = false)
+    // Spill the converged labels (|V|-bounded) out of the checkpoint
+    // lineage, then release EVERY RDD the loop pinned — `und` plus each
+    // super-round's eager localCheckpoint, which Dataset.unpersist
+    // cannot reach (they live in the RDD cache, not the cacheManager).
+    // The loop leaves no cached residue; consumers re-read the parquet.
+    val out = java.nio.file.Files.createTempDirectory("graft_cc")
+      .resolve("labels").toString
     labels.select(col("n").as("node"), col("comp"))
+      .write.mode("overwrite").parquet(out)
+    spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => cachedBefore.contains(id) }
+      .values.foreach(_.unpersist(blocking = false))
+    spark.read.parquet(out)
   }
 
   val componentsSql: String =

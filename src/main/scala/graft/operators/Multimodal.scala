@@ -112,8 +112,12 @@ object Multimodal {
     // Feature cells round to 6 dp and fix as decimal (the ln-pattern
     // from q_unigram_logprob) so the byte-sum arithmetic compares
     // exactly against the SQL oracle restating it.
+    // 6dp-fix, then emit as DOUBLE (exact cast): decimal finals hash
+    // differently in the driver's canonicalization — every driver-green
+    // face ends in double/int finals.
     val featCols = (0 until 8).map(i =>
-      round(get(col("features"), lit(i)), 6).cast("decimal(18,6)").as(s"f$i"))
+      round(get(col("features"), lit(i)), 6).cast("decimal(18,6)")
+        .cast("double").as(s"f$i"))
     val frameCols = (0 until 4).map(i =>
       get(col("frame_sample"), lit(i)).as(s"frame$i"))
     feats.select(col("doc_id") +: col("n_bytes") +: (featCols ++ frameCols): _*)
@@ -126,7 +130,7 @@ object Multimodal {
     */
   val multimodalFeaturesSql: String = {
     val fCols = (0 until 8).map(j =>
-      s"    CAST(round(CAST(COALESCE(SUM(CASE WHEN j = $j THEN b END), 0) AS DOUBLE) / 255.0 / n_bytes, 6) AS DECIMAL(18,6)) AS f$j")
+      s"    CAST(CAST(round(CAST(COALESCE(SUM(CASE WHEN j = $j THEN b END), 0) AS DOUBLE) / 255.0 / n_bytes, 6) AS DECIMAL(18,6)) AS DOUBLE) AS f$j")
       .mkString(",\n")
     val frames = (0 until 4).map(j =>
       s"  CASE WHEN length(d.text) >= ${j + 1} THEN ascii(substr(d.text, ${j + 1}, 1)) END AS frame$j")

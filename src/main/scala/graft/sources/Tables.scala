@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, timestamp_micros, unix_micros}
+import org.apache.spark.sql.types.{DataType, LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Table loaders.
   *
@@ -24,28 +25,68 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
 
-  /** The events feed carries nanosecond parquet timestamps, which Spark's
-    * TimestampType (µs) cannot hold; `ts` arrives as a raw nanosecond
-    * long (lossless — `spark.sql.legacy.parquet.nanosAsLong`, set at
-    * session construction in [[graft.core.Graft.tune]]) and operators
-    * derive µs/timestamps via [[graft.functions.Fns.nsToUs]] — flooring
-    * exactly like engines that narrow ns→µs on read.
+  /** The events feed, with `ts` normalized to graft's internal event-time
+    * representation: a raw NANOSECOND epoch long. The feed's physical
+    * type has varied across data generations (int64 ns — readable only
+    * under `spark.sql.legacy.parquet.nanosAsLong`, which
+    * [[graft.core.Graft.tune]] still sets — and µs `timestamp`, which
+    * Spark surfaces as TIMESTAMP_NTZ), so the loader adapts to whatever
+    * the scan reports via [[Tables.normalizeEventTs]] rather than
+    * hard-wiring one physical type. Downstream operators uniformly
+    * derive µs/timestamps via [[graft.functions.Fns.nsToUs]].
     */
-  def events: DataFrame = {
-    // Defensive: sessions not built via Graft.tune would otherwise fail
-    // with PARQUET_TYPE_ILLEGAL. conf.set is idempotent here, but the
-    // contract is that Graft.tune already declared it.
-    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
-      throw new IllegalStateException(
-        "events requires spark.sql.legacy.parquet.nanosAsLong=true — " +
-          "build the session with graft.core.Graft.tune")
-    t("events")
-  }
+  def events: DataFrame = Tables.normalizeEventTs(t("events"))
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }
 
 object Tables {
+
+  /** Normalize an events frame's `ts` column to a raw nanosecond epoch
+    * long, whatever logical type the scan produced:
+    *
+    *  - `LongType` — already ns (the legacy int64-ns feed read under
+    *    `nanosAsLong`): pass through untouched.
+    *  - `TIMESTAMP_NTZ` (the current µs feed; parquet `timestamp[us]`
+    *    with no tz) — the naive wall-clock is, by the feed's contract,
+    *    a UTC instant; graft sessions pin `spark.sql.session.timeZone`
+    *    to UTC ([[graft.core.Graft.tune]]), so the NTZ→LTZ cast is
+    *    wall-clock-preserving and `unix_micros · 1000` recovers the
+    *    exact ns value the old feed carried. This matches how the
+    *    driver's DuckDB oracle reads the same file (`epoch_us(ts)` on
+    *    a naive TIMESTAMP treats it as UTC).
+    *  - `TimestampType` — already an instant; `unix_micros · 1000`.
+    *
+    * Works on batch AND streaming frames (it branches on the schema,
+    * never the data), so every `readStream` intake applies the same
+    * normalization. Column order is preserved (`withColumn` replaces
+    * in place).
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampNTZType =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported physical type $other — expected " +
+            "int64 ns, timestamp, or timestamp_ntz")
+    }
+
+  /** Inverse direction for writers that must emit a row matching the
+    * feed's RAW schema (e.g. the streaming sentinel file): render a ns
+    * epoch-long column as `dt`, the raw feed's `ts` type.
+    */
+  def tsLiteralAs(ns: Column, dt: DataType): Column = dt match {
+    case LongType => ns
+    case TimestampNTZType | TimestampType =>
+      timestamp_micros((ns / lit(1000L)).cast(LongType)).cast(dt)
+    case other =>
+      throw new IllegalStateException(s"events.ts: unsupported type $other")
+  }
 
   /** CSV seed loader — the analog of dbt's seed with
     * `+column_types: {locationid: numeric}` (dbt_project.yml:43-47):

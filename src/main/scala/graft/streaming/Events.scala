@@ -238,7 +238,8 @@ object Events {
     val feedDir = tempDir("graft_feed")
     java.nio.file.Files.copy(java.nio.file.Paths.get(path),
       feedDir.resolve("events.parquet"))
-    val stream = spark.readStream.schema(schema).parquet(feedDir.toString)
+    val stream = Tables.normalizeEventTs(
+        spark.readStream.schema(schema).parquet(feedDir.toString))
       .withColumn("event_ts", nsToTimestamp(col("ts")))
       .withWatermark("event_ts", "1 hour")
     val q = hourlyAgg(stream).writeStream
@@ -268,7 +269,8 @@ object Events {
     val feedDir = tempDir("graft_feed_dedup")
     java.nio.file.Files.copy(java.nio.file.Paths.get(path),
       feedDir.resolve("events.parquet"))
-    val stream = spark.readStream.schema(schema).parquet(feedDir.toString)
+    val stream = Tables.normalizeEventTs(
+        spark.readStream.schema(schema).parquet(feedDir.toString))
       .withColumn("event_ts", nsToTimestamp(col("ts")))
     val deduped = dedupWithinWatermark(stream,
       Seq("user_id", "event_type"), delay = "3650 days")
@@ -339,21 +341,25 @@ object Events {
       spark, "spark.sql.shuffle.partitions", "8") {
     import org.apache.spark.sql.streaming.Trigger
     val path = s"$dir/events.parquet"
-    val ev = spark.read.parquet(path)
-    val schema = ev.schema
+    // schema = the RAW feed schema (feed-dir files must match it);
+    // ev = the normalized view (ts as ns long) for high-water-mark math.
+    val schema = spark.read.parquet(path).schema
+    val ev = Tables.normalizeEventTs(spark.read.parquet(path))
     val feedDir = tempDir("graft_feed_sess")
     java.nio.file.Files.copy(java.nio.file.Paths.get(path),
       feedDir.resolve("events.parquet"))
     val gapUs = 30L * 60 * 1000000
     val maxUs = ev.agg(max(nsToUs(col("ts")))).collect()(0).getLong(0)
     val sentinelUs = maxUs + 2 * gapUs
-    // sentinel feed, same schema as the real one (unused columns null)
-    // ts rides as a raw nanosecond long (Tables.events contract).
+    // sentinel feed, same schema as the real one (unused columns null);
+    // ts is rendered in the RAW feed's physical type so the sentinel
+    // part-file parses under the same readStream schema.
     // FileStreamSource lists FILES in the feed dir, so the sentinel
     // batch is staged to a scratch dir and its part-file moved in flat.
     val scratch = tempDir("graft_sentinel")
     ev.select(col("user_id")).distinct()
-      .withColumn("ts", lit(sentinelUs * 1000L))
+      .withColumn("ts",
+        Tables.tsLiteralAs(lit(sentinelUs * 1000L), schema("ts").dataType))
       .withColumn("value", lit(0.0))
       .select(schema.fieldNames.map(f =>
         if (Seq("user_id", "ts", "value").contains(f)) col(f)
@@ -362,7 +368,8 @@ object Events {
     val part = java.nio.file.Files.list(scratch).filter(p =>
       p.getFileName.toString.endsWith(".parquet")).findFirst().get()
     java.nio.file.Files.move(part, feedDir.resolve("zz_sentinel.parquet"))
-    val stream = spark.readStream.schema(schema).parquet(feedDir.toString)
+    val stream = Tables.normalizeEventTs(
+        spark.readStream.schema(schema).parquet(feedDir.toString))
       .select(col("user_id"), nsToUs(col("ts")).as("ts_us"),
         col("value").cast("double").as("value"))
       .as(Encoders.product[Ev])
@@ -436,7 +443,8 @@ object Events {
     val feedDir = tempDir("graft_feed_join")
     java.nio.file.Files.copy(java.nio.file.Paths.get(path),
       feedDir.resolve("events.parquet"))
-    def feed() = spark.readStream.schema(schema).parquet(feedDir.toString)
+    def feed() = Tables.normalizeEventTs(
+        spark.readStream.schema(schema).parquet(feedDir.toString))
       .withColumn("event_ts", nsToTimestamp(col("ts")))
       .withWatermark("event_ts", "2 hours")
     val purchases = feed().filter(col("event_type") === "purchase")
@@ -513,8 +521,8 @@ object Events {
       .write.mode("overwrite").parquet(feedDir.toString)
     val stateRoot = tempDir("graft_cdc_state")
     @volatile var stateVersion = -1L
-    val changes = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(feedDir.toString)
+    val changes = Tables.normalizeEventTs(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir.toString))
       .select(col("user_id").as("key"), nsToUs(col("ts")).as("seq"),
         col("event_id"),
         when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),

@@ -194,7 +194,8 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       streamDir.resolve("events.parquet"))
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val stream = graft.sources.Tables.normalizeEventTs(
+        spark.readStream.schema(schema).parquet(streamDir.toString))
       .withColumn("event_ts", graft.functions.Fns.nsToTimestamp(col("ts")))
       .withWatermark("event_ts", "1 hour")
     val q = Events.hourlyAgg(stream).writeStream
@@ -217,7 +218,8 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       streamDir.resolve("events.parquet"))
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val stream = graft.sources.Tables.normalizeEventTs(
+        spark.readStream.schema(schema).parquet(streamDir.toString))
       .withColumn("event_ts", graft.functions.Fns.nsToTimestamp(col("ts")))
       .withWatermark("event_ts", "1 hour")
     // AvailableNow = the incremental-batch trigger: process everything

@@ -6,6 +6,16 @@ NOT part of the engine (the engine is pure Scala/Spark). Usage:
 Compares each <out>/<name> parquet against DuckDB running
 <out>/oracle_sql.json's SQL over <sf_dir>'s tables: column names
 (sorted), dtypes, row count, and exact values after sorting.
+
+Round-5 hardening (the driver twice flagged hash mismatches this tool
+called green): the driver canonicalizes by FORMATTING values before
+hashing, so identical numbers carried in different logical types hash
+apart — a Spark parquet DECIMAL(18,6) renders '0.123450' while the
+same value through DuckDB's .df() is float 0.12345. Value compare
+cannot see that, so this tool now FAILS any query whose Spark output
+parquet carries a decimal column: the repo discipline is
+"fix precision via decimal, then CAST the final to DOUBLE/BIGINT".
+It also compares float columns bit-exactly (no tolerance) via repr.
 """
 import glob
 import json
@@ -13,6 +23,7 @@ import sys
 
 import duckdb
 import pandas as pd
+import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -37,6 +48,14 @@ def main(outdir: str, sfdir: str) -> int:
             got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
             e, g = norm(exp), norm(got)
             status = []
+            # structural driver-risk gate: no decimal finals
+            for f in files[:1]:
+                for field in pq.read_schema(f):
+                    if "decimal" in str(field.type):
+                        status.append(
+                            f"DRIVER-RISK: output column {field.name} is "
+                            f"{field.type} — decimal finals hash differently "
+                            "in the driver; cast to DOUBLE/BIGINT")
             if list(e.columns) != list(g.columns):
                 status.append(f"cols exp={list(e.columns)} got={list(g.columns)}")
             elif len(e) != len(g):
@@ -45,8 +64,14 @@ def main(outdir: str, sfdir: str) -> int:
                 for c in e.columns:
                     ev, gv = e[c], g[c]
                     if ev.dtype.kind == "f" or gv.dtype.kind == "f":
-                        bad = (ev.astype(float).fillna(-1e308)
-                               != gv.astype(float).fillna(-1e308))
+                        # bit-exact: compare full reprs, not tolerances —
+                        # the driver hashes formatted values, so a 1-ulp
+                        # drift IS a failure
+                        fe = ev.astype(float).map(
+                            lambda x: repr(float(x)) if x == x else "nan")
+                        fg = gv.astype(float).map(
+                            lambda x: repr(float(x)) if x == x else "nan")
+                        bad = fe != fg
                     else:
                         bad = ev.astype(str) != gv.astype(str)
                     if bad.any():
