@@ -237,6 +237,41 @@ object Ann {
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Cache key = corpus dir + content fingerprint (total byte length +
+    * max mtime of the embeddings files). If the data under `dir` is
+    * regenerated within one JVM — exactly the scenario TablesCanarySpec
+    * documents from round 4 — the fingerprint moves and the next call
+    * retrains instead of silently serving an index over the old corpus.
+    */
+  private def ivfCacheKey(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var len = 0L
+    var mtime = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val s = it.next()
+      len += s.getLen
+      mtime = math.max(mtime, s.getModificationTime)
+    }
+    s"$dir|$len|$mtime"
+  }
+
+  /** Recursively delete an index dir at JVM exit (File.deleteOnExit
+    * cannot remove non-empty directories).
+    */
+  private def deleteRecursivelyOnExit(root: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(root)) {
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch {
+            case _: java.io.IOException => ()
+          })
+      }
+    }))
+
   /** C7b: IVF ANN — the learned-centroid variant of the LSH scale path
     * (SURVEY §5). Queries probe their `nprobe` nearest cells and score
     * only those cells' vectors (rows-only: kmeans isn't oracle-SQL).
@@ -245,7 +280,7 @@ object Ann {
     * scheduled job and shared by every query after).
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val idxPath = ivfIndexCache.computeIfAbsent(dir, _ => {
+    val idxPath = ivfIndexCache.computeIfAbsent(ivfCacheKey(spark, dir), _ => {
       // persist the working set across the Lloyd iterations (each round
       // is a separate job; without this every round re-reads + reshuffles
       // the corpus — the standard iterative-training persist pattern)
@@ -254,8 +289,9 @@ object Ann {
         .persist()
       val centroids = try ivfCentroids(e, c = 8, iters = 2)
       finally e.unpersist(blocking = false)
-      val p = java.nio.file.Files.createTempDirectory("graft_ivf")
-        .resolve("index").toString
+      val root = java.nio.file.Files.createTempDirectory("graft_ivf")
+      deleteRecursivelyOnExit(root)
+      val p = root.resolve("index").toString
       saveIvfIndex(spark, centroids, p)
       p
     })

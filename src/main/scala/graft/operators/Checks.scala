@@ -115,10 +115,15 @@ object Checks {
         sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("nu"),
         sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("ne"),
         sum(when(col("ts").isNull, 1L).otherwise(0L)).as("nt"))
-    // A11 + A12 folded over the (tiny) per-key frame
+    // A11 + A12 folded over the (tiny) per-key frame. coalesce: SUM over
+    // zero rows is NULL, and a NULL violation count would make `passed`
+    // NULL and `status` silently fall through to warn/fail — an empty
+    // events table must report 0 violations / pass.
     val evAgg = perKey.agg(
-      sum(when(col("n_rows") > 1, 1L).otherwise(0L)).as("dup_keys"),
-      (sum(col("nu")) + sum(col("ne")) + sum(col("nt"))).as("n_nulls"))
+      coalesce(sum(when(col("n_rows") > 1, 1L).otherwise(0L)), lit(0L))
+        .as("dup_keys"),
+      coalesce(sum(col("nu")) + sum(col("ne")) + sum(col("nt")), lit(0L))
+        .as("n_nulls"))
     // A13 over the same per-key frame's distinct users (exchange reused)
     val orphans = perKey.select(col("user_id")).distinct()
       .join(broadcast(t.customer.select("c_custkey")),
@@ -128,9 +133,29 @@ object Checks {
     // checkAcceptedValues), one orders scan
     val badStatus = t.orders.filter(!col("o_orderstatus").isin("O", "F"))
       .agg(count_distinct(col("o_orderstatus")).as("n_bad"))
-    val rollupNulls = Facts.monthlyRollup(spark, dir)
-      .agg(sum(when(col("revenue_monthly_total").isNull, 1L).otherwise(0L))
-        .as("n_null_rev"))
+    // A12-on-core: rollup groups whose revenue_monthly_total is NULL.
+    // The rollup's total is SUM(ep·(1−d)·(1+tax)) per group, and every
+    // join in the fact build is an inner equi-join — joins can only DROP
+    // rows, never null these inputs. So a group's sum can be NULL only
+    // if some lineitem row has a NULL among (l_extendedprice,
+    // l_discount, l_tax). Prove that set empty with one column-pruned
+    // lineitem scan (cheap at any scale: three columns, partial-agg to a
+    // scalar) and the arm is exactly 0 — the five-join fact build runs
+    // only when a dirty input makes the group structure matter. Same
+    // shape as the high-water-mark scalars used elsewhere: the collected
+    // value is one long, never data-sized.
+    val dirtyInputs = t.lineitem
+      .agg(count(when(col("l_extendedprice").isNull
+        .or(col("l_discount").isNull).or(col("l_tax").isNull), 1)))
+      .collect()(0).getLong(0)
+    val rollupNulls =
+      if (dirtyInputs == 0L)
+        spark.range(1).select(lit(0L).as("n_null_rev"))
+      else
+        Facts.monthlyRollup(spark, dir)
+          .agg(coalesce(
+            sum(when(col("revenue_monthly_total").isNull, 1L).otherwise(0L)),
+            lit(0L)).as("n_null_rev"))
     evAgg.select(shape("unique_events_key", "warn", col("dup_keys")): _*)
       .unionByName(evAgg.select(shape("not_null_events", "warn",
         when(col("n_nulls") > 0, 1L).otherwise(0L)): _*))

