@@ -10,6 +10,14 @@ import graft.core.Graft
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // The driver parses ONE JSON line from stdout. Anything else that
+    // lands there (JVM flags chatter, Spark banners, stray library
+    // printlns) can push the line past the driver's capture window. So:
+    // reroute everything written to System.out during the run to stderr,
+    // and emit the JSON at the end through the real stdout — making the
+    // JSON line the ONLY stdout content this process produces.
+    val realOut = System.out
+    System.setOut(System.err)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString).toInt
@@ -57,7 +65,8 @@ object Bench {
     // The driver parses one JSON line from stdout; sbt's logger can
     // prefix it ([info]) depending on invocation, so ALSO write the line
     // to bench.json in the working directory as the durable contract.
-    println(json)
+    realOut.println(json)
+    realOut.flush()
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
