@@ -18,6 +18,50 @@ object Kernels {
   @inline private def hashUtf8(s: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
 
+  // ---------------------------------------------------------------------
+  // Portable hashing: the signature kernels below (minhash / simhash /
+  // winnow) EXPOSE hash values in query output, so their hash function
+  // is part of the query contract and must be restatable in any engine
+  // the oracle runs on. The portable base is the value of the first 15
+  // hex chars of md5 — 60 bits, non-negative:
+  //   Spark SQL : conv(substring(md5(s), 1, 15), 16, 10)
+  //   DuckDB    : ('0x' || substr(md5(s), 1, 15))::BIGINT
+  // Set-similarity kernels whose hashes never surface (gramHashes)
+  // keep the faster xxh64 path.
+  // ---------------------------------------------------------------------
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Portable 60-bit hash: int(hex(md5(bytes))[0:15], 16). */
+  @inline private def pmd5(bytes: Array[Byte]): Long = {
+    val d = md5Local.get(); d.reset()
+    val h = d.digest(bytes)
+    // hex chars 0..14 = bytes 0..6 + the high nibble of byte 7
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    (v << 4) | ((h(7) & 0xf0L) >>> 4)
+  }
+
+  /** UTF-8 bytes of tokens j..min(j+n,len)-1 joined with ' ' — the gram
+    * STRING both engines hash (byte-identical to md5 over the SQL-side
+    * `array_to_string(tk[i:i+n-1], ' ')`).
+    */
+  @inline private def gramBytes(toks: ArrayData, j: Int, n: Int): Array[Byte] = {
+    val end = math.min(j + n, toks.numElements())
+    val sb = new java.lang.StringBuilder
+    var t = j
+    while (t < end) {
+      if (t > j) sb.append(' ')
+      sb.append(toks.getUTF8String(t).toString)
+      t += 1
+    }
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   /** Cosine similarity of two float32 vectors in double precision,
     * left-to-right accumulation (bit-compatible with the HOF
     * zip_with/aggregate formulation and with engines that fold
@@ -68,10 +112,22 @@ object Kernels {
     h
   }
 
-  /** k-permutation MinHash signature over token n-grams: sig[i] =
-    * min over gram positions of the seed-i chained gram hash. Multiset
-    * vs set of grams is immaterial under min. Single pass, no boxing,
-    * no gram materialization.
+  /** Prime modulus of the portable minhash permutation family: every
+    * sig value lives in [0, 2^31-1), so a_i·base + b_i stays < 2^62 —
+    * no silent wrap in Spark, no overflow trap in engines that error
+    * (DuckDB). */
+  private val MhP = 2147483647L // 2^31 - 1
+
+  @inline private def mhA(i: Int): Long = (1103515245L * (i + 1) + 12345L) % MhP
+  @inline private def mhB(i: Int): Long = (1234567891L * (i + 1) + 987654321L) % MhP
+
+  /** k-permutation MinHash signature over token n-grams: sig[i] = min
+    * over gram positions of h_i(g) = (a_i · (pmd5(g) mod P) + b_i) mod P
+    * — the affine family over the PORTABLE base hash, so an external
+    * oracle can recompute the exact signature from the gram strings
+    * (constants a_i/b_i are the closed-form LCG expressions above,
+    * restated verbatim in SQL). Multiset vs set of grams is immaterial
+    * under min. Single pass, one md5 + k affine steps per gram.
     */
   def minhash(tokens: ArrayData, n: Int, k: Int): ArrayData = {
     val len = tokens.numElements()
@@ -80,9 +136,10 @@ object Kernels {
     java.util.Arrays.fill(sig, Long.MaxValue)
     var j = 0
     while (j < grams) {
+      val base = pmd5(gramBytes(tokens, j, n)) % MhP
       var i = 0
       while (i < k) {
-        val h = gramHash(tokens, j, n, i.toLong)
+        val h = (mhA(i) * base + mhB(i)) % MhP
         if (h < sig(i)) sig(i) = h
         i += 1
       }
@@ -91,17 +148,20 @@ object Kernels {
     new GenericArrayData(sig)
   }
 
-  /** 64-bit SimHash over a token array (Charikar'02): per-bit ±1 votes
-    * from each token's xxh64; sign of the tally sets the bit.
+  /** 60-bit SimHash over a token array (Charikar'02): per-bit ±1 votes
+    * from each token's PORTABLE 60-bit hash; sign of the tally sets
+    * the bit. 60 bits (not 64) because that is the width the portable
+    * md5-prefix base provides — the 4×16-bit-band pigeonhole for
+    * hamming ≤ 3 is unchanged (band 3 carries 12 live bits).
     */
   def simhash64(tokens: ArrayData): Long = {
-    val votes = new Array[Int](64)
+    val votes = new Array[Int](60)
     val n = tokens.numElements()
     var j = 0
     while (j < n) {
-      val h = hashUtf8(tokens.getUTF8String(j), Seed)
+      val h = pmd5(tokens.getUTF8String(j).getBytes)
       var b = 0
-      while (b < 64) {
+      while (b < 60) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
         b += 1
       }
@@ -109,7 +169,7 @@ object Kernels {
     }
     var sig = 0L
     var b = 0
-    while (b < 64) {
+    while (b < 60) {
       if (votes(b) > 0) sig |= (1L << b)
       b += 1
     }
@@ -164,7 +224,8 @@ object Kernels {
   }
 
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03) over token
-    * n-grams: hash each gram (chained, no materialization), take the
+    * n-grams: hash each gram with the PORTABLE 60-bit hash (fingerprints
+    * are query output, so the hash is part of the contract), take the
     * min of every sliding window of `w`, emit the distinct minima in
     * first-seen order. O(len) via a monotonic deque.
     */
@@ -174,7 +235,7 @@ object Kernels {
     if (n == 0) return new GenericArrayData(Array.emptyLongArray)
     val hs = new Array[Long](n)
     var i = 0
-    while (i < n) { hs(i) = gramHash(tokens, i, ngram, Seed); i += 1 }
+    while (i < n) { hs(i) = pmd5(gramBytes(tokens, i, ngram)); i += 1 }
     val win = math.min(w, n)
     val deque = new Array[Int](n)
     var head = 0; var tail = 0 // indices into deque; deque holds positions

@@ -81,12 +81,69 @@ object Corpus {
         (col("start_tok") % seqLen).as("seq_off"))
   }
 
-  /** C37 query face (rows-only: the composition is pinned by spec
-    * invariants, not one SQL statement).
+  /** C37 query face. Oracle: the ENTIRE six-stage composition restated
+    * as one SQL statement — every stage is portable (md5 fingerprints
+    * and span hashes, the closed-form split/shuffle hashes, exclusive
+    * window prefix sum), and the one sketch in the pipeline —
+    * `percentile_approx(q, 0.75, 10000)` — runs in its exact regime at
+    * oracle scale (accuracy ≫ group sizes ⇒ GK keeps every value and
+    * returns the discrete 0.75-quantile element = DuckDB
+    * `quantile_disc`).
     */
   def trainingSet(spark: SparkSession, dir: String): DataFrame =
     buildTrainingSet(Tables(spark, dir).documents
       .select(col("doc_id"), col("text"), col("lang")))
+
+  val trainingSetSql: String =
+    s"""WITH dd AS (
+       |  SELECT doc_id, text, lang,
+       |    row_number() OVER (PARTITION BY md5(lower(trim(text)))
+       |                       ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, text, lang, ${TextAnalysis.compositeScoreSql} AS q
+       |  FROM dd WHERE rn = 1),
+       |thr AS (SELECT lang, quantile_disc(q, 0.75) AS q75 FROM s GROUP BY lang),
+       |sp AS (
+       |  SELECT s.doc_id, s.text, s.lang,
+       |    CASE WHEN (s.doc_id % 100) * 2654435761 % 100 < 90
+       |         THEN 'train' ELSE 'eval' END AS split
+       |  FROM s JOIN thr ON s.lang = thr.lang
+       |  WHERE s.q >= thr.q75),
+       |tok AS (SELECT doc_id, split, string_split(text, ' ') AS tk FROM sp),
+       |spans AS (
+       |  SELECT DISTINCT doc_id, split,
+       |    md5(array_to_string(tk[i+1:i+8], ' ')) AS span_hash
+       |  FROM tok, unnest(range(0, len(tk) - 7)) AS t(i)
+       |  WHERE len(tk) >= 8),
+       |evalspans AS (SELECT DISTINCT span_hash FROM spans WHERE split = 'eval'),
+       |contam AS (
+       |  SELECT t.doc_id
+       |  FROM spans t LEFT JOIN evalspans e ON t.span_hash = e.span_hash
+       |  WHERE t.split = 'train'
+       |  GROUP BY t.doc_id
+       |  HAVING CAST(COUNT(e.span_hash) AS DOUBLE) / COUNT(*) >= 0.5),
+       |train AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    (doc_id % 1000000) * 2654435761 % 1000003 AS shuffle_key
+       |  FROM sp
+       |  WHERE split = 'train'
+       |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+       |idx AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1
+       |         AS BIGINT) AS pos
+       |  FROM train),
+       |ps AS (
+       |  SELECT doc_id, lang, n_tokens, pos,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS start_tok
+       |  FROM idx)
+       |SELECT doc_id, lang, n_tokens, pos, start_tok,
+       |  start_tok // 256 AS seq_id, start_tok % 256 AS seq_off
+       |FROM ps""".stripMargin
 
   /** Wrap-safe multiplicative hash on a bounded domain (same family as
     * TextAnalysis's split bucket, wider range): `doc_id % 1e6` first, so

@@ -53,9 +53,13 @@ object Dedup {
     val sig = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), minhash_sig(split(col("text"), " "), 3, MinhashK).as("sig"))
+    // band key: md5 of the '-'-joined 4-row slice — portable (an
+    // external oracle recomputes the identical key from the same
+    // signature values), still a fixed-width join key on the wire
     val bandStructs = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((4 * b + 1 to 4 * b + 4).map(i => element_at(col("sig"), i)): _*).as("bh"))
+        md5(concat_ws("-", (4 * b + 1 to 4 * b + 4).map(i =>
+          element_at(col("sig"), i).cast("string")): _*)).as("bh"))
     }
     val bands = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
@@ -79,10 +83,58 @@ object Dedup {
       (col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")) >= 0.5).as("is_dup"))
   }
 
-  /** C3: 64-bit SimHash near-dup detection. The signature is built as
-    * 4×16-bit bands (pigeonhole: hamming ≤ 3 over 64 bits ⇒ at least
-    * one of 4 bands identical, so a band-equality join finds ALL such
-    * pairs). Output: per-doc signature bands + near-neighbor count.
+  /** Full-pipeline restatement of C2 for the oracle: the portable
+    * 60-bit md5-prefix base hash, the same affine permutation family
+    * (closed-form LCG constants, mod 2^31-1), the same 8×4 banding via
+    * md5 of the '-'-joined slice, and exact gram-set Jaccard on the
+    * candidates. Signature values, candidate pairs, and verdicts are
+    * all engine-independent by construction.
+    */
+  val minhashLshSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |), grams AS (
+      |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS g
+      |  FROM toks, unnest(range(1, greatest(len(tk) - 1, 2))) AS t(i)
+      |), base AS (
+      |  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483647 AS b
+      |  FROM grams
+      |), seeds AS (
+      |  SELECT CAST(i AS BIGINT) AS i FROM unnest(range(0, 32)) AS s(i)
+      |), sigs AS (
+      |  SELECT doc_id, i,
+      |    MIN((((1103515245 * (i + 1) + 12345) % 2147483647) * b
+      |        + ((1234567891 * (i + 1) + 987654321) % 2147483647)) % 2147483647) AS sig
+      |  FROM base CROSS JOIN seeds GROUP BY doc_id, i
+      |), bands AS (
+      |  SELECT doc_id, i // 4 AS band,
+      |    md5(array_to_string(list(sig ORDER BY i), '-')) AS bh
+      |  FROM sigs GROUP BY doc_id, i // 4
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+      |), inter AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      |  FROM cand c
+      |  JOIN grams x ON x.doc_id = c.doc_a
+      |  JOIN grams y ON y.doc_id = c.doc_b AND y.g = x.g
+      |  GROUP BY 1, 2
+      |)
+      |SELECT c.doc_a, c.doc_b,
+      |  COALESCE(i.n_inter, 0) / (x.n + y.n - COALESCE(i.n_inter, 0)) AS jaccard,
+      |  (COALESCE(i.n_inter, 0) / (x.n + y.n - COALESCE(i.n_inter, 0))) >= 0.5 AS is_dup
+      |FROM cand c
+      |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      |JOIN sizes x ON c.doc_a = x.doc_id
+      |JOIN sizes y ON c.doc_b = y.doc_id""".stripMargin
+
+  /** C3: 60-bit SimHash near-dup detection. The signature is built as
+    * 4×16-bit bands (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 bands
+    * identical, so a band-equality join finds ALL such pairs). Output:
+    * per-doc signature bands + near-neighbor count.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhash(Tables(spark, dir).documents)
@@ -129,6 +181,47 @@ object Dedup {
       .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
         coalesce(col("n_near"), lit(0L)).as("n_near"))
   }
+
+  /** Oracle restatement of C3: same portable per-token hash, same ±1
+    * bit votes over 60 bits, same band slices, pairs, and counts. */
+  val simhashSql: String =
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, t FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      |), th AS (
+      |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok
+      |), bits AS (SELECT CAST(b AS BIGINT) AS b FROM unnest(range(0, 60)) AS r(b)
+      |), votes AS (
+      |  SELECT doc_id, b,
+      |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM th CROSS JOIN bits GROUP BY doc_id, b
+      |), sig AS (
+      |  SELECT doc_id,
+      |    COALESCE(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END), 0) AS s
+      |  FROM votes GROUP BY doc_id
+      |), sb AS (
+      |  SELECT doc_id, (s >> 0) & 65535 AS b0, (s >> 16) & 65535 AS b1,
+      |         (s >> 32) & 65535 AS b2, (s >> 48) & 65535 AS b3
+      |  FROM sig
+      |), eb AS (
+      |  SELECT doc_id, b0, b1, b2, b3, k AS band,
+      |    CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bv
+      |  FROM sb, unnest(range(0, 4)) AS r(k)
+      |), pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+      |    bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS hamming
+      |  FROM eb a JOIN eb b
+      |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+      |), near AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_near FROM (
+      |    SELECT doc_a AS doc_id FROM pairs WHERE hamming <= 3
+      |    UNION ALL SELECT doc_b FROM pairs WHERE hamming <= 3)
+      |  GROUP BY doc_id
+      |)
+      |SELECT s.doc_id, s.b0, s.b1, s.b2, s.b3,
+      |  COALESCE(n.n_near, 0) AS n_near
+      |FROM sb s LEFT JOIN near n ON s.doc_id = n.doc_id""".stripMargin
 
   /** C4: exact word-3-gram Jaccard similarity pairs, blocked by `lang`
     * (the zone analog of blocking) — the oracle-checkable exact
@@ -269,8 +362,9 @@ object Dedup {
     * lineage each round — on a cluster this would be `checkpoint` to
     * durable storage. Driver sees only the per-round change count
     * (a scalar), never data. Output: one row per cluster with its
-    * canonical (min) doc and size. Rows-only check: minhash
-    * signatures aren't oracle-portable.
+    * canonical (min) doc and size. Oracle: the portable-minhash
+    * pipeline (C2's SQL restatement) feeds a recursive-CTE reachability
+    * closure — quadratic in component size, fine at oracle scale.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashLsh(spark, dir).filter(col("is_dup"))
@@ -309,6 +403,61 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"),
         max(col("doc_id")).as("max_doc_id"))
   }
+
+  /** Oracle restatement of C23: C2's portable pipeline down to the
+    * verified is_dup pairs, then connected components as a recursive
+    * reachability closure with min-label canonicalization. */
+  val dedupClustersSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |), grams AS (
+      |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS g
+      |  FROM toks, unnest(range(1, greatest(len(tk) - 1, 2))) AS t(i)
+      |), base AS (
+      |  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483647 AS b
+      |  FROM grams
+      |), seeds AS (
+      |  SELECT CAST(i AS BIGINT) AS i FROM unnest(range(0, 32)) AS s(i)
+      |), sigs AS (
+      |  SELECT doc_id, i,
+      |    MIN((((1103515245 * (i + 1) + 12345) % 2147483647) * b
+      |        + ((1234567891 * (i + 1) + 987654321) % 2147483647)) % 2147483647) AS sig
+      |  FROM base CROSS JOIN seeds GROUP BY doc_id, i
+      |), bands AS (
+      |  SELECT doc_id, i // 4 AS band,
+      |    md5(array_to_string(list(sig ORDER BY i), '-')) AS bh
+      |  FROM sigs GROUP BY doc_id, i // 4
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+      |), inter AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      |  FROM cand c
+      |  JOIN grams x ON x.doc_id = c.doc_a
+      |  JOIN grams y ON y.doc_id = c.doc_b AND y.g = x.g
+      |  GROUP BY 1, 2
+      |), e AS (
+      |  SELECT c.doc_a, c.doc_b
+      |  FROM cand c
+      |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      |  JOIN sizes x ON c.doc_a = x.doc_id
+      |  JOIN sizes y ON c.doc_b = y.doc_id
+      |  WHERE COALESCE(i.n_inter, 0) / (x.n + y.n - COALESCE(i.n_inter, 0)) >= 0.5
+      |), und AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM e
+      |  UNION ALL SELECT doc_b, doc_a FROM e
+      |), nodes AS (SELECT DISTINCT a AS n FROM und
+      |), reach(n, m) AS (
+      |  SELECT n, n FROM nodes
+      |  UNION
+      |  SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a
+      |), lab AS (SELECT n, MIN(m) AS label FROM reach GROUP BY n)
+      |SELECT label AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  MIN(n) AS keep_doc_id, MAX(n) AS max_doc_id
+      |FROM lab GROUP BY label""".stripMargin
 
   /** C44: cluster representative selection — for every exact-dup
     * cluster, keep the HIGHEST-QUALITY member (composite score, C9's

@@ -391,4 +391,36 @@ object Reshape {
       |       * CAST(sx AS DOUBLE))
       |    / CAST(n AS DOUBLE), 6) AS intercept
       |FROM m""".stripMargin
+
+  /** E70: rolling 7-day EXACT median of daily revenue — the
+    * robust-smoothing companion to E28's moving average (median ignores
+    * single-day spikes the mean chases). Daily revenue is a
+    * decimal-exact partial aggregate cast to double ONCE; the frame
+    * median interpolates the middle pair, identically in both engines
+    * over identical doubles. The window partitions by YEAR (frames
+    * reset at year boundaries) so no single-reducer global window
+    * exists at any scale — each year's ~365-row frame evaluates in one
+    * task while years parallelize.
+    */
+  def rollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(spark, dir).lineitem
+      .groupBy(year(col("l_shipdate")).as("yr"),
+        to_date(col("l_shipdate")).as("day"))
+      .agg(sum(dec(col("l_extendedprice"))).cast("double").as("rev"))
+    val w = Window.partitionBy(col("yr")).orderBy(col("day")).rowsBetween(-6, 0)
+    daily.select(col("yr"), col("day"), col("rev"),
+      call_function("percentile", col("rev"), lit(0.5)).over(w).as("med7"))
+  }
+
+  val rollingMedianSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(year(l_shipdate) AS INTEGER) AS yr,
+      |    CAST(l_shipdate AS DATE) AS day,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT yr, day, rev,
+      |  median(rev) OVER (PARTITION BY yr ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+      |FROM daily""".stripMargin
 }

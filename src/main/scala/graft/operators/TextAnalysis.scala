@@ -256,9 +256,11 @@ object TextAnalysis {
       |FROM toks, unnest(range(0, (len(tk) - 1) // 16 + 1)) AS t(i)""".stripMargin
 
   /** C13: winnowing fingerprints (Schleimer et al., SIGMOD'03): hash the
-    * ordered 3-gram sequence, take the min hash of each sliding window
-    * of 8, keep the distinct minima. Map-only via HOFs — no explode, no
-    * shuffle (rows-only: per-engine hash functions differ).
+    * ordered 3-gram sequence with the portable 60-bit md5-prefix hash
+    * ([[graft.functions.Kernels.winnow]]), take the min hash of each
+    * sliding window of 8, keep the distinct minima. Map-only via the
+    * native expression — no explode, no shuffle; the oracle restates
+    * the identical selection with positioned grams + a frame window.
     */
   def winnow(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.NativeExprs.winnow_fps
@@ -268,6 +270,28 @@ object TextAnalysis {
       size(fps).cast("int").as("n_fingerprints"),
       array_min(fps).as("min_fingerprint"))
   }
+
+  /** Oracle restatement of C13: position-indexed gram hashes, an
+    * 8-row sliding-min frame, windows only where the kernel emits one
+    * (ends i ≥ least(#grams, 8)), distinct minima per doc. */
+  val winnowSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |), grams AS (
+      |  SELECT doc_id, i,
+      |    ('0x' || substr(md5(array_to_string(tk[i:i+2], ' ')), 1, 15))::BIGINT AS h
+      |  FROM toks, unnest(range(1, greatest(len(tk) - 1, 2))) AS t(i)
+      |), wins AS (
+      |  SELECT doc_id, i,
+      |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+      |                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS fp,
+      |    count(*) OVER (PARTITION BY doc_id) AS ng
+      |  FROM grams
+      |)
+      |SELECT doc_id, CAST(COUNT(DISTINCT fp) AS INTEGER) AS n_fingerprints,
+      |  MIN(fp) AS min_fingerprint
+      |FROM wins WHERE i >= least(ng, 8)
+      |GROUP BY doc_id""".stripMargin
 
   /** C24: approximate vocabulary via the Misra–Gries heavy-hitters
     * sketch ([[graft.functions.FreqAgg]]) — C16's 100 TB path. The
@@ -937,4 +961,71 @@ object TextAnalysis {
       |SELECT token, cnt, round(CAST(cnt AS DOUBLE) / n, 6) AS share
       |FROM c CROSS JOIN t
       |WHERE cnt * 1000 > n""".stripMargin
+
+  /** C76: aligned-chunk dedup — the grain between C1 (whole document)
+    * and C31 (every sliding 8-token span): hash each FULL 16-token
+    * training chunk at C18's alignment, surface chunks repeated
+    * anywhere in the corpus. This is the pre-training pass that finds
+    * repeated passages (mirrored paragraphs, license blocks) at exactly
+    * the grain the packer will emit, at 1/16th of C31's key volume —
+    * the cheap first screen before the sliding-window pass. The
+    * exchange carries (16-byte hash, doc_id); chunk text never
+    * shuffles; output is bounded by the number of DISTINCT repeated
+    * chunks.
+    */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val tk = split(col("text"), " ")
+    Tables(spark, dir).documents
+      .select(col("doc_id"), tk.as("tk"))
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0), ((size(col("tk")) - 1) / 16).cast("int"))).as("ci"))
+      .filter(size(col("tk")) - col("ci") * 16 >= 16)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("tk"), col("ci") * 16 + 1, lit(16)))).as("chunk_hash"))
+      .groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc_id"))
+      .filter(col("n_occurrences") > 1)
+  }
+
+  val chunkDedupSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |ch AS (
+      |  SELECT doc_id, md5(array_to_string(tk[i*16+1 : i*16+16], ' ')) AS chunk_hash
+      |  FROM toks, unnest(range(0, (len(tk) - 1) // 16 + 1)) AS t(i)
+      |  WHERE len(tk) - i*16 >= 16)
+      |SELECT chunk_hash,
+      |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  MIN(doc_id) AS first_doc_id
+      |FROM ch
+      |GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin
+
+  /** C77: tokenizer fertility — BPE-ish subword tokens per whitespace
+    * word, by language: the standard tokenizer-efficiency diagnostic
+    * (fertility ≫ 1 for a language means the tokenizer fragments it
+    * and its effective context shrinks). Reuses C11's portable token
+    * regex; one partial-agg'd shuffle to |langs| rows.
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("lang"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).as("bpe"),
+        size(split(col("text"), " ")).as("words"))
+      .groupBy(col("lang"))
+      .agg(sum(col("bpe")).cast("long").as("n_bpe_tokens"),
+        sum(col("words")).cast("long").as("n_words"),
+        (sum(col("bpe")).cast("double") / sum(col("words"))).as("fertility"))
+
+  val tokenizerFertilitySql: String =
+    """SELECT lang,
+      |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+      |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS DOUBLE)
+      |    / SUM(len(string_split(text, ' '))) AS fertility
+      |FROM documents
+      |GROUP BY lang""".stripMargin
 }

@@ -31,6 +31,33 @@ object Events {
     p
   }
 
+  /** Stage the events feed into a fresh directory for FileStreamSource
+    * consumption. The feed may be a single parquet FILE (the driver's
+    * testdata) or a parquet DIRECTORY of part files (any Spark-written
+    * table — e.g. the scale-up harness, or a real lakehouse feed). A
+    * bare `Files.copy` of a directory path would create an EMPTY
+    * directory and the stream would silently process zero rows.
+    */
+  private def stageFeed(path: String, prefix: String): java.nio.file.Path = {
+    val feedDir = tempDir(prefix)
+    val src = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(src)) {
+      val it = java.nio.file.Files.list(src).iterator()
+      var i = 0
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getFileName.toString.endsWith(".parquet")) {
+          java.nio.file.Files.copy(f, feedDir.resolve(f"part-$i%05d.parquet"))
+          i += 1
+        }
+      }
+      require(i > 0, s"stageFeed: no parquet part files under $path")
+    } else {
+      java.nio.file.Files.copy(src, feedDir.resolve("events.parquet"))
+    }
+    feedDir
+  }
+
   /** Shared transform: tumbling hourly window aggregate. In streaming
     * mode the caller adds `.withWatermark("event_ts", …)` upstream; the
     * plan (window + partial agg + final agg) is identical.
@@ -235,9 +262,7 @@ object Events {
     val schema = spark.read.parquet(path).schema
     // FileStreamSource consumes a DIRECTORY (the arrival contract:
     // files land, get processed once); stage the feed into one
-    val feedDir = tempDir("graft_feed")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-      feedDir.resolve("events.parquet"))
+    val feedDir = stageFeed(path, "graft_feed")
     val stream = Tables.normalizeEventTs(
         spark.readStream.schema(schema).parquet(feedDir.toString))
       .withColumn("event_ts", nsToTimestamp(col("ts")))
@@ -266,9 +291,7 @@ object Events {
     import org.apache.spark.sql.streaming.Trigger
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
-    val feedDir = tempDir("graft_feed_dedup")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-      feedDir.resolve("events.parquet"))
+    val feedDir = stageFeed(path, "graft_feed_dedup")
     val stream = Tables.normalizeEventTs(
         spark.readStream.schema(schema).parquet(feedDir.toString))
       .withColumn("event_ts", nsToTimestamp(col("ts")))
@@ -300,9 +323,7 @@ object Events {
     import org.apache.spark.sql.streaming.Trigger
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
-    val feedDir = tempDir("graft_feed_enrich")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-      feedDir.resolve("events.parquet"))
+    val feedDir = stageFeed(path, "graft_feed_enrich")
     val stream = spark.readStream.schema(schema).parquet(feedDir.toString)
       .select(col("user_id"), col("value"))
     val dim = Tables(spark, dir).customer
@@ -345,9 +366,7 @@ object Events {
     // ev = the normalized view (ts as ns long) for high-water-mark math.
     val schema = spark.read.parquet(path).schema
     val ev = Tables.normalizeEventTs(spark.read.parquet(path))
-    val feedDir = tempDir("graft_feed_sess")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-      feedDir.resolve("events.parquet"))
+    val feedDir = stageFeed(path, "graft_feed_sess")
     val gapUs = 30L * 60 * 1000000
     val maxUs = ev.agg(max(nsToUs(col("ts")))).collect()(0).getLong(0)
     val sentinelUs = maxUs + 2 * gapUs
@@ -440,9 +459,7 @@ object Events {
     import org.apache.spark.sql.streaming.Trigger
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
-    val feedDir = tempDir("graft_feed_join")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-      feedDir.resolve("events.parquet"))
+    val feedDir = stageFeed(path, "graft_feed_join")
     def feed() = Tables.normalizeEventTs(
         spark.readStream.schema(schema).parquet(feedDir.toString))
       .withColumn("event_ts", nsToTimestamp(col("ts")))

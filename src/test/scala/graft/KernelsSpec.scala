@@ -107,14 +107,38 @@ class KernelsSpec extends AnyFunSuite {
     assert(x.entries.toMap == Map("a" -> 3L, "b" -> 1L, "c" -> 2L))
   }
 
-  test("winnow: window minima are a subset of gram hashes; deterministic") {
+  /** The portable 60-bit hash the signature kernels expose: value of
+    * the first 15 hex chars of md5 — restated here independently so the
+    * spec pins the exact cross-engine contract, not the kernel's own
+    * implementation. */
+  private def pmd5Ref(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  test("winnow: window minima are a subset of the portable gram hashes; deterministic") {
     val toks = Seq("q", "w", "e", "r", "t", "y", "u", "i", "o", "p", "a", "s")
     val fps = Kernels.winnow(arr(toks: _*), 3, 8)
-    val all = Kernels.gramHashes(arr(toks: _*), 3)
-    val allSet = (0 until all.numElements()).map(all.getLong).toSet
+    // expected gram hashes via the independent portable-hash restatement
+    val allSet = toks.sliding(3).map(g => pmd5Ref(g.mkString(" "))).toSet
     assert(fps.numElements() > 0)
     assert((0 until fps.numElements()).forall(i => allSet.contains(fps.getLong(i))))
     // window of 8 over 10 grams -> at most 3 distinct minima
     assert(fps.numElements() <= 3)
+  }
+
+  test("portable hash contract: minhash/simhash derive from the md5-prefix base") {
+    // minhash sig slot i of a single-gram doc is exactly
+    // (a_i * (pmd5(gram) mod P) + b_i) mod P — pin slot 0 end-to-end
+    val P = 2147483647L
+    val base = pmd5Ref("x y z") % P
+    val a0 = (1103515245L * 1 + 12345L) % P
+    val b0 = (1234567891L * 1 + 987654321L) % P
+    val sig = Kernels.minhash(arr("x", "y", "z"), 3, 32)
+    assert(sig.getLong(0) == (a0 * base + b0) % P)
+    // simhash of ONE token is that token's pmd5 restricted to 60 bits
+    val h = Kernels.simhash64(arr("hello"))
+    assert(h == (pmd5Ref("hello") & ((1L << 60) - 1)))
   }
 }

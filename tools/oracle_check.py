@@ -36,9 +36,15 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(outdir: str, sfdir: str) -> int:
     con = duckdb.connect()
+    import os
     for t in TABLES:
+        # driver testdata is one file per table; graft.tools.ScaleUp
+        # writes Spark-style directories of part files — accept both
+        path = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     failed = 0
     for name, sql in sorted(oracle.items()):
