@@ -415,8 +415,15 @@ object Ann {
        |FROM embeddings""".stripMargin
   }
 
-  /** C7: LSH-bucketed ANN — queries only score their own bucket
-    * (rows-only: bucketing hashes aren't oracle-portable).
+  /** C7: LSH-bucketed ANN — queries only score their own bucket. The
+    * hyperplane matrix is a FIXED constant (seed-42, generated once at
+    * class load), so the bucket assignment is oracle-portable after
+    * all: [[annLshSql]] inlines every plane weight as a double literal
+    * and restates each dot product as the identical left-associated
+    * multiply-add chain Kernels.dotF32D runs (float element widened to
+    * double, times a double weight, accumulated left to right) — the
+    * two engines produce bitwise-equal dots, so every sign bit and
+    * bucket id matches.
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
@@ -429,6 +436,41 @@ object Ann {
       .select(col("query_id"), col("vec_id"),
         round(NativeExprs.cosine_f32(col("q_emb"), col("embedding")), 3).as("cosine"))
     rank(scored)
+  }
+
+  /** Oracle restatement of [[annLsh]]. Each plane's dot is spelled as
+    * `e[1]*w1 + e[2]*w2 + …` — SQL's `+` is left-associative, so DuckDB
+    * performs the exact double-add sequence of the Scala kernel loop.
+    * Plane weights are emitted via Double.toString (shortest
+    * round-tripping decimal), which DuckDB parses back to the identical
+    * bit pattern. Bucket = Σ 2^p over planes with dot > 0, matching
+    * Kernels.hyperplaneBucket's `|= (1 << p)`.
+    */
+  lazy val annLshSql: String = {
+    val bucketExpr = hyperplanes.zipWithIndex.map { case (w, p) =>
+      val dot = w.zipWithIndex
+        .map { case (v, j) => s"e[${j + 1}] * ${v.toString}" }
+        .mkString(" + ")
+      s"(CASE WHEN ($dot) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("\n       + ")
+    s"""WITH d AS (
+       |  SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), b AS (
+       |  SELECT vec_id, embedding,
+       |    $bucketExpr AS bucket
+       |  FROM d
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
+       |  FROM b WHERE vec_id < $NQueries
+       |), scored AS (
+       |  SELECT query_id, b.vec_id,
+       |    round(list_cosine_similarity(CAST(q_emb AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 3) AS cosine
+       |  FROM b JOIN q ON b.bucket = q.q_bucket AND b.vec_id != q.query_id
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= $TopK""".stripMargin
   }
 
   /** C67: contrastive hard-negative mining — for each query vector,
