@@ -1549,4 +1549,57 @@ object Mining {
       |  CASE WHEN n_risk = d THEN 0.0
       |    ELSE round(exp(CAST(cum_term AS DOUBLE) / 1e6), 4) END AS s
       |FROM cum""".stripMargin
+
+  /** C78: per-source KL divergence of the token distribution vs the
+    * corpus — the mixture-drift diagnostic behind dataset-card
+    * "distribution shift" panels and re-balancing decisions (C40
+    * reweights sources; this measures how far each one actually sits
+    * from the blend; C62's log-odds terms are the per-token view, this
+    * is the scalar). KL(pₛ‖p) = Σₜ (cₛₜ/Nₛ)·ln(cₛₜ·N / (Nₛ·cₜ)).
+    * Same portability discipline as C33/C58: each (source, token)
+    * log-term is computed once from the same integer counts, 6-dp-fixed
+    * as decimal, weighted by the exact integer cₛₜ and summed in exact
+    * decimal (order-independent under any partitioning); one final
+    * cast + divide per source is the only IEEE step. Shuffles: the
+    * (source, token) partial count and the token marginal — both on
+    * aggregation keys; corpus totals ride in as a 1-row broadcast.
+    */
+  def sourceKl(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val st = toks.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("cst"))
+    val marg = st.groupBy(col("w")).agg(sum(col("cst")).as("ct"))
+    val ns = st.groupBy(col("source")).agg(sum(col("cst")).as("n_s"))
+    val n = marg.agg(sum(col("ct")).as("n_tot"))
+    st.join(marg, "w")
+      .join(ns, "source")
+      .crossJoin(broadcast(n))
+      .withColumn("lnterm",
+        round(log(col("cst").cast("double") * col("n_tot")
+          / (col("n_s").cast("double") * col("ct"))), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        round(sum(col("cst") * col("lnterm")).cast("double")
+          / max(col("n_s")).cast("double"), 6).as("kl"))
+      .select(col("source"), col("n_tokens"), col("kl"))
+  }
+
+  val sourceKlSql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      |st AS (
+      |  SELECT source, w, COUNT(*) AS cst FROM toks GROUP BY 1, 2),
+      |marg AS (SELECT w, CAST(SUM(cst) AS BIGINT) AS ct FROM st GROUP BY 1),
+      |ns AS (SELECT source, CAST(SUM(cst) AS BIGINT) AS n_s FROM st GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS n_tot FROM marg),
+      |terms AS (
+      |  SELECT st.source, st.cst, ns.n_s,
+      |    CAST(round(ln(CAST(st.cst AS DOUBLE) * n_tot
+      |      / (CAST(ns.n_s AS DOUBLE) * marg.ct)), 6) AS DECIMAL(18,6)) AS lnterm
+      |  FROM st JOIN marg USING (w) JOIN ns USING (source) CROSS JOIN tot)
+      |SELECT source, MAX(n_s) AS n_tokens,
+      |  round(CAST(SUM(cst * lnterm) AS DOUBLE) / CAST(MAX(n_s) AS DOUBLE), 6) AS kl
+      |FROM terms GROUP BY 1""".stripMargin
 }

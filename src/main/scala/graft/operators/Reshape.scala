@@ -423,4 +423,177 @@ object Reshape {
       |  median(rev) OVER (PARTITION BY yr ORDER BY day
       |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
       |FROM daily""".stripMargin
+
+  /** One skyline pass: within each `parts` group, keep exactly the
+    * points not strictly dominated (∃ other point with higher price AND
+    * later day) by a groupmate. Grouping to per-price max-day first
+    * makes every preceding window row a STRICTLY higher price, so the
+    * running max over the preceding frame is "latest day among all
+    * strictly-pricier points" — a point survives iff that max doesn't
+    * exceed its own day. The window partitions by `parts`; the per-price
+    * frame is the only sorted state.
+    */
+  private def skylinePass(df: DataFrame, parts: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perPrice = df.groupBy((parts :+ "price").map(col): _*)
+      .agg(max(col("day")).as("maxd"))
+    val w0 =
+      if (parts.isEmpty) Window.orderBy(col("price").desc)
+      else Window.partitionBy(parts.map(col): _*).orderBy(col("price").desc)
+    val prev = perPrice
+      .withColumn("prev_max",
+        max(col("maxd")).over(w0.rowsBetween(Window.unboundedPreceding, -1)))
+      .drop("maxd")
+    df.join(prev, parts :+ "price")
+      .filter(col("prev_max").isNull || col("day") >= col("prev_max"))
+      .drop("prev_max")
+  }
+
+  /** E71: skyline (Pareto frontier) of orders on (totalprice,
+    * orderdate) — "no other order is both pricier and later", the
+    * classic multi-criteria shortlist operator (BÖRZSÖNYI et al.'s
+    * skyline; reference-family warehouses hand-roll it with NOT
+    * EXISTS). NOT EXISTS is a quadratic self-join; this is the
+    * distributive formulation: dominance is transitive, so a point
+    * dominated inside ANY subset is dominated globally — phase 1 runs
+    * [[skylinePass]] per hash bucket (32 parallel frames, no global
+    * sort touches the full table), and only the surviving sliver — the
+    * union of local skylines, a superset of the answer — enters the
+    * phase-2 global pass, whose single-reducer window sees O(skyline)
+    * rows, not O(orders). At 1000 executors the bucket count rises with
+    * the cluster; the full-table state stays partitioned.
+    */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables(spark, dir).orders.select(
+      col("o_orderkey"),
+      col("o_totalprice").as("price"),
+      to_date(col("o_orderdate")).as("day"))
+    val local = skylinePass(
+      pts.withColumn("b", pmod(hash(col("o_orderkey")), lit(32))), Seq("b"))
+      .drop("b")
+    skylinePass(local, Nil)
+      .select(col("o_orderkey"), col("price"), col("day"))
+  }
+
+  val skylineSql: String =
+    """WITH p AS (
+      |  SELECT o_orderkey, o_totalprice AS price, CAST(o_orderdate AS DATE) AS day
+      |  FROM orders)
+      |SELECT o_orderkey, price, day FROM p o
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p d WHERE d.price > o.price AND d.day > o.day)""".stripMargin
+
+  /** E72: exponentially-weighted moving average of daily revenue
+    * (half-life smoothing, the trend signal ops dashboards pair with
+    * E28's flat mean and E70's median). The kernel is EXACT decimal
+    * arithmetic end to end: weights 0.9^lag for lag 0..6 are finite
+    * 6-dp decimals inlined as literals (no engine pow(), whose libm
+    * ulp could differ), daily revenue is the decimal partial aggregate,
+    * and each day RECEIVES its 7-day history through an equi-join on
+    * the generated (day − lag) key — no range join, no global window;
+    * the only shuffles are the daily aggregate and the |days|×7 join.
+    * One cast and one divide at the end are the only IEEE steps.
+    */
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).lineitem
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(dec(col("l_extendedprice"))).as("rev"))
+    val weights = (0 to 6).map(l =>
+      lit(BigDecimal("0.9").pow(l).setScale(6).bigDecimal))
+    val targets = daily.select(col("day").as("t_day"))
+      .withColumn("lag", explode(sequence(lit(0), lit(6))))
+      .withColumn("w", element_at(array(weights: _*), col("lag") + 1))
+    targets
+      .join(daily, date_sub(col("t_day"), col("lag")) === col("day"))
+      .groupBy(col("t_day").as("day"))
+      .agg(
+        max(when(col("lag") === 0, col("rev"))).cast("double").as("rev"),
+        round(sum(col("w") * col("rev")).cast("double")
+          / sum(col("w")).cast("double"), 4).as("ewma7"))
+  }
+
+  val ewmaSql: String = {
+    val ws = (0 to 6).map(l =>
+      s"($l, CAST(${BigDecimal("0.9").pow(l).setScale(6)} AS DECIMAL(12,6)))")
+      .mkString(", ")
+    s"""WITH daily AS (
+       |  SELECT CAST(l_shipdate AS DATE) AS day,
+       |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+       |  FROM lineitem GROUP BY 1),
+       |lags(lag, w) AS (VALUES $ws)
+       |SELECT t.day AS day,
+       |  CAST(MAX(CASE WHEN lag = 0 THEN d.rev END) AS DOUBLE) AS rev,
+       |  round(CAST(SUM(w * d.rev) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 4) AS ewma7
+       |FROM daily t JOIN lags ON TRUE
+       |JOIN daily d ON d.day = t.day - lag
+       |GROUP BY 1""".stripMargin
+  }
+
+  /** E73: hour-of-week anomaly screen over the events stream — each
+    * (day, hour) cell's count against its (weekday, hour) seasonal
+    * baseline, scored LEAVE-ONE-OUT (the cell is excluded from its own
+    * mean/variance: a within-sample z is mathematically bounded by
+    * (n−1)/√n — at four weeks of history no spike could ever exceed
+    * 1.8 — while the LOO z is the unbounded "how far off the OTHER
+    * weeks' same hour" detector). The top-20 most anomalous cells are
+    * reported. Every moment is an exact integer sum (n, Σx, Σx² of
+    * BIGINT counts), so mean/sd/z are the same IEEE expression over
+    * identical operands in both engines — no stddev builtin (whose
+    * accumulation order is engine-private) touches the data; the
+    * top-20 order is decided on the bit-identical unrounded score with
+    * a (day, hh) tiebreak. Two aggregations, both on grouping keys;
+    * the 168-row baseline broadcasts back.
+    */
+  def hourlyAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(nsToTimestamp(col("ts")).as("t"))
+    val hourly = ev.groupBy(
+        to_date(col("t")).as("day"),
+        (dayofweek(col("t")) - 1).as("dow"),
+        hour(col("t")).as("hh"))
+      .agg(count(lit(1)).as("cnt"))
+    val base = hourly.groupBy("dow", "hh")
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("sx"),
+        sum(col("cnt") * col("cnt")).as("sxx"))
+      .filter(col("n") >= 3)
+    val m = (col("sx") - col("cnt")).cast("double") / (col("n") - 1)
+    val v = ((col("sxx") - col("cnt") * col("cnt")).cast("double")
+      - (col("n") - 1) * col("m") * col("m")) / (col("n") - 2)
+    hourly.join(broadcast(base), Seq("dow", "hh"))
+      .withColumn("m", m)
+      .withColumn("v", v)
+      .filter(col("v") > 0)
+      .withColumn("z", (col("cnt") - col("m")) / sqrt(col("v")))
+      .orderBy(abs(col("z")).desc, col("day"), col("hh"))
+      .limit(20)
+      .select(col("day"), col("dow"), col("hh"), col("cnt"),
+        round(col("z"), 4).as("z"))
+  }
+
+  val hourlyAnomalySql: String =
+    """WITH hourly AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(dayofweek(ts) AS INTEGER) AS dow,
+      |    CAST(hour(ts) AS INTEGER) AS hh,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2, 3),
+      |base AS (
+      |  SELECT dow, hh, COUNT(*) AS n,
+      |    CAST(SUM(cnt) AS BIGINT) AS sx,
+      |    CAST(SUM(cnt * cnt) AS BIGINT) AS sxx
+      |  FROM hourly GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 3),
+      |loo AS (
+      |  SELECT day, dow, hh, cnt,
+      |    CAST(sx - cnt AS DOUBLE) / (n - 1) AS m,
+      |    (CAST(sxx - cnt * cnt AS DOUBLE)
+      |      - (n - 1) * (CAST(sx - cnt AS DOUBLE) / (n - 1))
+      |        * (CAST(sx - cnt AS DOUBLE) / (n - 1))) / (n - 2) AS v
+      |  FROM hourly JOIN base USING (dow, hh)),
+      |scored AS (
+      |  SELECT day, dow, hh, cnt, (cnt - m) / sqrt(v) AS z
+      |  FROM loo WHERE v > 0
+      |  ORDER BY abs((cnt - m) / sqrt(v)) DESC, day, hh
+      |  LIMIT 20)
+      |SELECT day, dow, hh, cnt, round(z, 4) AS z FROM scored""".stripMargin
 }

@@ -581,4 +581,19 @@ class MiningSpec extends AnyFunSuite {
     assert(stream.except(batch).count() == 0)
     assert(batch.except(stream).count() == 0)
   }
+
+  test("q_source_kl: nonnegative divergence and token masses add up") {
+    val rows = run("q_source_kl").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // Gibbs' inequality: KL >= 0 exactly; 6dp-fixed log terms can dip a
+    // whisker below zero, never more than the rounding budget
+    rows.foreach { case (src, n, kl) =>
+      assert(kl > -1e-4, s"$src: kl $kl negative beyond rounding")
+      assert(n > 0)
+    }
+    val total = graft.sources.Tables(spark, dir).documents
+      .select(explode(split(col("text"), " ")).as("w")).count()
+    assert(rows.map(_._2).sum == total)
+  }
 }

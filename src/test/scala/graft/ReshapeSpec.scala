@@ -315,4 +315,58 @@ class ReshapeSpec extends AnyFunSuite {
       assert(lo >= (1L << (b - 1)) && hi < (1L << b), s"bucket $b [$lo,$hi]")
     }
   }
+
+  test("q_skyline: equals the brute-force strict-dominance frontier") {
+    val t = graft.sources.Tables(spark, dir)
+    val pts = t.orders
+      .select(col("o_orderkey"), col("o_totalprice"), to_date(col("o_orderdate")))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDate(2).toLocalDate))
+    val brute = pts.filter { case (_, p, d) =>
+      !pts.exists { case (_, p2, d2) => p2 > p && d2.isAfter(d) }
+    }.map(_._1).toSet
+    val got = Reshape.skyline(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(got == brute && got.nonEmpty)
+  }
+
+  test("q_ewma: first day equals its own revenue; every day stays inside its window hull") {
+    val rows = Reshape.ewma(spark, dir)
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getDouble(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val (d0, rev0, ewma0) = rows.head
+    // no history exists before the first day: the weighted mean is the day itself
+    assert(math.abs(ewma0 - rev0) < 1e-3, s"$d0: $ewma0 vs $rev0")
+    // a normalized weighted mean can never leave [min, max] of its window
+    val byDay = rows.map(r => r._1 -> r._2).toMap
+    rows.foreach { case (d, _, e) =>
+      val window = (0 to 6).flatMap(l => byDay.get(d.minusDays(l.toLong)))
+      assert(e >= window.min - 1e-3 && e <= window.max + 1e-3, s"$d: $e not in $window")
+    }
+  }
+
+  test("q_hourly_anomaly: top-20 by |z|, and a cell's LOO z recomputes by hand") {
+    val rows = Reshape.hourlyAnomaly(spark, dir).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    rows.foreach(r => assert(!r.getDouble(4).isNaN && !r.getDouble(4).isInfinite))
+    // recompute the top cell's z from the raw hourly counts
+    val t = graft.sources.Tables(spark, dir)
+    val hourly = t.events
+      .select(graft.functions.Fns.nsToTimestamp(col("ts")).as("tt"))
+      .groupBy(to_date(col("tt")).as("day"),
+        (dayofweek(col("tt")) - 1).as("dow"), hour(col("tt")).as("hh"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getInt(2), r.getLong(3)))
+    val top = Reshape.hourlyAnomaly(spark, dir).collect().head
+    val (day, dow, hh, cnt) =
+      (top.getDate(0).toString, top.getInt(1), top.getInt(2), top.getLong(3))
+    val peers = hourly.filter(c => c._2 == dow && c._3 == hh).map(_._4)
+    val others = peers.sum - cnt
+    val n = peers.length
+    val m = others.toDouble / (n - 1)
+    val v = (peers.map(x => x * x).sum - cnt * cnt - (n - 1) * m * m) / (n - 2)
+    val z = (cnt - m) / math.sqrt(v)
+    assert(math.abs(top.getDouble(4) - z) < 1e-3, s"z ${top.getDouble(4)} vs $z")
+  }
 }
