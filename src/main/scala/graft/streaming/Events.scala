@@ -580,4 +580,47 @@ object Events {
           .when(col("base_bal").isNull, lit("inserted"))
           .otherwise(lit("updated")).as("cdc_action"))
   }
+
+  /** D13: streaming cardinality — distinct users per event type over an
+    * unbounded stream. Exact COUNT(DISTINCT) is impossible in streaming
+    * (unbounded state, and Spark rejects it); the scale contract is the
+    * mergeable HLL++ sketch (`approx_count_distinct`, rsd 2%): state per
+    * group is O(sketch), micro-batches merge partials, and the same plan
+    * serves a 100 TB/day feed. The sketch value is engine-private, so —
+    * E8b's discipline — the face emits the batch-exact companion plus an
+    * in-plan 5% error claim the oracle states as TRUE; the claim is a
+    * deterministic function of this feed, oracle-checked at every scale.
+    */
+  def qStreamUniques(spark: SparkSession, dir: String): DataFrame = withConf(
+      spark, "spark.sql.shuffle.partitions", "8") {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val feedDir = stageFeed(path, "graft_feed_uniques")
+    val stream = spark.readStream.schema(schema).parquet(feedDir.toString)
+      .select(col("event_type"), col("user_id"))
+    val agg = stream.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
+    val q = agg.writeStream
+      .outputMode("complete").format("memory")
+      .queryName("q_stream_uniques_sink")
+      .trigger(Trigger.AvailableNow()).start()
+    try require(q.awaitTermination(300000),
+      "AvailableNow run did not self-terminate")
+    finally if (q.isActive) q.stop()
+    val approx = spark.table("q_stream_uniques_sink")
+    val exact = Tables(spark, dir).events
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+    exact.join(approx, "event_type")
+      .select(col("event_type"), col("n_users"),
+        (abs(col("n_approx") - col("n_users"))
+          <= col("n_users").cast("double") * 0.05).as("approx_ok"))
+  }
+
+  val qStreamUniquesSql: String =
+    """SELECT event_type,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  TRUE AS approx_ok
+      |FROM events GROUP BY 1""".stripMargin
 }

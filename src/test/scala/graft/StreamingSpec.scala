@@ -293,4 +293,19 @@ class StreamingSpec extends AnyFunSuite {
     // 4 files lands on exactly the single-pass batch merge
     assert(streamed == batch)
   }
+
+  test("qStreamUniques: HLL state over the stream lands within the claimed 5%") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.streaming.Events.qStreamUniques(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    // the in-plan error claim the oracle states as TRUE must hold here too
+    rows.foreach { case (et, n, ok) => assert(ok, s"$et: approx off >5% of $n") }
+    // exact companion really is the batch COUNT(DISTINCT)
+    val exact = graft.sources.Tables(spark, dir).events
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (et, n, _) => assert(exact(et) == n) }
+  }
 }
