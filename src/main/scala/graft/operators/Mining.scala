@@ -1550,6 +1550,81 @@ object Mining {
       |    ELSE round(exp(CAST(cum_term AS DOUBLE) / 1e6), 4) END AS s
       |FROM cum""".stripMargin
 
+  /** E74: association rules over order baskets — the frequent-itemset
+    * classic E49's raw co-counts feed: every directed rule a→b with
+    * support ≥ 3 distinct orders (co-occurrence is Poisson-sparse in a
+    * pair space that grows |parts|² — a high fixed floor empties at
+    * scale; the top-20 lift cut is what bounds the output), its confidence c(ab)/c(a) and lift
+    * N·c(ab)/(c(a)·c(b)), top-20 by lift (the rules a recommender
+    * actually ships). Baskets are DISTINCT (ok, pk) first — a repeated
+    * part inside one order is one basket membership, the textbook
+    * support semantics — then the pair multiset comes from E49's
+    * map-side native pair kernel over each bounded basket: one
+    * (orderkey) exchange, never a lineitem self-join. Item counts are
+    * one groupBy; the order total rides in as a 1-row broadcast.
+    * Confidence/lift are single IEEE expressions over exact BIGINT
+    * counts (left-assoc double chains, identical both engines); the
+    * top-20 order is decided on the bit-identical unrounded lift with
+    * a (part, other) tiebreak.
+    */
+  def assocRules(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val counts = basketPairs(li)
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 3)
+    val directed = counts
+      .select(col("p1").as("part"), col("p2").as("other"), col("cab"))
+      .unionAll(counts
+        .select(col("p2").as("part"), col("p1").as("other"), col("cab")))
+    val item = li.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    val nOrders = li.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    directed
+      .join(item.select(col("pk").as("part"), col("c").as("ca")), "part")
+      .join(item.select(col("pk").as("other"), col("c").as("cb")), "other")
+      .crossJoin(broadcast(nOrders))
+      .withColumn("confidence",
+        col("cab").cast("double") / col("ca"))
+      .withColumn("lift",
+        col("cab").cast("double") * col("n_orders")
+          / (col("ca").cast("double") * col("cb")))
+      .orderBy(col("lift").desc, col("part"), col("other"))
+      .limit(20)
+      .select(col("part"), col("other"), col("cab"), col("ca"), col("cb"),
+        round(col("confidence"), 6).as("confidence"),
+        round(col("lift"), 6).as("lift"))
+  }
+
+  val assocRulesSql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |pairs AS (
+      |  SELECT a.pk AS p1, b.pk AS p2
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |c AS (
+      |  SELECT p1, p2, COUNT(*) AS cab FROM pairs GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 3),
+      |d AS (
+      |  SELECT p1 AS part, p2 AS other, cab FROM c
+      |  UNION ALL
+      |  SELECT p2 AS part, p1 AS other, cab FROM c),
+      |item AS (SELECT pk, COUNT(*) AS c FROM li GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM li),
+      |scored AS (
+      |  SELECT part, other, cab, ia.c AS ca, ib.c AS cb,
+      |    CAST(cab AS DOUBLE) / ia.c AS confidence,
+      |    CAST(cab AS DOUBLE) * n_orders / (CAST(ia.c AS DOUBLE) * ib.c) AS lift
+      |  FROM d JOIN item ia ON d.part = ia.pk
+      |         JOIN item ib ON d.other = ib.pk
+      |         CROSS JOIN tot
+      |  ORDER BY lift DESC, part, other
+      |  LIMIT 20)
+      |SELECT part, other, cab, ca, cb,
+      |  round(confidence, 6) AS confidence, round(lift, 6) AS lift
+      |FROM scored""".stripMargin
+
   /** C78: per-source KL divergence of the token distribution vs the
     * corpus — the mixture-drift diagnostic behind dataset-card
     * "distribution shift" panels and re-balancing decisions (C40

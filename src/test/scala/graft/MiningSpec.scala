@@ -596,4 +596,26 @@ class MiningSpec extends AnyFunSuite {
       .select(explode(split(col("text"), " ")).as("w")).count()
     assert(rows.map(_._2).sum == total)
   }
+
+  test("q_assoc_rules: confidence and lift recompute from raw basket counts") {
+    val rows = run("q_assoc_rules").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val t = graft.sources.Tables(spark, dir)
+    val li = t.lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = li.map(_._1).distinct.length
+    val itemCnt = li.groupBy(_._2).view.mapValues(_.length).toMap
+    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { r =>
+      val (a, b, cab, ca, cb) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val cabRef = byOrder.valuesIterator.count(s => s(a) && s(b))
+      assert(cab == cabRef && ca == itemCnt(a) && cb == itemCnt(b))
+      assert(math.abs(r.getDouble(5) - cab.toDouble / ca) < 1e-5)
+      assert(math.abs(r.getDouble(6)
+        - cab.toDouble * nOrders / (ca.toDouble * cb)) < 1e-4)
+      // a shipped rule must beat independence
+      assert(r.getDouble(6) > 1.0)
+    }
+  }
 }
