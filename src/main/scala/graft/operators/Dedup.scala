@@ -131,6 +131,71 @@ object Dedup {
       |JOIN sizes x ON c.doc_a = x.doc_id
       |JOIN sizes y ON c.doc_b = y.doc_id""".stripMargin
 
+  /** C79: LSH quality audit — C2's banding measured against the exact
+    * ≥0.5-Jaccard ground truth (the evaluation every production LSH
+    * deployment runs before trusting its dedup: banding is
+    * probabilistic, the 8×4 s-curve MISSES true pairs whose bands all
+    * differ). Truth = the exact inverted-index join (C4's shape, no
+    * lang blocking — a ≥0.5 pair must share grams, so the posting join
+    * finds every one); every verified candidate dup is truth∩candidates
+    * by construction (the verify step computes the same exact Jaccard
+    * on the same gram sets), so recall = n_dup/n_truth and candidate
+    * precision = n_dup/n_cand need no pair-level join. One audit row;
+    * counts exact, the two ratios single IEEE divides.
+    */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val sh = tokenized(docs)
+      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    val truth = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id"), col("b.doc_id"))
+      .agg(count(lit(1)).as("n_inter"), min(col("a.n")).as("n_a"),
+        min(col("b.n")).as("n_b"))
+      .filter(col("n_inter").cast("double")
+        / (col("n_a") + col("n_b") - col("n_inter")) >= 0.5)
+      .agg(count(lit(1)).as("n_truth"))
+    val cand = minhashLsh(docs).agg(
+      count(lit(1)).as("n_cand"),
+      sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+    truth.crossJoin(broadcast(cand))
+      .select(col("n_truth"), col("n_cand"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_truth"), 6).as("recall"),
+        round(col("n_dup").cast("double") / col("n_cand"), 6).as("candidate_precision"))
+  }
+
+  /** Oracle: the exact truth count re-derived from gram STRINGS (set
+    * semantics ≡ the 64-bit gram hashes up to ~2⁻⁶⁴ collisions) and the
+    * candidate/verdict counts from C2's full portable restatement
+    * nested as a derived table.
+    */
+  lazy val lshRecallSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+       |  FROM toks, unnest(range(1, greatest(len(tk) - 1, 2))) AS t(i)
+       |), sizes AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), truth AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_truth
+       |  FROM inter i JOIN sizes x ON i.doc_a = x.doc_id
+       |               JOIN sizes y ON i.doc_b = y.doc_id
+       |  WHERE CAST(i.n_inter AS DOUBLE) / (x.n + y.n - i.n_inter) >= 0.5
+       |), cand AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cand,
+       |    CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |  FROM (${minhashLshSql.replace("\n", "\n       |  ")})
+       |)
+       |SELECT n_truth, n_cand, n_dup,
+       |  round(CAST(n_dup AS DOUBLE) / n_truth, 6) AS recall,
+       |  round(CAST(n_dup AS DOUBLE) / n_cand, 6) AS candidate_precision
+       |FROM truth CROSS JOIN cand""".stripMargin
+
   /** C3: 60-bit SimHash near-dup detection. The signature is built as
     * 4×16-bit bands (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 bands
     * identical, so a band-equality join finds ALL such pairs). Output:

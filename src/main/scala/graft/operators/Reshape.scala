@@ -529,6 +529,89 @@ object Reshape {
        |GROUP BY 1""".stripMargin
   }
 
+  /** E75: Bollinger bands over daily revenue — 7-day moving mean ±2σ
+    * with breach flags (the volatility envelope ops charts pair with
+    * E28/E70/E72). No engine stddev builtin touches the data (its
+    * accumulation order is engine-private): the frame carries EXACT
+    * decimal Σx and Σx² window sums, cast once, and mean/σ/bands are
+    * one shared IEEE expression — `greatest(·,0)` guards the
+    * cancellation-induced tiny negative variance identically in both
+    * engines. Frames partition by YEAR (E70's discipline): no global
+    * single-reducer window at any scale.
+    */
+  def bollinger(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // rev is PINNED to DECIMAL(19,2): an unbounded sum type would make
+    // rev*rev exceed precision 38 in DuckDB (which then falls back to
+    // DOUBLE and its order-dependent summation) while Spark stays
+    // exact decimal — the 1-ulp sxx divergence that flips a band digit.
+    // 19, not 18: DuckDB multiplies in the OPERAND's physical width, so
+    // 19+19=38 forces the exact int128 kernel (18,2 squared overflows
+    // its int64 kernel outright on 1e9-cent days)
+    val daily = Tables(spark, dir).lineitem
+      .groupBy(year(col("l_shipdate")).as("yr"),
+        to_date(col("l_shipdate")).as("day"))
+      .agg(sum(dec(col("l_extendedprice"))).cast("decimal(19,2)").as("rev"))
+    val f = Window.partitionBy(col("yr")).orderBy(col("day")).rowsBetween(-6, 0)
+    // sxx's scaled integer exceeds 2^53, and DuckDB casts decimal to
+    // double as (int128 -> double) / 10^scale — TWO roundings, one ulp
+    // off the correctly-rounded value Spark's BigDecimal cast returns.
+    // Split-cast is the portable idiom: floor(sxx) is exactly double-
+    // representable (< 2^53 at any plausible revenue), the fraction is
+    // < 1, and the one IEEE add is the same two operands in both
+    // engines.
+    val sxxDec = sum(col("rev") * col("rev")).over(f)
+    val base = daily.select(col("yr"), col("day"),
+      col("rev").cast("double").as("rev"),
+      count(lit(1)).over(f).as("n"),
+      sum(col("rev")).over(f).cast("double").as("sx"),
+      (floor(sxxDec).cast("double")
+        + (sxxDec - floor(sxxDec)).cast("double")).as("sxx"))
+      .filter(col("n") >= 2)
+    val m = col("sx") / col("n")
+    val sd = sqrt(greatest((col("sxx") - col("sx") * col("sx") / col("n"))
+      / (col("n") - 1), lit(0.0)))
+    // engine round() disagrees at decimal boundaries on 1e7-magnitude
+    // doubles (HALF_UP over the exact binary expansion vs scaled
+    // nearbyint); floor(x*1e4 + 0.5)/1e4 is the same IEEE op sequence
+    // in both engines — bit-identical, the embedQuantize idiom
+    def r4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000
+    base
+      .withColumn("m", m).withColumn("sd", sd)
+      .select(col("day"), col("rev"),
+        r4(col("m")).as("ma7"),
+        r4(col("m") + col("sd") * 2).as("upper"),
+        r4(col("m") - col("sd") * 2).as("lower"),
+        (col("rev") > col("m") + col("sd") * 2
+          || col("rev") < col("m") - col("sd") * 2).as("breach"))
+  }
+
+  val bollingerSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(year(l_shipdate) AS INTEGER) AS yr,
+      |    CAST(l_shipdate AS DATE) AS day,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS rev
+      |  FROM lineitem GROUP BY 1, 2),
+      |base AS (
+      |  SELECT yr, day, CAST(rev AS DOUBLE) AS rev,
+      |    CAST(COUNT(*) OVER f AS BIGINT) AS n,
+      |    CAST(SUM(rev) OVER f AS DOUBLE) AS sx,
+      |    CAST(floor(SUM(rev * rev) OVER f) AS DOUBLE)
+      |      + CAST(SUM(rev * rev) OVER f - floor(SUM(rev * rev) OVER f) AS DOUBLE) AS sxx
+      |  FROM daily
+      |  WINDOW f AS (PARTITION BY yr ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+      |scored AS (
+      |  SELECT day, rev, sx / n AS m,
+      |    sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0.0)) AS sd
+      |  FROM base WHERE n >= 2)
+      |SELECT day, rev,
+      |  floor(m * 10000 + 0.5) / 10000 AS ma7,
+      |  floor((m + 2 * sd) * 10000 + 0.5) / 10000 AS upper,
+      |  floor((m - 2 * sd) * 10000 + 0.5) / 10000 AS lower,
+      |  (rev > m + 2 * sd OR rev < m - 2 * sd) AS breach
+      |FROM scored""".stripMargin
+
   /** E73: hour-of-week anomaly screen over the events stream — each
     * (day, hour) cell's count against its (weekday, hour) seasonal
     * baseline, scored LEAVE-ONE-OUT (the cell is excluded from its own

@@ -618,4 +618,15 @@ class MiningSpec extends AnyFunSuite {
       assert(r.getDouble(6) > 1.0)
     }
   }
+
+  test("q_lsh_recall: verified dups are truth-intersect-candidates, ratios consistent") {
+    val r = graft.operators.Dedup.lshRecall(spark, dir).collect()(0)
+    val (nTruth, nCand, nDup) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // every verified dup IS a true >=0.5 pair and a candidate
+    assert(nDup <= nTruth && nDup <= nCand)
+    assert(nTruth > 0 && nCand > 0)
+    assert(math.abs(r.getDouble(3) - nDup.toDouble / nTruth) < 1e-5)
+    assert(math.abs(r.getDouble(4) - nDup.toDouble / nCand) < 1e-5)
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
 }

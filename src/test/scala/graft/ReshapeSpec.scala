@@ -369,4 +369,33 @@ class ReshapeSpec extends AnyFunSuite {
     val z = (cnt - m) / math.sqrt(v)
     assert(math.abs(top.getDouble(4) - z) < 1e-3, s"z ${top.getDouble(4)} vs $z")
   }
+
+  test("q_bollinger: bands are symmetric about the mean and recompute by hand") {
+    val rows = Reshape.bollinger(spark, dir).orderBy("day").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ma, up, lo) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(up >= ma && ma >= lo, s"band order $lo $ma $up")
+      // upper - ma == ma - lower up to the 4dp rounding of each side
+      assert(math.abs((up - ma) - (ma - lo)) < 2e-4)
+    }
+    // hand-recompute the last day's band from the trailing 7 daily revenues
+    val t = graft.sources.Tables(spark, dir)
+    val daily = t.lineitem
+      .groupBy(year(col("l_shipdate")).as("yr"), to_date(col("l_shipdate")).as("day"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+      .orderBy("day").collect()
+      .map(r => (r.getInt(0), r.getDate(1).toLocalDate, r.getDecimal(2).doubleValue))
+    val last = rows.last
+    val lastDay = last.getDate(0).toLocalDate
+    val frame = daily.filter { case (yr, d, _) =>
+      yr == lastDay.getYear && !d.isAfter(lastDay) &&
+        !d.isBefore(lastDay.minusDays(6)) }.map(_._3)
+    val n = frame.length
+    val m = frame.sum / n
+    val v = (frame.map(x => x * x).sum - frame.sum * frame.sum / n) / (n - 1)
+    val sd = math.sqrt(math.max(v, 0.0))
+    assert(math.abs(last.getDouble(2) - m) < 1e-2)
+    assert(math.abs(last.getDouble(3) - (m + 2 * sd)) < 1e-2)
+  }
 }
