@@ -62,6 +62,49 @@ object Interop {
       |FROM documents
       |GROUP BY source""".stripMargin
 
+  /** E76: CSV sink + schema-first source round-trip — the third text
+    * boundary (JSONL E32, ORC E52, binary shards C53, z-ordered parquet
+    * E50 are the others): the interchange format seeds, exports, and
+    * legacy feeds still arrive in. CSV is the LOSSIEST boundary — every
+    * value crosses as text — so the face pins the two classic coercion
+    * bugs: doubles are written as shortest round-trip decimal and must
+    * re-parse to the identical bit pattern (the content-sensitive
+    * decimal sum would drift on any formatting loss), and dates cross
+    * as ISO strings under an explicit read schema (no inference pass:
+    * inference is a second full scan at 100 TB; schema-first is the
+    * scale rule, same as the seed loader).
+    */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), to_date(col("o_orderdate")).as("od"))
+    val out = tempDir("graft_csv") + "/orders"
+    o.write.mode("overwrite").option("header", "true").csv(out)
+    val back = spark.read
+      .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE, od DATE")
+      .option("header", "true").csv(out)
+    back.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(graft.functions.Fns.dec(col("o_totalprice"))).cast("double")
+          .as("sum_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        min(col("od")).as("min_day"),
+        max(col("od")).as("max_day"))
+  }
+
+  val csvRoundtripSql: String =
+    """SELECT o_orderstatus,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+      |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+      |  MIN(CAST(o_orderdate AS DATE)) AS min_day,
+      |  MAX(CAST(o_orderdate AS DATE)) AS max_day
+      |FROM orders
+      |GROUP BY 1""".stripMargin
+
   /** E52: ORC sink + source round-trip — the second columnar format a
     * warehouse boundary meets (ORC is the Hive-ecosystem default the
     * way parquet is Spark's). Written with the event-feed's full row,

@@ -629,4 +629,18 @@ class MiningSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(4) - nDup.toDouble / nCand) < 1e-5)
     assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
   }
+
+  test("q_csv_roundtrip: CSV boundary is lossless vs the parquet-direct plan") {
+    val rt = run("q_csv_roundtrip")
+    val direct = graft.sources.Tables(spark, dir).orders
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(graft.functions.Fns.dec(col("o_totalprice"))).cast("double").as("sum_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        min(to_date(col("o_orderdate"))).as("min_day"),
+        max(to_date(col("o_orderdate"))).as("max_day"))
+    assert(rt.except(direct).count() == 0)
+    assert(direct.except(rt).count() == 0)
+  }
 }
