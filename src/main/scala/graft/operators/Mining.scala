@@ -1550,6 +1550,67 @@ object Mining {
       |    ELSE round(exp(CAST(cum_term AS DOUBLE) / 1e6), 4) END AS s
       |FROM cum""".stripMargin
 
+  /** E77: bounded-hop BFS — the neighborhood-expansion primitive under
+    * "related products", fraud-ring probes, and k-hop feature
+    * extraction: distances from the co-purchase graph's top-degree hub
+    * (ties → lowest id) out to 3 hops, reported as a per-distance
+    * census. The hop bound is the SCALE contract: unbounded BFS is an
+    * iterate-to-fixpoint job (E66's shape); a k-hop probe unrolls into
+    * exactly k self-equijoins of the |E|-bounded edge frame with a
+    * distinct-node frontier between hops — no driver loop, no
+    * unbounded state, and the whole plan is statable as SQL (which an
+    * unbounded frontier is not, portably). Frontiers shuffle on node
+    * ids only; min-dist resolves level overlaps in one aggregate.
+    */
+  def bfs(spark: SparkSession, dir: String): DataFrame = {
+    val e = basketEdges(Tables(spark, dir).lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+      .localCheckpoint(true) // referenced by 5 plan branches (degree + 3 hops)
+    val edges = e.select(col("p1").as("u"), col("p2").as("v"))
+      .unionAll(e.select(col("p2").as("u"), col("p1").as("v")))
+    val src = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("u")).limit(1)
+      .select(col("u").as("node"))
+    val levels = Iterator.iterate(src) { frontier =>
+      edges.join(frontier, edges("u") === frontier("node"))
+        .select(col("v").as("node")).distinct()
+    }.take(4).toSeq
+    levels.zipWithIndex
+      .map { case (l, i) => l.select(col("node"), lit(i).as("lvl")) }
+      .reduce(_ unionAll _)
+      .groupBy(col("node")).agg(min(col("lvl")).as("dist"))
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_parts"),
+        min(col("node")).as("min_part"), max(col("node")).as("max_part"))
+  }
+
+  val bfsSql: String =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |pairs AS (
+      |  SELECT a.pk AS p1, b.pk AS p2
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |e AS (SELECT p1, p2 FROM pairs GROUP BY p1, p2 HAVING COUNT(*) >= 2),
+      |edges AS (SELECT p1 AS u, p2 AS v FROM e
+      |          UNION ALL SELECT p2 AS u, p1 AS v FROM e),
+      |src AS (
+      |  SELECT u AS node FROM (
+      |    SELECT u, COUNT(*) AS d FROM edges GROUP BY u
+      |    ORDER BY d DESC, u LIMIT 1)),
+      |l0 AS (SELECT node FROM src),
+      |l1 AS (SELECT DISTINCT v AS node FROM edges JOIN l0 ON edges.u = l0.node),
+      |l2 AS (SELECT DISTINCT v AS node FROM edges JOIN l1 ON edges.u = l1.node),
+      |l3 AS (SELECT DISTINCT v AS node FROM edges JOIN l2 ON edges.u = l2.node),
+      |lv AS (
+      |  SELECT node, 0 AS lvl FROM l0
+      |  UNION ALL SELECT node, 1 FROM l1
+      |  UNION ALL SELECT node, 2 FROM l2
+      |  UNION ALL SELECT node, 3 FROM l3),
+      |d AS (SELECT node, CAST(MIN(lvl) AS INTEGER) AS dist FROM lv GROUP BY node)
+      |SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |  CAST(MIN(node) AS BIGINT) AS min_part,
+      |  CAST(MAX(node) AS BIGINT) AS max_part
+      |FROM d GROUP BY dist""".stripMargin
+
   /** E74: association rules over order baskets — the frequent-itemset
     * classic E49's raw co-counts feed: every directed rule a→b with
     * support ≥ 3 distinct orders (co-occurrence is Poisson-sparse in a

@@ -643,4 +643,17 @@ class MiningSpec extends AnyFunSuite {
     assert(rt.except(direct).count() == 0)
     assert(direct.except(rt).count() == 0)
   }
+
+  test("q_bfs: levels are a proper BFS from the hub (dist 0 is one node, frontiers disjoint)") {
+    val rows = run("q_bfs").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.contains(0) && rows(0)._1 == 1L)
+    // dist 0's single node is both min and max
+    assert(rows(0)._2 == rows(0)._3)
+    // distances form a contiguous prefix of 0..3 (a hop with no new
+    // nodes would make every later hop empty too)
+    val ds = rows.keys.toSeq.sorted
+    assert(ds == (0 until ds.length))
+    assert(ds.forall(d => rows(d)._1 > 0))
+  }
 }
