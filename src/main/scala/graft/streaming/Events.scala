@@ -623,4 +623,35 @@ object Events {
       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
       |  TRUE AS approx_ok
       |FROM events GROUP BY 1""".stripMargin
+
+  /** D14: end-to-end STREAMING sliding windows — D6's trailing-hour
+    * dashboards as an unbounded feed: file-stream source, 1 h/15 min
+    * overlapping windows (each event expands into 4 window structs at
+    * the source, so the shuffle carries (window, type) partials — same
+    * cost class as tumbling ×4), watermarked event time bounding the
+    * window state, run to completion under `Trigger.AvailableNow`.
+    * Complete-mode output over the whole feed is arrival-invariant, so
+    * D6's arithmetic oracle states this result exactly; together with
+    * D7 (tumbling) and D10 (session) every batch windowing face now
+    * has a live streaming twin.
+    */
+  def qStreamSliding(spark: SparkSession, dir: String): DataFrame = withConf(
+      spark, "spark.sql.shuffle.partitions", "8") {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val feedDir = stageFeed(path, "graft_feed_sliding")
+    val stream = Tables.normalizeEventTs(
+        spark.readStream.schema(schema).parquet(feedDir.toString))
+      .withColumn("event_ts", nsToTimestamp(col("ts")))
+      .withWatermark("event_ts", "1 hour")
+    val q = slidingAgg(stream).writeStream
+      .outputMode("complete").format("memory")
+      .queryName("q_stream_sliding_sink")
+      .trigger(Trigger.AvailableNow()).start()
+    try require(q.awaitTermination(300000),
+      "AvailableNow run did not self-terminate")
+    finally if (q.isActive) q.stop()
+    spark.table("q_stream_sliding_sink")
+  }
 }

@@ -308,4 +308,13 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     rows.foreach { case (et, n, _) => assert(exact(et) == n) }
   }
+
+  test("qStreamSliding: streaming overlapping windows equal the batch sliding agg") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.Events.qStreamSliding(spark, dir)
+    val batch = graft.streaming.Events.qSlidingWindow(spark, dir)
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
 }
