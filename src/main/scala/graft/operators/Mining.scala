@@ -1635,10 +1635,16 @@ object Mining {
     val counts = basketPairs(li)
       .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("cab"))
       .filter(col("cab") >= 3)
+    // both rule directions via a map-side explode ABOVE the aggregate —
+    // a unionAll of two selects re-runs the whole basket-collect +
+    // pair-count chain per branch (ReuseExchange does not canonicalize
+    // across the differing projections; observed doubled in the plan)
     val directed = counts
-      .select(col("p1").as("part"), col("p2").as("other"), col("cab"))
-      .unionAll(counts
-        .select(col("p2").as("part"), col("p1").as("other"), col("cab")))
+      .select(explode(array(
+        struct(col("p1").as("part"), col("p2").as("other"), col("cab")),
+        struct(col("p2").as("part"), col("p1").as("other"), col("cab")))).as("e"))
+      .select(col("e.part").as("part"), col("e.other").as("other"),
+        col("e.cab").as("cab"))
     val item = li.groupBy(col("pk")).agg(count(lit(1)).as("c"))
     val nOrders = li.select(col("ok")).distinct()
       .agg(count(lit(1)).as("n_orders"))
