@@ -423,10 +423,17 @@ object Mining {
     val pairs = basketPairs(li)
       .select(col("p1").as("pk"), col("p2").as("pk2"))
     // count each unordered pair once, then emit both directions so
-    // every part ranks its neighbors
+    // every part ranks its neighbors — via a map-side explode ABOVE the
+    // aggregate: a unionAll of two projections re-runs the basket
+    // collect + pair count per branch (ReuseExchange does not
+    // canonicalize across the differing projections)
     val counts = pairs.groupBy(col("pk"), col("pk2")).agg(count(lit(1)).as("n_co"))
-    val directed = counts.select(col("pk").as("part"), col("pk2").as("other"), col("n_co"))
-      .unionAll(counts.select(col("pk2").as("part"), col("pk").as("other"), col("n_co")))
+    val directed = counts
+      .select(explode(array(
+        struct(col("pk").as("part"), col("pk2").as("other"), col("n_co")),
+        struct(col("pk2").as("part"), col("pk").as("other"), col("n_co")))).as("e"))
+      .select(col("e.part").as("part"), col("e.other").as("other"),
+        col("e.n_co").as("n_co"))
     // rank through the bounded-heap TopKAgg: each task ships ≤3
     // (score, other) pairs per part — a row_number window here would
     // exchange the full directed pair-counts frame (measured 2×: the
@@ -896,7 +903,9 @@ object Mining {
   def degreeDist(spark: SparkSession, dir: String): DataFrame = {
     val e = basketEdges(Tables(spark, dir).lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
-    val deg = e.select(col("p1").as("n")).unionAll(e.select(col("p2").as("n")))
+    // both endpoints via a map-side explode — a unionAll of two selects
+    // re-runs the basket-collect + edge aggregate per branch
+    val deg = e.select(explode(array(col("p1"), col("p2"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     deg.groupBy(col("d").as("degree")).agg(count(lit(1)).as("n_parts"))
   }
