@@ -144,6 +144,16 @@ object Checks {
     // only when a dirty input makes the group structure matter. Same
     // shape as the high-water-mark scalars used elsewhere: the collected
     // value is one long, never data-sized.
+    //
+    // Two scoped limits of the proxy, on purpose: (1) it assumes the
+    // fact build keeps its inner-join shape — if factLineitem ever
+    // grows an outer join, this arm must go back to scanning the
+    // rollup (the proof above is the guard to re-check); (2) a decimal
+    // SUM overflow (non-ANSI → NULL) is not covered — at DECIMAL(38,6)
+    // that needs a ~1e30-dollar month-group, 12 orders of magnitude
+    // past a 100 TB year. The scalar collect also means CONSTRUCTING
+    // this frame runs one pruned scan eagerly — accepted: every caller
+    // (driver, bench, tests) executes the summary immediately.
     val dirtyInputs = t.lineitem
       .agg(count(when(col("l_extendedprice").isNull
         .or(col("l_discount").isNull).or(col("l_tax").isNull), 1)))

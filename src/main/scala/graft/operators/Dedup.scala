@@ -440,6 +440,11 @@ object Dedup {
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint(true)
+    // componentsLoop's release discipline (Mining.scala): each round's
+    // eager checkpoint makes the previous round's frame dead — release
+    // it after the changed-count (which still reads the old labels)
+    // instead of pinning every round's |V| frame until JVM exit
+    var prevCkpt = Mining.checkpointRdd(labels)
     var converged = false
     var rounds = 0
     val maxRounds = 50 // propagation needs diameter(graph) rounds
@@ -456,6 +461,8 @@ object Dedup {
         .join(labels.withColumnRenamed("label", "old_label"), "doc_id")
         .filter(col("label") =!= col("old_label")).count()
       labels = updated
+      prevCkpt.foreach(_.unpersist(blocking = false))
+      prevCkpt = Mining.checkpointRdd(updated)
       converged = changed == 0
       rounds += 1
     }
@@ -464,9 +471,15 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"dedupClusters: label propagation did not converge in $maxRounds rounds " +
         "(dup-pair graph has a component with larger diameter)")
-    labels.groupBy(col("label").as("cluster_id"))
+    // the converged labels serve the result; the edge checkpoint is
+    // dead once the (eager, cluster-bounded) census below materializes
+    val out = labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"),
         max(col("doc_id")).as("max_doc_id"))
+      .localCheckpoint(true)
+    Mining.checkpointRdd(edges).foreach(_.unpersist(blocking = false))
+    prevCkpt.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** Oracle restatement of C23: C2's portable pipeline down to the

@@ -1446,7 +1446,7 @@ object Mining {
     * `getPersistentRDDs` set would also sweep up caches pinned
     * concurrently by OTHER queries on the shared context.
     */
-  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+  private[operators] def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.analyzed.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
@@ -1577,6 +1577,15 @@ object Mining {
       .localCheckpoint(true) // referenced by 5 plan branches (degree + 3 hops)
     val edges = e.select(col("p1").as("u"), col("p2").as("v"))
       .unionAll(e.select(col("p2").as("u"), col("p1").as("v")))
+    try bfsFrom(edges)
+    finally
+      // the census below is materialized before we return, so the |E|
+      // checkpoint must not outlive the call — repeated bench runs
+      // would otherwise pin one dead edge copy per invocation
+      checkpointRdd(e).foreach(_.unpersist(blocking = false))
+  }
+
+  private def bfsFrom(edges: DataFrame): DataFrame = {
     val src = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("u")).limit(1)
       .select(col("u").as("node"))
@@ -1591,6 +1600,9 @@ object Mining {
       .groupBy(col("dist"))
       .agg(count(lit(1)).as("n_parts"),
         min(col("node")).as("min_part"), max(col("node")).as("max_part"))
+      // eager, O(hops) rows: cuts the lineage so the caller's frame no
+      // longer references the edge checkpoint being released
+      .localCheckpoint(true)
   }
 
   val bfsSql: String =

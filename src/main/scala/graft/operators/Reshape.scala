@@ -492,24 +492,47 @@ object Reshape {
     * and each day RECEIVES its 7-day history through an equi-join on
     * the generated (day − lag) key — no range join, no global window;
     * the only shuffles are the daily aggregate and the |days|×7 join.
-    * One cast and one divide at the end are the only IEEE steps.
+    * The final cast+divide are the only IEEE steps, via the split-cast
+    * and floor-rounding idioms (see the kernel comment).
     */
   def ewma(spark: SparkSession, dir: String): DataFrame = {
+    // rev pinned to DECIMAL(19,2) (bollinger's discipline): an
+    // unbounded sum type makes w×rev exceed precision 38, where Spark
+    // REDUCES the product scale (rounding the products) while DuckDB
+    // falls back differently — pinned, the product is (27,8), exact in
+    // both engines
     val daily = Tables(spark, dir).lineitem
       .groupBy(to_date(col("l_shipdate")).as("day"))
-      .agg(sum(dec(col("l_extendedprice"))).as("rev"))
+      .agg(sum(dec(col("l_extendedprice"))).cast("decimal(19,2)").as("rev"))
     val weights = (0 to 6).map(l =>
       lit(BigDecimal("0.9").pow(l).setScale(6).bigDecimal))
     val targets = daily.select(col("day").as("t_day"))
       .withColumn("lag", explode(sequence(lit(0), lit(6))))
       .withColumn("w", element_at(array(weights: _*), col("lag") + 1))
+    // num is DECIMAL scale 8 whose scaled integer exceeds 2^53 at
+    // realistic revenue — DuckDB's decimal→double cast double-rounds
+    // there (int128→double, then ÷10^scale), one ulp off Spark's
+    // correctly-rounded BigDecimal cast. Split-cast (exact floor +
+    // fraction, one shared add) and floor-based rounding are the same
+    // portable idioms bollinger uses below. den (≤7 weights, scale 6)
+    // and the daily rev (scale 2, ≤1e13 scaled) stay under 2^53 and
+    // cast directly.
+    // the sum is narrowed to (26,8) BEFORE the split: on a (38,8) the
+    // subtraction's result type overflows precision 38 and Spark then
+    // trims the scale to its 6-digit minimum, silently rounding the
+    // fraction (observed: .25049837 -> .2504984, a 32-ulp numd shift);
+    // at (26,8) every split op stays inside 38 and is exact. The
+    // narrow bound (1e18 in weighted revenue) fails loudly, not
+    // silently, if ever exceeded.
+    val num = sum(col("w") * col("rev")).cast("decimal(26,8)")
+    val numD = floor(num).cast("double") + (num - floor(num)).cast("double")
     targets
       .join(daily, date_sub(col("t_day"), col("lag")) === col("day"))
       .groupBy(col("t_day").as("day"))
       .agg(
         max(when(col("lag") === 0, col("rev"))).cast("double").as("rev"),
-        round(sum(col("w") * col("rev")).cast("double")
-          / sum(col("w")).cast("double"), 4).as("ewma7"))
+        (floor(numD / sum(col("w")).cast("double") * 10000 + lit(0.5)) / 10000)
+          .as("ewma7"))
   }
 
   val ewmaSql: String = {
@@ -518,12 +541,15 @@ object Reshape {
       .mkString(", ")
     s"""WITH daily AS (
        |  SELECT CAST(l_shipdate AS DATE) AS day,
-       |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS rev
        |  FROM lineitem GROUP BY 1),
        |lags(lag, w) AS (VALUES $ws)
        |SELECT t.day AS day,
        |  CAST(MAX(CASE WHEN lag = 0 THEN d.rev END) AS DOUBLE) AS rev,
-       |  round(CAST(SUM(w * d.rev) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 4) AS ewma7
+       |  floor((CAST(floor(CAST(SUM(w * d.rev) AS DECIMAL(26,8))) AS DOUBLE)
+       |         + CAST(CAST(SUM(w * d.rev) AS DECIMAL(26,8))
+       |                - floor(CAST(SUM(w * d.rev) AS DECIMAL(26,8))) AS DOUBLE))
+       |        / CAST(SUM(w) AS DOUBLE) * 10000 + 0.5) / 10000 AS ewma7
        |FROM daily t JOIN lags ON TRUE
        |JOIN daily d ON d.day = t.day - lag
        |GROUP BY 1""".stripMargin

@@ -71,7 +71,18 @@ object Tables {
         // instant by the zone offset. Fail loudly instead (mirrors the
         // old feed's hard dependency on Graft.tune's nanosAsLong).
         val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
-        require(tz == "UTC",
+        // accept any zone whose rules ARE UTC ("UTC", "Etc/UTC", "GMT",
+        // "Z", "+00:00"): the cast is wall-clock-correct under all of
+        // them, and a string-equality pin would hard-fail sessions whose
+        // JVM default resolves to an alias
+        val zoneIsUtc =
+          try {
+            val rules = java.time.ZoneId
+              .of(tz, java.time.ZoneId.SHORT_IDS).getRules
+            rules.isFixedOffset &&
+              rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+          } catch { case _: java.time.DateTimeException => false }
+        require(zoneIsUtc,
           s"events.ts is TIMESTAMP_NTZ and spark.sql.session.timeZone is '$tz'; " +
             "graft requires UTC (set via graft.core.Graft.tune) so the " +
             "NTZ->instant cast preserves the feed's UTC wall-clock")

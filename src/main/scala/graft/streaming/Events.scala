@@ -42,15 +42,27 @@ object Events {
     val feedDir = tempDir(prefix)
     val src = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.isDirectory(src)) {
-      val it = java.nio.file.Files.list(src).iterator()
-      var i = 0
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getFileName.toString.endsWith(".parquet")) {
-          java.nio.file.Files.copy(f, feedDir.resolve(f"part-$i%05d.parquet"))
-          i += 1
-        }
-      }
+      // Files.walk (not list): a partitionBy-written table nests its
+      // part files under key=value subdirectories — a top-level-only
+      // listing would stage a silent subset. The stream MUST be closed
+      // (its javadoc contract; each leaked handle is an open directory
+      // fd for the life of the bench JVM). Flat part-N names can't
+      // collide across subdirectories.
+      val walk = java.nio.file.Files.walk(src)
+      val i =
+        try {
+          var n = 0
+          val it = walk.iterator()
+          while (it.hasNext) {
+            val f = it.next()
+            if (java.nio.file.Files.isRegularFile(f) &&
+                f.getFileName.toString.endsWith(".parquet")) {
+              java.nio.file.Files.copy(f, feedDir.resolve(f"part-$n%05d.parquet"))
+              n += 1
+            }
+          }
+          n
+        } finally walk.close()
       require(i > 0, s"stageFeed: no parquet part files under $path")
     } else {
       java.nio.file.Files.copy(src, feedDir.resolve("events.parquet"))

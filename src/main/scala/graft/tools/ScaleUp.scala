@@ -39,7 +39,6 @@ object ScaleUp {
     val partSpan = span(read("part"), "p_partkey")
     val orderSpan = span(read("orders"), "o_orderkey")
     val eventSpan = span(read("events"), "event_id")
-    val userSpan = read("events").agg(max(col("user_id"))).head.getLong(0) + 1L
     val docSpan = span(read("documents"), "doc_id")
     val vecSpan = span(read("embeddings"), "vec_id")
 
@@ -70,7 +69,11 @@ object ScaleUp {
         Map("l_orderkey" -> orderSpan, "l_partkey" -> partSpan,
           "l_suppkey" -> suppSpan)),
       "events" -> replicate(read("events"),
-        Map("event_id" -> eventSpan, "user_id" -> userSpan)),
+        // user_id's FK target is customer.c_custkey, so it must shift by
+        // the CUSTOMER span — shifting by its own max (old bug) pointed
+        // copy i's users at copy-0-range customers and only preserved
+        // referential integrity because the test keys happen to be dense
+        Map("event_id" -> eventSpan, "user_id" -> custSpan)),
       "documents" -> replicate(read("documents"), Map("doc_id" -> docSpan)),
       "embeddings" -> replicate(read("embeddings"), Map("vec_id" -> vecSpan)))
 
