@@ -147,6 +147,45 @@ object Profile {
       |  CAST(MIN(v) AS DOUBLE) AS min_v, CAST(MAX(v) AS DOUBLE) AS max_v
       |FROM x GROUP BY bucket""".stripMargin
 
+  /** E78: 2-D equi-width histogram — the (quantity × price) density
+    * grid heatmap panels read (A17 is its 1-D marginal). Both axes'
+    * bounds come from ONE 1-row aggregate broadcast into the binning
+    * pass; bin ids are the same floor arithmetic as A17 (identical
+    * IEEE ops both engines, max clamped into the last bin), so the
+    * whole grid is map-side + one (bx, by) keyed aggregate — ≤100
+    * groups at any scale.
+    */
+  def histogram2d(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables(spark, dir).lineitem
+      .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+    val bounds = v.agg(min(col("x")).as("xmn"), max(col("x")).as("xmx"),
+      min(col("y")).as("ymn"), max(col("y")).as("ymx"))
+    def bin(c: Column, mn: Column, mx: Column): Column =
+      least(floor((c - mn) / ((mx - mn) / lit(10.0))), lit(9.0)).cast("long")
+    v.crossJoin(broadcast(bounds))
+      .select(bin(col("x"), col("xmn"), col("xmx")).as("bx"),
+        bin(col("y"), col("ymn"), col("ymx")).as("by"),
+        col("y"))
+      .groupBy(col("bx"), col("by"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(graft.functions.Fns.dec(col("y"))).cast("double").as("sum_price"))
+  }
+
+  val histogram2dSql: String =
+    """WITH b AS (
+      |  SELECT MIN(l_quantity) AS xmn, MAX(l_quantity) AS xmx,
+      |    MIN(l_extendedprice) AS ymn, MAX(l_extendedprice) AS ymx
+      |  FROM lineitem),
+      |x AS (
+      |  SELECT
+      |    CAST(least(floor((l_quantity - xmn) / ((xmx - xmn) / 10.0)), 9.0) AS BIGINT) AS bx,
+      |    CAST(least(floor((l_extendedprice - ymn) / ((ymx - ymn) / 10.0)), 9.0) AS BIGINT) AS by,
+      |    l_extendedprice AS y
+      |  FROM lineitem, b)
+      |SELECT bx, by, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM x GROUP BY 1, 2""".stripMargin
+
   /** A25: equi-DEPTH histogram (deciles) — A17's equal-width companion
     * and the other distribution panel profilers ship: each bucket holds
     * the same row count, bucket edges trace the quantiles. The total

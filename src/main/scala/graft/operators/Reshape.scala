@@ -424,6 +424,77 @@ object Reshape {
       |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
       |FROM daily""".stripMargin
 
+  /** E79: Wald–Wolfowitz runs test on daily revenue direction, per
+    * year — "is the series trending/mean-reverting or random?", the
+    * randomness screen behind seasonality and changepoint panels (E55,
+    * A32 assume structure; this tests for it). Up/down signs come from
+    * EXACT decimal day-over-day diffs (no float sign flips), runs and
+    * the ±counts are integer window/aggregate work, and expected
+    * runs/variance/z are one shared IEEE chain over those integers.
+    * Windows partition by YEAR (E70's discipline) — no single-reducer
+    * global window; each year's frame is ≤366 rows.
+    */
+  def runsTest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("yr")).orderBy(col("day"))
+    val daily = Tables(spark, dir).lineitem
+      .groupBy(year(col("l_shipdate")).as("yr"),
+        to_date(col("l_shipdate")).as("day"))
+      .agg(sum(dec(col("l_extendedprice"))).cast("decimal(19,2)").as("rev"))
+    val diffs = daily
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .filter(col("prev").isNotNull && col("rev") =!= col("prev"))
+      .withColumn("s", when(col("rev") > col("prev"), 1).otherwise(-1))
+    val agg = diffs
+      .withColumn("ps", lag(col("s"), 1).over(w))
+      .groupBy(col("yr"))
+      .agg(sum(when(col("s") === 1, 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("s") === -1, 1L).otherwise(0L)).as("n_down"),
+        sum(when(col("ps").isNull || col("s") =!= col("ps"), 1L)
+          .otherwise(0L)).as("n_runs"))
+    val n = col("n_up") + col("n_down")
+    val expc = lit(2.0) * col("n_up") * col("n_down") / n + 1
+    val v = (expc - 1) * (expc - 2) / (n - 1)
+    agg.withColumn("expc", expc).withColumn("v", v)
+      .filter(col("v") > 0)
+      .select(col("yr"), col("n_up"), col("n_down"), col("n_runs"),
+        (floor((col("n_runs") - col("expc")) / sqrt(col("v")) * 10000
+          + lit(0.5)) / 10000).as("z"))
+  }
+
+  val runsTestSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(year(l_shipdate) AS INTEGER) AS yr,
+      |    CAST(l_shipdate AS DATE) AS day,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS rev
+      |  FROM lineitem GROUP BY 1, 2),
+      |diffs AS (
+      |  SELECT yr, day, rev,
+      |    lag(rev) OVER (PARTITION BY yr ORDER BY day) AS prev
+      |  FROM daily),
+      |signs AS (
+      |  SELECT yr, day, CASE WHEN rev > prev THEN 1 ELSE -1 END AS s
+      |  FROM diffs WHERE prev IS NOT NULL AND rev != prev),
+      |marked AS (
+      |  SELECT yr, s, lag(s) OVER (PARTITION BY yr ORDER BY day) AS ps
+      |  FROM signs),
+      |agg AS (
+      |  SELECT yr,
+      |    CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+      |    CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+      |    CAST(SUM(CASE WHEN ps IS NULL OR s != ps THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+      |  FROM marked GROUP BY 1),
+      |scored AS (
+      |  SELECT yr, n_up, n_down, n_runs,
+      |    2.0 * n_up * n_down / (n_up + n_down) + 1 AS expc,
+      |    (2.0 * n_up * n_down / (n_up + n_down) + 1 - 1)
+      |      * (2.0 * n_up * n_down / (n_up + n_down) + 1 - 2)
+      |      / (n_up + n_down - 1) AS v
+      |  FROM agg)
+      |SELECT yr, n_up, n_down, n_runs,
+      |  floor((n_runs - expc) / sqrt(v) * 10000 + 0.5) / 10000 AS z
+      |FROM scored WHERE v > 0""".stripMargin
+
   /** One skyline pass: within each `parts` group, keep exactly the
     * points not strictly dominated (∃ other point with higher price AND
     * later day) by a groupmate. Grouping to per-price max-day first

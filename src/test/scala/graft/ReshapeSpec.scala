@@ -398,4 +398,43 @@ class ReshapeSpec extends AnyFunSuite {
     assert(math.abs(last.getDouble(2) - m) < 1e-2)
     assert(math.abs(last.getDouble(3) - (m + 2 * sd)) < 1e-2)
   }
+
+  test("q_runs_test: runs and z recompute from the daily revenue series") {
+    val rows = Reshape.runsTest(spark, dir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rows.nonEmpty)
+    val daily = graft.sources.Tables(spark, dir).lineitem
+      .groupBy(year(col("l_shipdate")).as("yr"), to_date(col("l_shipdate")).as("day"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(19,2)").as("rev"))
+      .orderBy("yr", "day").collect()
+      .map(r => (r.getInt(0), r.getDate(1).toLocalDate, r.getDecimal(2)))
+    rows.keys.foreach { yr =>
+      val revs = daily.filter(_._1 == yr).map(_._3)
+      val signs = revs.sliding(2).collect {
+        case Array(a, b) if a.compareTo(b) != 0 => if (b.compareTo(a) > 0) 1 else -1
+      }.toSeq
+      val nUp = signs.count(_ == 1).toLong
+      val nDown = signs.count(_ == -1).toLong
+      val nRuns = if (signs.isEmpty) 0L
+        else 1L + signs.sliding(2).count { case Seq(a, b) => a != b; case _ => false }
+      val (gu, gd, gr, gz) = rows(yr)
+      assert((gu, gd, gr) == ((nUp, nDown, nRuns)), s"yr $yr")
+      val n = nUp + nDown
+      val expc = 2.0 * nUp * nDown / n + 1
+      val v = (expc - 1) * (expc - 2) / (n - 1)
+      assert(math.abs(gz - (nRuns - expc) / math.sqrt(v)) < 1e-3, s"z yr $yr")
+    }
+  }
+
+  test("q_histogram_2d: cells partition the table and the price marginal matches A17") {
+    val cells = graft.operators.Profile.histogram2d(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val total = graft.sources.Tables(spark, dir).lineitem.count()
+    assert(cells.map(_._3).sum == total)
+    // marginal over bx must equal the 1-D price histogram's buckets
+    val marginal = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val hist1d = graft.operators.Profile.histogram(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(marginal == hist1d)
+  }
 }
