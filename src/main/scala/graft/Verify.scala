@@ -31,6 +31,21 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
+    // dev/diagnosis only (driver sets no env): SPARK_GRAFT_PROBE=q_x,…
+    // dumps per-row divergence diagnostics for the named queries next
+    // to the verify output — localizes a driver-environment hash
+    // failure (Spark-kernel vs builtin-SQL path vs DuckDB) in one run.
+    val probes: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame] = Map(
+      "q_dedup_simhash" -> ((s, d) => graft.operators.Dedup.simhashProbe(s, d)))
+    sys.env.get("SPARK_GRAFT_PROBE")
+      .map(_.split(",").map(_.trim).toSet)
+      .foreach(_.foreach { name =>
+        probes.get(name).foreach { fn =>
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/${name}_probe")
+        }
+      })
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

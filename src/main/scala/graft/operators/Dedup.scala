@@ -248,45 +248,109 @@ object Dedup {
   }
 
   /** Oracle restatement of C3: same portable per-token hash, same ±1
-    * bit votes over 60 bits, same band slices, pairs, and counts. */
+    * bit votes over 60 bits, same band slices, pairs, and counts.
+    *
+    * Deliberately ARITHMETIC-ONLY: this was the repo's single oracle
+    * using `>>`/`<<`/`&`/`xor()`/`bit_count()`, and the single r6 red
+    * row (hash divergence ONLY at the driver's DuckDB, never locally).
+    * Every bit operation is restated as integer `//`-division and `%`
+    * against a recursive-CTE powers-of-two table — constructs that 200+
+    * driver-green oracles already prove version-stable. Hamming of a
+    * candidate pair = per-bit disagreement count over the full 60-bit
+    * signatures (candidates are the band-equal sliver, so the 60-row
+    * expansion is tiny). All operands are non-negative BIGINTs, so
+    * truncating vs flooring division cannot differ either.
+    */
   val simhashSql: String =
-    """WITH tok AS (
+    """WITH RECURSIVE bits(b, p) AS (
+      |  SELECT 0, CAST(1 AS BIGINT)
+      |  UNION ALL SELECT b + 1, p * 2 FROM bits WHERE b < 59
+      |), tok AS (
       |  SELECT DISTINCT doc_id, t FROM (
       |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
       |), th AS (
       |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok
-      |), bits AS (SELECT CAST(b AS BIGINT) AS b FROM unnest(range(0, 60)) AS r(b)
       |), votes AS (
-      |  SELECT doc_id, b,
-      |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-      |  FROM th CROSS JOIN bits GROUP BY doc_id, b
+      |  SELECT doc_id, b, p,
+      |    SUM(CASE WHEN (h // p) % 2 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM th CROSS JOIN bits GROUP BY doc_id, b, p
       |), sig AS (
       |  SELECT doc_id,
-      |    COALESCE(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END), 0) AS s
+      |    CAST(COALESCE(SUM(CASE WHEN v > 0 THEN p ELSE 0 END), 0) AS BIGINT) AS s
       |  FROM votes GROUP BY doc_id
       |), sb AS (
-      |  SELECT doc_id, (s >> 0) & 65535 AS b0, (s >> 16) & 65535 AS b1,
-      |         (s >> 32) & 65535 AS b2, (s >> 48) & 65535 AS b3
+      |  SELECT doc_id, s,
+      |    s % 65536 AS b0, (s // 65536) % 65536 AS b1,
+      |    (s // 4294967296) % 65536 AS b2, (s // 281474976710656) % 65536 AS b3
       |  FROM sig
       |), eb AS (
-      |  SELECT doc_id, b0, b1, b2, b3, k AS band,
+      |  SELECT doc_id, s, k AS band,
       |    CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bv
-      |  FROM sb, unnest(range(0, 4)) AS r(k)
-      |), pairs AS (
+      |  FROM sb CROSS JOIN (SELECT b AS k FROM bits WHERE b < 4) r
+      |), cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
-      |    bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS hamming
+      |    a.s AS sa, b.s AS sbb
       |  FROM eb a JOIN eb b
       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+      |), ham AS (
+      |  SELECT doc_a, doc_b,
+      |    SUM(CASE WHEN (sa // p) % 2 <> (sbb // p) % 2 THEN 1 ELSE 0 END) AS hamming
+      |  FROM cand CROSS JOIN bits GROUP BY doc_a, doc_b
       |), near AS (
       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_near FROM (
-      |    SELECT doc_a AS doc_id FROM pairs WHERE hamming <= 3
-      |    UNION ALL SELECT doc_b FROM pairs WHERE hamming <= 3)
+      |    SELECT doc_a AS doc_id FROM ham WHERE hamming <= 3
+      |    UNION ALL SELECT doc_b FROM ham WHERE hamming <= 3)
       |  GROUP BY doc_id
       |)
       |SELECT s.doc_id, s.b0, s.b1, s.b2, s.b3,
       |  COALESCE(n.n_near, 0) AS n_near
       |FROM sb s LEFT JOIN near n ON s.doc_id = n.doc_id""".stripMargin
+
+  /** Divergence probe for C3 (env-gated via SPARK_GRAFT_PROBE in
+    * [[graft.Verify]]; never part of the correctness gate). Recomputes
+    * the simhash signature through a SECOND, kernel-free path — Spark's
+    * own md5/conv builtins over exploded tokens, integer `div`/`%`
+    * arithmetic — and emits, per doc:
+    *
+    *   - `n_distinct` token count and the kernel's four bands
+    *   - the SQL-path bands (`sq0..sq3`) and `kernel_eq_sql`
+    *   - `n_tied`: bits whose ±1 vote tally is exactly 0 — the most
+    *     fragile boundary in the pipeline (any engine asymmetry in
+    *     token splitting or hashing flips these first)
+    *
+    * If a driver-side failure recurs, this localizes it in one run:
+    * kernel≠SQL rows → Spark kernel edge case on that corpus;
+    * all-equal rows with a red oracle → DuckDB-side divergence.
+    */
+  def simhashProbe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NativeExprs.{simhash64 => simhash64e}
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tk"))
+    val kernel = toks.select(col("doc_id"), size(col("tk")).as("n_distinct"),
+      simhash64e(col("tk")).as("sig"))
+      .select(col("doc_id") +: col("n_distinct") +: (0 until 4).map(k =>
+        shiftrightunsigned(col("sig"), 16 * k).bitwiseAND(0xffffL).as(s"b$k")): _*)
+    val bits = spark.createDataFrame(
+      (0 until 60).map(b => (b, 1L << b))).toDF("b", "p")
+    val votes = toks
+      .select(col("doc_id"), explode(col("tk")).as("t"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
+      .crossJoin(broadcast(bits))
+      .groupBy(col("doc_id"), col("b"), col("p"))
+      .agg(sum(when(expr("(h div p) % 2") === 1, 1).otherwise(-1)).as("v"))
+    val sqlSig = votes.groupBy(col("doc_id"))
+      .agg(sum(when(col("v") > 0, col("p")).otherwise(0L)).as("s"),
+        sum(when(col("v") === 0, 1).otherwise(0)).as("n_tied"))
+      .select(col("doc_id"), col("n_tied"),
+        expr("s % 65536").as("sq0"), expr("(s div 65536) % 65536").as("sq1"),
+        expr("(s div 4294967296) % 65536").as("sq2"),
+        expr("(s div 281474976710656) % 65536").as("sq3"))
+    kernel.join(sqlSig, Seq("doc_id"))
+      .withColumn("kernel_eq_sql",
+        col("b0") === col("sq0") && col("b1") === col("sq1") &&
+          col("b2") === col("sq2") && col("b3") === col("sq3"))
+  }
 
   /** C4: exact word-3-gram Jaccard similarity pairs, blocked by `lang`
     * (the zone analog of blocking) — the oracle-checkable exact

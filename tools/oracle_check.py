@@ -49,7 +49,9 @@ def main(outdir: str, sfdir: str) -> int:
     failed = 0
     for name, sql in sorted(oracle.items()):
         try:
-            exp = con.execute(sql).df()
+            rel = con.sql(sql)
+            oracle_types = {c: str(t) for c, t in zip(rel.columns, rel.types)}
+            exp = rel.df()
             files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
             got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
             e, g = norm(exp), norm(got)
@@ -62,6 +64,18 @@ def main(outdir: str, sfdir: str) -> int:
                             f"DRIVER-RISK: output column {field.name} is "
                             f"{field.type} — decimal finals hash differently "
                             "in the driver; cast to DOUBLE/BIGINT")
+            # round-7 hardening (the q_dedup_simhash r6 red row): a DuckDB
+            # HUGEINT / DECIMAL oracle column converts to pandas float64
+            # (version-dependently), so the driver formats '9761.0' against
+            # Spark's '9761' and the hash diverges — while the value-level
+            # compare below coerces both sides to float and calls it green.
+            # Gate the ORACLE's logical types the same way we gate Spark's.
+            for c, t in oracle_types.items():
+                if t in ("HUGEINT", "UHUGEINT") or "DECIMAL" in t:
+                    status.append(
+                        f"DRIVER-RISK: oracle column {c} is {t} — pandas "
+                        "renders it as float64; CAST the SQL final to "
+                        "BIGINT/DOUBLE")
             if list(e.columns) != list(g.columns):
                 status.append(f"cols exp={list(e.columns)} got={list(g.columns)}")
             elif len(e) != len(g):
