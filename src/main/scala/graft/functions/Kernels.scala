@@ -184,11 +184,34 @@ object Kernels {
     s
   }
 
-  /** Indices of the k cells whose centroid has the highest dot product
-    * with the embedding (ties → lower index), for IVF probing.
+  /** FIXED-POINT dot for IVF cell assignment: Σ_i ⌊xᵢ·cᵢ·10¹⁰ + ½⌋ as
+    * an exact integer. Each term rounds the double product ONCE at 10
+    * decimals (floor(x+0.5) — identical in every engine, unlike native
+    * round()); the sum is integer addition, so the result is
+    * independent of accumulation order and restatable verbatim in
+    * oracle SQL (`SUM(CAST(floor(xi * c * 1e10 + 0.5) AS BIGINT))`).
+    * That order-independence is what converts the IVF faces (C7b/C7c)
+    * from rows-only to hash-verified: a raw double dot ranks cells by
+    * a value no portable SQL can reproduce bit-for-bit. Magnitudes:
+    * |xᵢ·cᵢ|·10¹⁰ ≲ 10¹² per term, ≤ 64 terms — far inside Long.
+    */
+  @inline private def dotFixedF32(emb: ArrayData, w: Array[Double]): Long = {
+    val n = math.min(emb.numElements(), w.length)
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += math.floor(emb.getFloat(i).toDouble * w(i) * 1e10 + 0.5).toLong
+      i += 1
+    }
+    s
+  }
+
+  /** Indices of the k cells whose centroid has the highest fixed-point
+    * dot product with the embedding (ties → lower index), for IVF
+    * assignment and probing. See [[dotFixedF32]] for why fixed-point.
     */
   def topCellsByDot(emb: ArrayData, centroids: Array[Array[Double]], k: Int): ArrayData = {
-    val scores = centroids.map(c => dotF32D(emb, c))
+    val scores = centroids.map(c => dotFixedF32(emb, c))
     val idx = scores.indices.sortBy(i => (-scores(i), i)).take(k).toArray
     new GenericArrayData(idx)
   }

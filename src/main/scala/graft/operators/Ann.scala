@@ -155,11 +155,18 @@ object Ann {
     * vectors by vec_id, then `iters` Lloyd rounds). Assignment is a
     * broadcast nested-loop max-dot (map-only over the corpus); the
     * centroid update is a groupBy(cell) of element-wise sums — the only
-    * shuffle, carrying C×dim doubles per task. Centroids (C×dim,
+    * shuffle, carrying C×dim partials per task. Centroids (C×dim,
     * bounded) are the one intentional driver-side collect.
+    *
+    * ORACLE-PORTABLE arithmetic throughout (what flipped C7b/C7c from
+    * rows-only to hash-verified): assignment dots are the kernel's
+    * fixed-point integers (order-independent — see Kernels.dotFixedF32)
+    * and each centroid mean is `Σ⌊xᵢ·10⁷+½⌋ → double → /10⁷ → /n`:
+    * an exact integer sum followed by two IEEE divisions spelled
+    * identically in [[annIvfSql]], so every Lloyd round lands on
+    * bitwise-equal centroids in both engines.
     */
   def ivfCentroids(e: DataFrame, c: Int, iters: Int): Seq[Seq[Double]] = {
-    val spark = e.sparkSession
     var centroids: Seq[Seq[Double]] =
       e.filter(col("vec_id") < c).orderBy("vec_id")
         .select("embedding").collect()
@@ -170,13 +177,15 @@ object Ann {
       val sums = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy("cell", "dim")
-        .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
+        .agg(sum(floor(col("v").cast("double") * lit(1e7) + lit(0.5))
+          .cast("long")).as("s"), count(lit(1)).as("n"))
         .collect()
       val byCell = sums.groupBy(_.getInt(0))
       centroids = centroids.indices.map { k =>
         byCell.get(k) match {
           case Some(rows) =>
-            rows.sortBy(_.getInt(1)).map(r => r.getDouble(2) / r.getLong(3)).toSeq
+            rows.sortBy(_.getInt(1))
+              .map(r => r.getLong(2).toDouble / 1e7 / r.getLong(3)).toSeq
           case None => centroids(k) // empty cell keeps its centroid
         }
       }
@@ -274,10 +283,11 @@ object Ann {
 
   /** C7b: IVF ANN — the learned-centroid variant of the LSH scale path
     * (SURVEY §5). Queries probe their `nprobe` nearest cells and score
-    * only those cells' vectors (rows-only: kmeans isn't oracle-SQL).
-    * First call per corpus trains + persists the index; every later
-    * call serves from it (an index over a 100 TB corpus is built by one
-    * scheduled job and shared by every query after).
+    * only those cells' vectors. First call per corpus trains + persists
+    * the index; every later call serves from it (an index over a 100 TB
+    * corpus is built by one scheduled job and shared by every query
+    * after). Hash-verified since round 7: the fixed-point assignment
+    * dots make the whole train→serve chain restatable as [[annIvfSql]].
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val idxPath = ivfIndexCache.computeIfAbsent(ivfCacheKey(spark, dir), _ => {
@@ -305,8 +315,9 @@ object Ann {
     * every approximate index ships with: both inputs are deterministic
     * here, so the recall table is reproducible; at 100 TB the exact arm
     * runs on a sampled query set (as here — the 10 probes) while the
-    * index serves the rest. Rows-only (LSH/IVF internals aren't oracle
-    * SQL); the spec bounds mean recall from below.
+    * index serves the rest. Hash-verified since round 7 via
+    * [[annRecallSql]]; the spec additionally bounds mean recall from
+    * below.
     */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     val exact = annTopK(spark, dir).select(col("query_id"), col("vec_id"))
@@ -319,6 +330,105 @@ object Ann {
       .select(col("query_id"), col("k"), col("n_hit"),
         (col("n_hit").cast("double") / col("k")).as("recall_at_k"))
   }
+
+  /** One Lloyd round of the oracle's k-means restatement: assignment
+    * dots under the previous round's centroids (`prev`), argmax cell
+    * (ties → lower cell, exactly the kernel's tiebreak), fixed-point
+    * member sums, and the COALESCE empty-cell fallback — each CTE a
+    * verbatim SQL spelling of one step of [[ivfCentroids]].
+    */
+  private def lloydRoundSql(i: Int, prev: String): String =
+    s"""d$i AS (
+       |  SELECT x.vec_id, $prev.cell,
+       |    SUM(CAST(floor(x.xi * $prev.c * 10000000000.0 + 0.5) AS BIGINT)) AS dot
+       |  FROM x JOIN $prev USING (dim) GROUP BY x.vec_id, $prev.cell
+       |), a$i AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell) AS rn
+       |    FROM d$i) WHERE rn = 1
+       |), u$i AS (
+       |  SELECT a$i.cell, x.dim,
+       |    CAST(SUM(CAST(floor(x.xi * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |      / 10000000.0 / COUNT(*) AS c
+       |  FROM x JOIN a$i USING (vec_id) GROUP BY a$i.cell, x.dim
+       |), c$i AS (
+       |  SELECT $prev.cell, $prev.dim, COALESCE(u$i.c, $prev.c) AS c
+       |  FROM $prev LEFT JOIN u$i ON $prev.cell = u$i.cell AND $prev.dim = u$i.dim
+       |)""".stripMargin
+
+  /** Full SQL restatement of the deterministic IVF pipeline (the
+    * conversion that made C7b/C7c hash-verified): long-form exploded
+    * embeddings, init centroids = the first 8 vectors verbatim, TWO
+    * unrolled Lloyd rounds of [[lloydRoundSql]], final corpus
+    * assignment + nprobe=2 query probes under the trained centroids
+    * (one shared dot/rank frame `r3`), then the C6-style bucket scoring
+    * and top-k rank. Every float step is either an exact integer sum
+    * (fixed-point dots / centroid partials) or an IEEE expression
+    * spelled identically in the Scala face, so the whole train→serve
+    * chain lands on bitwise-equal output in both engines.
+    */
+  private[operators] lazy val ivfPipelineSql: String =
+    s"""x AS (
+       |  SELECT vec_id, CAST(j AS INTEGER) AS dim, CAST(embedding[j] AS DOUBLE) AS xi
+       |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(j)
+       |), c0 AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cell, dim, xi AS c FROM x WHERE vec_id < 8
+       |), ${lloydRoundSql(1, "c0")},
+       |${lloydRoundSql(2, "c1")},
+       |d3 AS (
+       |  SELECT x.vec_id, c2.cell,
+       |    SUM(CAST(floor(x.xi * c2.c * 10000000000.0 + 0.5) AS BIGINT)) AS dot
+       |  FROM x JOIN c2 USING (dim) GROUP BY x.vec_id, c2.cell
+       |), r3 AS (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell) AS rn
+       |  FROM d3
+       |), af AS (SELECT vec_id, cell FROM r3 WHERE rn = 1
+       |), qp AS (SELECT vec_id AS query_id, cell FROM r3 WHERE rn <= 2 AND vec_id < $NQueries
+       |), ivf_scored AS (
+       |  SELECT q.query_id, a.vec_id,
+       |    round(list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+       |                                 CAST(ec.embedding AS DOUBLE[])), 3) AS cosine
+       |  FROM qp q
+       |  JOIN af a ON a.cell = q.cell AND a.vec_id != q.query_id
+       |  JOIN embeddings eq ON eq.vec_id = q.query_id
+       |  JOIN embeddings ec ON ec.vec_id = a.vec_id
+       |), ivf_ranked AS (
+       |  SELECT query_id, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM ivf_scored
+       |)""".stripMargin
+
+  /** Oracle restatement of [[annIvf]] (C7b). */
+  lazy val annIvfSql: String =
+    s"""WITH $ivfPipelineSql
+       |SELECT query_id, rank, vec_id, cosine FROM ivf_ranked WHERE rank <= $TopK""".stripMargin
+
+  /** Oracle restatement of [[annRecall]] (C7c): the exact brute-force
+    * arm (C6's SQL shape) LEFT JOINed against the IVF pipeline's
+    * top-k, folded to recall@k per query.
+    */
+  lazy val annRecallSql: String =
+    s"""WITH $ivfPipelineSql,
+       |approx AS (SELECT query_id, vec_id FROM ivf_ranked WHERE rank <= $TopK),
+       |exact_scored AS (
+       |  SELECT q.vec_id AS query_id, e2.vec_id,
+       |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                 CAST(e2.embedding AS DOUBLE[])), 3) AS cosine
+       |  FROM embeddings q JOIN embeddings e2 ON e2.vec_id != q.vec_id
+       |  WHERE q.vec_id < $NQueries
+       |), exact_ranked AS (
+       |  SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM exact_scored
+       |), exact AS (SELECT query_id, vec_id FROM exact_ranked WHERE rank <= $TopK)
+       |SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS k,
+       |  CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+       |  CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*) AS recall_at_k
+       |FROM exact e LEFT JOIN approx a
+       |  ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+       |GROUP BY e.query_id""".stripMargin
 
   /** C22: embedding normalization — per-vector L2 norm and dimension,
     * the standard pre-index hygiene pass (unit-normalizing makes cosine

@@ -866,8 +866,10 @@ object Corpus {
     * C7b), then find cosine near-dup pairs WITHIN each cell. Blocking
     * by learned cell replaces C5's given `label` blocking: the
     * quadratic term is per-cell, cells are bounded, and the only
-    * exchange keys on cell id. Rows-only (k-means cells aren't oracle
-    * SQL); the spec cross-checks against C5 on co-celled pairs.
+    * exchange keys on cell id. Hash-verified since round 7: C7b's
+    * fixed-point k-means restatement ([[Ann.ivfPipelineSql]]) supplies
+    * the cell assignment, so the oracle is the co-cell pair join over
+    * it ([[semanticDedupSql]]).
     */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.NativeExprs
@@ -887,6 +889,22 @@ object Corpus {
         round(NativeExprs.cosine_f32(col("emb_a"), col("emb_b")), 3).as("cosine"))
       .filter(col("cosine") >= 0.4)
   }
+
+  /** Oracle restatement of [[semanticDedup]] (C39): the co-cell pair
+    * join over C7b's final assignment frame (`af` in
+    * [[Ann.ivfPipelineSql]]), scored and thresholded on the same
+    * 3-dp-rounded cosine as the face.
+    */
+  lazy val semanticDedupSql: String =
+    s"""WITH ${Ann.ivfPipelineSql}
+       |SELECT * FROM (
+       |  SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                                 CAST(eb.embedding AS DOUBLE[])), 3) AS cosine
+       |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id)
+       |WHERE cosine >= 0.4""".stripMargin
 
   /** C41: DSIR-lite importance scoring (Xie et al. 2023, "Data
     * Selection via Importance Resampling"): each document scored by its

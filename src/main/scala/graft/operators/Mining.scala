@@ -332,9 +332,18 @@ object Mining {
     * interpolated p50/p90 of the gap between a user's consecutive
     * events of that type (the cadence profile feeding session-gap and
     * staleness thresholds). The lag window keys on (user, type) —
-    * high-cardinality, never a single-reducer global order — and the
-    * percentile aggregate is E7's engine-identical interpolated
-    * definition over integer microsecond gaps.
+    * high-cardinality, never a single-reducer global order.
+    *
+    * The interpolation is restated in INTEGER micro-units (the r6 8×
+    * sweep caught engine `percentile`/`quantile_cont` drifting by one
+    * ulp at 8× operand magnitudes): with 0-indexed rank r = (n−1)·p
+    * over p = num/den, lo = ⌊(n−1)·num / den⌋ and rem = (n−1)·num mod
+    * den, the interpolated value is
+    * `(x[lo]·(den−rem) + x[lo+1]·rem) / den` — an EXACT BIGINT
+    * numerator (gaps are integer µs) and ONE final IEEE division both
+    * engines perform on identical operands. The per-type rank window
+    * gathers the same per-group value set the former holistic
+    * percentile buffer did; event-type cardinality bounds both.
     */
   def interarrival(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events
@@ -342,13 +351,25 @@ object Mining {
         col("event_id"))
     val w = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("t"), col("event_id"))
-    ev.select(col("event_type"),
+    val gaps = ev.select(col("event_type"),
         (col("t") - lag(col("t"), 1).over(w)).as("gap_us"))
       .filter(col("gap_us").isNotNull)
-      .groupBy(col("event_type"))
+    val wr = Window.partitionBy(col("event_type")).orderBy(col("gap_us"))
+    val ranked = gaps
+      .withColumn("rn", row_number().over(wr).cast("long"))
+      .withColumn("n_gaps", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+    def interpNum(num: Int, den: Int): Column = {
+      val lo = expr(s"((n_gaps - 1) * $num) div $den") + lit(1L) // 1-based
+      val rem = expr(s"((n_gaps - 1) * $num) % $den")
+      sum(when(col("rn") === lo, col("gap_us") * (lit(den.toLong) - rem))
+        .when(col("rn") === lo + 1 && rem > 0, col("gap_us") * rem)
+        .otherwise(lit(0L)))
+    }
+    ranked.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_gaps"),
-        round(call_function("percentile", col("gap_us"), lit(0.5)), 4).as("p50_gap_us"),
-        round(call_function("percentile", col("gap_us"), lit(0.9)), 4).as("p90_gap_us"))
+        round(interpNum(1, 2).cast("double") / lit(2.0), 4).as("p50_gap_us"),
+        round(interpNum(9, 10).cast("double") / lit(10.0), 4).as("p90_gap_us"))
   }
 
   val interarrivalSql: String =
@@ -358,12 +379,26 @@ object Mining {
       |  SELECT event_type,
       |    t - lag(t) OVER (PARTITION BY user_id, event_type ORDER BY t, event_id)
       |      AS gap_us
-      |  FROM e)
-      |SELECT event_type, COUNT(*) AS n_gaps,
-      |  round(quantile_cont(gap_us, 0.5), 4) AS p50_gap_us,
-      |  round(quantile_cont(gap_us, 0.9), 4) AS p90_gap_us
-      |FROM g WHERE gap_us IS NOT NULL
-      |GROUP BY event_type""".stripMargin
+      |  FROM e),
+      |r AS (
+      |  SELECT event_type, gap_us,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY gap_us) AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_gaps
+      |  FROM g WHERE gap_us IS NOT NULL)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |  round(CAST(CAST(SUM(
+      |    CASE WHEN rn = ((n_gaps - 1) * 1) // 2 + 1
+      |         THEN gap_us * (2 - ((n_gaps - 1) * 1) % 2)
+      |         WHEN rn = ((n_gaps - 1) * 1) // 2 + 2 AND ((n_gaps - 1) * 1) % 2 > 0
+      |         THEN gap_us * (((n_gaps - 1) * 1) % 2)
+      |         ELSE 0 END) AS BIGINT) AS DOUBLE) / 2.0, 4) AS p50_gap_us,
+      |  round(CAST(CAST(SUM(
+      |    CASE WHEN rn = ((n_gaps - 1) * 9) // 10 + 1
+      |         THEN gap_us * (10 - ((n_gaps - 1) * 9) % 10)
+      |         WHEN rn = ((n_gaps - 1) * 9) // 10 + 2 AND ((n_gaps - 1) * 9) % 10 > 0
+      |         THEN gap_us * (((n_gaps - 1) * 9) % 10)
+      |         ELSE 0 END) AS BIGINT) AS DOUBLE) / 10.0, 4) AS p90_gap_us
+      |FROM r GROUP BY event_type""".stripMargin
 
   /** E48: time-decay engagement score — per user, Σ value·0.5^(age in
     * weeks) against the feed's high-water mark: the recency-weighted
@@ -1743,9 +1778,17 @@ object Mining {
           / (col("n_s").cast("double") * col("ct"))), 6)
           .cast("decimal(18,6)"))
       .groupBy(col("source"))
-      .agg(max(col("n_s")).as("n_tokens"),
-        round(sum(col("cst") * col("lnterm")).cast("double")
-          / max(col("n_s")).cast("double"), 6).as("kl"))
+      .agg(max(col("n_s")).as("n_tokens"), {
+        // split-cast (§8b): the exact decimal Σ cst·lnterm can exceed
+        // 2^53 scaled at 100 TB token counts, where DuckDB's
+        // int128→double cast double-rounds one ulp off Spark's
+        // correctly-rounded BigDecimal cast. Narrow BEFORE splitting
+        // (§8c) so the fraction survives, then floor + fraction cast
+        // exactly and one shared add/divide stays IEEE-identical.
+        val s = sum(col("cst") * col("lnterm")).cast("decimal(26,6)")
+        val sD = floor(s).cast("double") + (s - floor(s)).cast("double")
+        round(sD / max(col("n_s")).cast("double"), 6).as("kl")
+      })
       .select(col("source"), col("n_tokens"), col("kl"))
   }
 
@@ -1763,6 +1806,9 @@ object Mining {
       |      / (CAST(ns.n_s AS DOUBLE) * marg.ct)), 6) AS DECIMAL(18,6)) AS lnterm
       |  FROM st JOIN marg USING (w) JOIN ns USING (source) CROSS JOIN tot)
       |SELECT source, MAX(n_s) AS n_tokens,
-      |  round(CAST(SUM(cst * lnterm) AS DOUBLE) / CAST(MAX(n_s) AS DOUBLE), 6) AS kl
+      |  round((CAST(floor(CAST(SUM(cst * lnterm) AS DECIMAL(26,6))) AS DOUBLE)
+      |         + CAST(CAST(SUM(cst * lnterm) AS DECIMAL(26,6))
+      |                - floor(CAST(SUM(cst * lnterm) AS DECIMAL(26,6))) AS DOUBLE))
+      |        / CAST(MAX(n_s) AS DOUBLE), 6) AS kl
       |FROM terms GROUP BY 1""".stripMargin
 }

@@ -17,6 +17,21 @@ import graft.sources.Tables
   * versus a per-column loop, which scans the table once per column.
   * Averages follow the §8 decimal discipline so the profile is
   * bit-identical to the DuckDB oracle.
+  *
+  * WIDE-TABLE CONTRACT (SURVEY §5): the Expand amplifies rows
+  * ×(distinct-profiled-columns + 1) BEFORE the partial aggregate, so
+  * map-side CPU is ~W× the scan for W columns — but each expanded row
+  * is (grouping-id, one value), and the map-side hash aggregate dedups
+  * locally, so the EXCHANGE carries only Σ_c |distinct_c| partials per
+  * task, never W× the row count. That holds to hundreds of columns;
+  * profiling a very wide table where per-column cardinality is also
+  * huge (ids, free text) is where the contract bends — there, either
+  * batch the profile W′ columns at a time (CPU ∝ W′ per pass), or
+  * swap `countDistinct` for `approx_count_distinct` (HLL partials,
+  * no Expand at all), accepting ±2% on n_distinct. E4
+  * (`q_distinct_counts`) keeps the exact multi-distinct face
+  * oracle-checked; this module keeps the one-pass default because
+  * profile columns are curated, not arbitrary.
   */
 object Profile {
 

@@ -539,8 +539,14 @@ object Reshape {
       col("o_orderkey"),
       col("o_totalprice").as("price"),
       to_date(col("o_orderdate")).as("day"))
+    // bucket count follows the cluster (defaultParallelism), keeping
+    // phase-1 per-bucket sort size ~|rows|/cores at ANY deployment —
+    // the result is bucket-count-invariant because a local pass only
+    // removes dominated points (dominance is transitive), so any
+    // bucketing yields the same phase-2 answer
+    val buckets = pts.sparkSession.sparkContext.defaultParallelism
     val local = skylinePass(
-      pts.withColumn("b", pmod(hash(col("o_orderkey")), lit(32))), Seq("b"))
+      pts.withColumn("b", pmod(hash(col("o_orderkey")), lit(buckets))), Seq("b"))
       .drop("b")
     skylinePass(local, Nil)
       .select(col("o_orderkey"), col("price"), col("day"))

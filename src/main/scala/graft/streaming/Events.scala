@@ -640,12 +640,17 @@ object Events {
     * dashboards as an unbounded feed: file-stream source, 1 h/15 min
     * overlapping windows (each event expands into 4 window structs at
     * the source, so the shuffle carries (window, type) partials — same
-    * cost class as tumbling ×4), watermarked event time bounding the
-    * window state, run to completion under `Trigger.AvailableNow`.
-    * Complete-mode output over the whole feed is arrival-invariant, so
-    * D6's arithmetic oracle states this result exactly; together with
-    * D7 (tumbling) and D10 (session) every batch windowing face now
-    * has a live streaming twin.
+    * cost class as tumbling ×4), run to completion under
+    * `Trigger.AvailableNow`. The run here uses `complete` output mode —
+    * that is what makes the whole-feed batch-equivalence oracle valid
+    * (every window re-emits each batch, arrival-invariant), but
+    * complete mode RETAINS all window state and ignores the watermark
+    * for eviction. A production deployment on a genuinely unbounded
+    * feed would switch to `update`/`append` mode, where the declared
+    * 1-hour watermark actually evicts closed windows and bounds state;
+    * the aggregation itself is mode-agnostic. Together with D7
+    * (tumbling) and D10 (session) every batch windowing face has a
+    * live streaming twin.
     */
   def qStreamSliding(spark: SparkSession, dir: String): DataFrame = withConf(
       spark, "spark.sql.shuffle.partitions", "8") {
@@ -666,4 +671,85 @@ object Events {
     finally if (q.isActive) q.stop()
     spark.table("q_stream_sliding_sink")
   }
+
+  /** D15: end-to-end stream-stream LEFT OUTER interval join — the
+    * join mode real CDC/attribution consumers hit first: every
+    * purchase must come out, clicked-on or not. Both sides are
+    * watermarked (2 h) and the event-time bounds
+    * `c_ts ∈ [p_ts − 1 h, p_ts]` make the join state finite; inner
+    * matches emit immediately (D11), while a NULL-extended row for an
+    * unmatched purchase emits only once the watermark proves no
+    * qualifying click can still arrive — the watermark-emitted-nulls
+    * semantics this face exists to exercise.
+    *
+    * Arrival-invariance (the oracle contract): null emission depends
+    * on where the final watermark lands, so the face projects the sink
+    * to purchases at or below a CLOSED HORIZON strictly below any
+    * possible final watermark. The global watermark is the MIN across
+    * both sides' watermark nodes, and Catalyst pushes each type filter
+    * BELOW its watermark node — so the click side's node tracks max
+    * CLICK time, not max feed time (empirically pinned: the final
+    * watermark lands at max-click − 2 h). The horizon is therefore
+    * `min(max purchase ts, max click ts) − (2 h delay + 1 h margin)`,
+    * safe whether or not the filter pushdown happens. Every purchase
+    * at or below it has provably emitted either its matches or its
+    * null row under ANY arrival order, so the batch LEFT JOIN over the
+    * same horizon states the result exactly.
+    */
+  def qStreamLeftJoin(spark: SparkSession, dir: String): DataFrame = withConf(
+      spark, "spark.sql.shuffle.partitions", "8") {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val feedDir = stageFeed(path, "graft_feed_left_join")
+    def feed() = Tables.normalizeEventTs(
+        spark.readStream.schema(schema).parquet(feedDir.toString))
+      .withColumn("event_ts", nsToTimestamp(col("ts")))
+      .withWatermark("event_ts", "2 hours")
+    val purchases = feed().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_event_id"),
+        col("event_ts").as("p_ts"))
+    val clicks = feed().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_event_id"),
+        col("event_ts").as("c_ts"))
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+    val q = joined.writeStream
+      .outputMode("append").format("memory")
+      .queryName("q_stream_left_join_sink")
+      .trigger(Trigger.AvailableNow()).start()
+    try require(q.awaitTermination(300000),
+      "AvailableNow run did not self-terminate")
+    finally if (q.isActive) q.stop()
+    // closed horizon from the static table (1-row aggregate): the MIN
+    // of the two sides' max event times − (watermark delay + margin)
+    val mx = Tables(spark, dir).events.agg(
+      max(when(col("event_type") === "purchase", nsToUs(col("ts")))).as("mp"),
+      max(when(col("event_type") === "click", nsToUs(col("ts")))).as("mc")).head
+    val horizonUs =
+      math.min(mx.getLong(0), mx.getLong(1)) - (2L + 1L) * 3600L * 1000000L
+    spark.table("q_stream_left_join_sink")
+      .filter(unix_micros(col("p_ts")) <= horizonUs)
+      .groupBy(col("p_user").as("user_id"), col("purchase_event_id"))
+      .agg(count(col("click_event_id")).as("n_clicks"))
+  }
+
+  val qStreamLeftJoinSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),
+      |h AS (SELECT LEAST(
+      |    MAX(CASE WHEN event_type = 'purchase' THEN t END),
+      |    MAX(CASE WHEN event_type = 'click' THEN t END)) - 10800000000 AS horizon
+      |  FROM e)
+      |SELECT p.user_id, p.event_id AS purchase_event_id,
+      |  CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks
+      |FROM e p CROSS JOIN h LEFT JOIN e c
+      |  ON p.user_id = c.user_id AND c.event_type = 'click'
+      | AND c.t >= p.t - 3600000000
+      | AND c.t <= p.t
+      |WHERE p.event_type = 'purchase' AND p.t <= horizon
+      |GROUP BY p.user_id, p.event_id""".stripMargin
 }

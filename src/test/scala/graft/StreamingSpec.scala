@@ -317,4 +317,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.except(batch).count() == 0)
     assert(batch.except(streamed).count() == 0)
   }
+
+  test("qStreamLeftJoin: watermark-emitted nulls equal the batch left join at the horizon") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.Events.qStreamLeftJoin(spark, dir).cache()
+    // the left-outer face must surface clickless purchases as n_clicks=0
+    // rows — the whole point of the mode vs D11's inner join
+    assert(streamed.filter(col("n_clicks") === 0).count() > 0,
+      "no null-extended purchases emitted — left-outer semantics lost")
+    // batch restatement: LEFT join at the same closed horizon
+    val ev = graft.sources.Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        graft.functions.Fns.nsToUs(col("ts")).as("t"))
+    val mx = ev.agg(
+      max(when(col("event_type") === "purchase", col("t"))),
+      max(when(col("event_type") === "click", col("t")))).head
+    val horizon = math.min(mx.getLong(0), mx.getLong(1)) - 3L * 3600L * 1000000L
+    val p = ev.filter(col("event_type") === "purchase" && col("t") <= horizon)
+      .select(col("user_id"), col("event_id").as("purchase_event_id"), col("t").as("pt"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("ce"), col("t").as("ct"))
+    val batch = p.join(c,
+        col("user_id") === col("cu") &&
+          col("ct") >= col("pt") - 3600000000L && col("ct") <= col("pt"), "left")
+      .groupBy(col("user_id"), col("purchase_event_id"))
+      .agg(count(col("ce")).as("n_clicks"))
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
 }
