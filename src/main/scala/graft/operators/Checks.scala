@@ -382,4 +382,63 @@ object Checks {
       |  COUNT(*) AS n_rows
       |FROM base b FULL OUTER JOIN target t USING (key)
       |GROUP BY 1""".stripMargin
+
+  /** A35: `dbt test --store-failures` — each failing test's violating
+    * ROWS are materialized as an audit table (dbt's
+    * `dbt_test__audit.<test_name>` convention), not just counted. The
+    * face runs two reference tests (A13 relationships orphans, A14
+    * accepted_values), WRITES each violation set to its own parquet
+    * audit table, then reads the stores BACK and emits one catalog row
+    * per test: name, stored-row count, and an order-independent key
+    * checksum over the stored rows — so the oracle hash proves the
+    * round-trip through the materialized store, not merely the
+    * violation query. At scale each audit table is the violation
+    * sliver only (orphans / out-of-domain rows), written once and
+    * shared by every debugging consumer after — exactly why dbt ships
+    * the flag.
+    */
+  def checkStoreFailures(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val rel = t.events
+      .join(broadcast(t.customer.select("c_custkey")),
+        col("user_id") === col("c_custkey"), "left_anti")
+      .select(col("event_id"), col("user_id"))
+    val acc = t.orders.filter(!col("o_orderstatus").isin("O", "F"))
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val root = java.nio.file.Files.createTempDirectory("graft_test_audit")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch {
+            case _: java.io.IOException => ()
+          })
+    }))
+    rel.coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/relationships_user_id")
+    acc.coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/accepted_values_o_orderstatus")
+    def catalogRow(testName: String, keyCol: String): DataFrame =
+      spark.read.parquet(s"$root/$testName")
+        .agg(count(lit(1)).as("n_failures"),
+          coalesce(sum(col(keyCol) % 1000000007L), lit(0L)).as("key_checksum"))
+        .select(lit(testName).as("test_name"),
+          col("n_failures"), col("key_checksum"))
+    catalogRow("relationships_user_id", "user_id")
+      .unionByName(catalogRow("accepted_values_o_orderstatus", "o_orderkey"))
+  }
+
+  val checkStoreFailuresSql: String =
+    """SELECT 'relationships_user_id' AS test_name,
+      |  COUNT(*) AS n_failures,
+      |  CAST(COALESCE(SUM(user_id % 1000000007), 0) AS BIGINT) AS key_checksum
+      |FROM events
+      |WHERE user_id NOT IN (SELECT c_custkey FROM customer)
+      |UNION ALL
+      |SELECT 'accepted_values_o_orderstatus',
+      |  COUNT(*),
+      |  CAST(COALESCE(SUM(o_orderkey % 1000000007), 0) AS BIGINT)
+      |FROM orders
+      |WHERE o_orderstatus NOT IN ('O', 'F')""".stripMargin
 }

@@ -40,7 +40,36 @@ object Snapshot {
       current: DataFrame,
       key: Seq[String],
       checkCols: Seq[String],
-      version: Long): DataFrame = {
+      version: Long): DataFrame =
+    fold(history, current, key, version,
+      checkCols.map(c => !(col(c) <=> col("__old").getField(c))).reduce(_ || _))
+
+  /** dbt's `timestamp` strategy: a key re-opens its interval when its
+    * `updated_at` column ADVANCED past the stored one — no column-set
+    * diff at all (the strategy real sources with reliable audit columns
+    * prefer: one comparison instead of N, and a touched-but-identical
+    * row still versions). Same one-shuffle fold as the `check` strategy
+    * ([[apply]]); only the change predicate differs.
+    */
+  def applyTimestamp(
+      history: DataFrame,
+      current: DataFrame,
+      key: Seq[String],
+      updatedAt: String,
+      version: Long): DataFrame =
+    fold(history, current, key, version,
+      col(updatedAt) > col("__old").getField(updatedAt))
+
+  /** Shared SCD2 fold: `changed` decides (over the joined frame, where
+    * current columns are top-level and the open interval rides as
+    * `__old`) whether a present key opens a fresh interval.
+    */
+  private def fold(
+      history: DataFrame,
+      current: DataFrame,
+      key: Seq[String],
+      version: Long,
+      changed: org.apache.spark.sql.Column): DataFrame = {
     val dataCols = current.columns.toSeq
     val closed = history.filter(col(ValidTo).isNotNull)
     val open = history.filter(col(ValidTo).isNull)
@@ -56,7 +85,6 @@ object Snapshot {
 
     val hasCur = key.map(k => col(k).isNotNull).reduce(_ && _)
     val hasOld = col("__old").isNotNull
-    val changed = checkCols.map(c => !(col(c) <=> col("__old").getField(c))).reduce(_ || _)
 
     // new or changed keys → open a fresh interval at `version`
     val opened = joined.filter(hasCur && (!hasOld || changed))
@@ -108,4 +136,38 @@ object Snapshot {
       |SELECT o_orderkey, 'O' AS status,
       |  CAST(1 AS BIGINT), CAST(0 AS BIGINT)
       |FROM orders WHERE o_orderstatus = 'O'""".stripMargin
+
+  /** A15b query face: the `timestamp` strategy over a deterministic
+    * two-version fold. Version 1 is an initial load whose audit column
+    * is capped at 1995-01-01 (`least(o_orderdate, cutoff)`); version 2
+    * carries the true order date. Keys whose date advanced past the
+    * cutoff close their v1 interval at v2 and open a fresh one; the
+    * rest carry v1 open — the exact dbt timestamp-strategy history,
+    * stated by the oracle as two plain selects.
+    */
+  def qScd2Timestamp(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+    val cutoff = to_date(lit("1995-01-01"))
+    val v1 = o.select(col("o_orderkey"),
+      least(to_date(col("o_orderdate")), cutoff).as("updated_at"))
+    val v2 = o.select(col("o_orderkey"),
+      to_date(col("o_orderdate")).as("updated_at"))
+    val h1 = applyTimestamp(init(v1), v1, Seq("o_orderkey"), "updated_at", 1L)
+    val h2 = applyTimestamp(h1, v2, Seq("o_orderkey"), "updated_at", 2L)
+    h2.select(col("o_orderkey"), col("updated_at"),
+      col(ValidFrom).as("valid_from"),
+      coalesce(col(ValidTo), lit(0L)).as("valid_to"))
+  }
+
+  val qScd2TimestampSql: String =
+    """SELECT o_orderkey,
+      |  LEAST(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS updated_at,
+      |  CAST(1 AS BIGINT) AS valid_from,
+      |  CAST(CASE WHEN CAST(o_orderdate AS DATE) > DATE '1995-01-01'
+      |       THEN 2 ELSE 0 END AS BIGINT) AS valid_to
+      |FROM orders
+      |UNION ALL
+      |SELECT o_orderkey, CAST(o_orderdate AS DATE),
+      |  CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+      |FROM orders WHERE CAST(o_orderdate AS DATE) > DATE '1995-01-01'""".stripMargin
 }

@@ -468,6 +468,39 @@ class OperatorSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("q_scd2_timestamp: advanced keys version, capped keys carry v1 open") {
+    val d = run("q_scd2_timestamp").cache()
+    val orders = graft.sources.Tables(spark, dir).orders
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od")).cache()
+    val advanced = orders.filter(col("od") > lit("1995-01-01").cast("date")).count()
+    // advanced keys: one closed v1 interval + one open v2 interval
+    assert(d.filter(col("valid_from") === 1 && col("valid_to") === 2).count() == advanced)
+    assert(d.filter(col("valid_from") === 2 && col("valid_to") === 0).count() == advanced)
+    // every key has exactly one open interval
+    val open = d.filter(col("valid_to") === 0)
+    assert(open.count() == orders.select("o_orderkey").distinct().count())
+    // a touched-but-identical updated_at must NOT version: capped keys
+    // keep their single v1 row
+    assert(d.count() == orders.count() + advanced)
+    orders.unpersist(); d.unpersist()
+  }
+
+  test("q_check_store_failures: catalog reflects the materialized audit tables") {
+    val d = run("q_check_store_failures").cache()
+    assert(d.count() == 2)
+    val byName = d.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // relationships has zero orphans in this data → the EMPTY-store path
+    assert(byName("relationships_user_id") == ((0L, 0L)))
+    // accepted_values stores the out-of-domain rows; checksum over a
+    // non-empty store must be > 0 and the count must match the A14 sum
+    val (n, ck) = byName("accepted_values_o_orderstatus")
+    val expected = graft.sources.Tables(spark, dir).orders
+      .filter(!col("o_orderstatus").isin("O", "F")).count()
+    assert(n == expected && expected > 0)
+    assert(ck > 0)
+    d.unpersist()
+  }
+
   test("q_embed_quantize: quantized values bounded by int8 range") {
     val d = run("q_embed_quantize").cache()
     (0 until 4).foreach { i =>
