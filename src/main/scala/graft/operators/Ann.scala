@@ -289,8 +289,11 @@ object Ann {
     * after). Hash-verified since round 7: the fixed-point assignment
     * dots make the whole train→serve chain restatable as [[annIvfSql]].
     */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val idxPath = ivfIndexCache.computeIfAbsent(ivfCacheKey(spark, dir), _ => {
+  /** Build-once path to the persisted index for `dir`'s corpus (the
+    * computeIfAbsent body shared by every IVF consumer).
+    */
+  private def ivfIndexPath(spark: SparkSession, dir: String): String =
+    ivfIndexCache.computeIfAbsent(ivfCacheKey(spark, dir), _ => {
       // persist the working set across the Lloyd iterations (each round
       // is a separate job; without this every round re-reads + reshuffles
       // the corpus — the standard iterative-training persist pattern)
@@ -305,10 +308,43 @@ object Ann {
       saveIvfIndex(spark, centroids, p)
       p
     })
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
     // queries probe nprobe=2 cells (their own + runner-up)
     annIvfServe(Tables(spark, dir).embeddings,
-      loadIvfIndex(spark, idxPath))
+      loadIvfIndex(spark, ivfIndexPath(spark, dir)))
+
+  /** C7d: IVF index health audit — per-cell population and share, the
+    * balance gate every production vector index ships next to C7c's
+    * recall gate (a skewed cell turns nprobe scans quadratic exactly
+    * where the data is densest; rebalance = retrain with more cells or
+    * better seeding). One groupBy(cell) over the map-side assignment;
+    * the 1-row total enters as a broadcast, never a driver value.
+    */
+  def ivfStats(spark: SparkSession, dir: String): DataFrame = {
+    val centroids = loadIvfIndex(spark, ivfIndexPath(spark, dir))
+    val celled = Tables(spark, dir).embeddings.withColumn("cell",
+      NativeExprs.cell_probe(col("embedding"), centroids, 1)(0))
+    val tot = celled.agg(count(lit(1)).as("n_total"))
+    celled.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"), col("n_total"),
+        // floor-rounding idiom (§8d), identical divide in the oracle
+        (floor(col("n_vecs").cast("double") / col("n_total") * 1e6 + lit(0.5)) / 1e6)
+          .as("share"))
   }
+
+  /** Oracle restatement of [[ivfStats]] (C7d): the final assignment
+    * frame of the unrolled k-means pipeline, grouped by cell.
+    */
+  lazy val ivfStatsSql: String =
+    s"""WITH $ivfPipelineSql,
+       |cells AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM af GROUP BY cell),
+       |tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total FROM cells)
+       |SELECT cell, n_vecs, n_total,
+       |  floor(CAST(n_vecs AS DOUBLE) / n_total * 1000000.0 + 0.5) / 1000000.0 AS share
+       |FROM cells CROSS JOIN tot""".stripMargin
 
   /** C7c: ANN index evaluation — recall@k of the IVF index (C7b)
     * against brute-force exact top-k (C6), per query. The quality gate

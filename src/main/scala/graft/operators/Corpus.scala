@@ -318,6 +318,126 @@ object Corpus {
       |  start_tok // 256 AS seq_id, start_tok % 256 AS seq_off
       |FROM p""".stripMargin
 
+  /** C29b: packing-efficiency audit over C29's layout. GPT-style
+    * concatenation has ZERO padding by construction, so the diagnostic
+    * that matters is FRAGMENTATION: docs that straddle a 256-token
+    * sequence boundary lose attention context at the split (the metric
+    * behind "document-aware" packers à la best-fit bin packing).
+    * One summary row: corpus size, sequence count, straddling docs and
+    * their token mass, docs-per-sequence. All counts are exact integers
+    * off the same distributed prefix layout C29 ships — the audit costs
+    * one aggregate over the already-paid pass.
+    */
+  def packStats(spark: SparkSession, dir: String): DataFrame = {
+    val packed = seqPack(spark, dir)
+      .withColumn("straddles",
+        expr("start_tok DIV 256") =!= expr("(start_tok + n_tokens - 1) DIV 256"))
+    packed.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("straddles"), 1L).otherwise(0L)).as("n_straddling"),
+        sum(when(col("straddles"), col("n_tokens")).otherwise(0L))
+          .as("straddling_tokens"))
+      .select(col("n_docs"), col("n_tokens"),
+        expr("(n_tokens + 255) DIV 256").as("n_seqs"),
+        col("n_straddling"), col("straddling_tokens"),
+        (floor(col("n_straddling").cast("double") / col("n_docs") * 1e6 + lit(0.5)) / 1e6)
+          .as("straddle_frac"),
+        (floor(col("n_docs").cast("double")
+          / expr("(n_tokens + 255) DIV 256") * 1e4 + lit(0.5)) / 1e4)
+          .as("docs_per_seq"))
+  }
+
+  val packStatsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS start_tok
+      |  FROM d),
+      |a AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(CASE WHEN start_tok // 256
+      |                    <> (start_tok + n_tokens - 1) // 256
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling,
+      |    CAST(SUM(CASE WHEN start_tok // 256
+      |                    <> (start_tok + n_tokens - 1) // 256
+      |             THEN n_tokens ELSE 0 END) AS BIGINT) AS straddling_tokens
+      |  FROM p)
+      |SELECT n_docs, n_tokens, (n_tokens + 255) // 256 AS n_seqs,
+      |  n_straddling, straddling_tokens,
+      |  floor(CAST(n_straddling AS DOUBLE) / n_docs * 1000000.0 + 0.5) / 1000000.0
+      |    AS straddle_frac,
+      |  floor(CAST(n_docs AS DOUBLE) / ((n_tokens + 255) // 256) * 10000.0 + 0.5) / 10000.0
+      |    AS docs_per_seq
+      |FROM a""".stripMargin
+
+  /** C80: the dataset card — the per-source release summary every
+    * public corpus ships (docs, token counts and corpus share,
+    * language spread, exact-dup load, size profile), composed from the
+    * same exact-integer partials the standalone faces use. Shuffles:
+    * one (md5-of-text, source) exchange for the dup census and one
+    * |sources|-row aggregate; the corpus total re-enters as a 1-row
+    * broadcast. Every double final goes through the §8d floor idiom,
+    * so the whole card is hash-stable cross-engine.
+    */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("source"), col("lang"), col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("text")).as("h"))
+    val dupH = docs.groupBy(col("h")).agg(count(lit(1)).as("n_copies"))
+    val flagged = docs.join(dupH, "h")
+      .withColumn("is_dup", col("n_copies") > 1)
+    val perSource = flagged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"))
+    val tot = perSource.agg(sum(col("n_tokens")).as("tot_tokens"))
+    perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+        col("n_dup_docs"),
+        (floor(col("n_tokens").cast("double") / col("tot_tokens") * 1e6 + lit(0.5)) / 1e6)
+          .as("token_share"),
+        (floor(col("n_dup_docs").cast("double") / col("n_docs") * 1e6 + lit(0.5)) / 1e6)
+          .as("dup_frac"),
+        (floor(col("n_chars").cast("double") / col("n_docs") * 1e4 + lit(0.5)) / 1e4)
+          .as("avg_chars"))
+  }
+
+  val datasetCardSql: String =
+    """WITH d AS (
+      |  SELECT source, lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    md5(text) AS h
+      |  FROM documents),
+      |dup AS (SELECT h, COUNT(*) AS n_copies FROM d GROUP BY h),
+      |s AS (
+      |  SELECT source,
+      |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |    CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+      |  FROM d JOIN dup USING (h) GROUP BY source),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens FROM s)
+      |SELECT source, n_docs, n_tokens, n_langs, n_dup_docs,
+      |  floor(CAST(n_tokens AS DOUBLE) / tot_tokens * 1000000.0 + 0.5) / 1000000.0
+      |    AS token_share,
+      |  floor(CAST(n_dup_docs AS DOUBLE) / n_docs * 1000000.0 + 0.5) / 1000000.0
+      |    AS dup_frac,
+      |  floor(CAST(n_chars AS DOUBLE) / n_docs * 10000.0 + 0.5) / 10000.0
+      |    AS avg_chars
+      |FROM s CROSS JOIN tot""".stripMargin
+
   /** C61: weighted systematic sampling — exactly k=100 draws (with
     * replacement) where each document's pick count is proportional to
     * its size: the sampler behind size-weighted corpus mixing and

@@ -1257,4 +1257,133 @@ object Extras {
       |  round(CAST(MIN(price_c) AS DOUBLE) / 100.0, 2) AS median_price,
       |  MAX(tw) AS total_qty
       |FROM p WHERE cum * 2 >= tw GROUP BY flag""".stripMargin
+
+  /** E80: single change-point detection over daily revenue — the split
+    * day maximizing the between-segment contrast
+    * `(m₁−m₂)²·k·(n−k)/n` (the CUSUM-family scan statistic; A32 plots
+    * the trajectory, this NAMES the break). Daily revenue aggregates to
+    * exact integer cents first, so the only window is over the
+    * |days|-bounded frame (calendar domain, never rows); the score is
+    * ONE shared IEEE expression over exact integer prefix sums —
+    * bit-identical cross-engine, so the argmax needs no rounding to
+    * agree. Driver-free: the 1-row total enters as a broadcast, the
+    * argmax is a top-1 sort of |days| scored rows.
+    */
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(spark, dir).lineitem
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("rev_c"))
+    val run = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = daily.select(col("day"),
+      row_number().over(Window.orderBy(col("day"))).cast("long").as("k"),
+      sum(col("rev_c")).over(run).as("s1"))
+    val tot = daily.agg(sum(col("rev_c")).as("s"), count(lit(1)).as("n"))
+    val m1 = col("s1").cast("double") / 100.0 / col("k")
+    val m2 = (col("s") - col("s1")).cast("double") / 100.0 / (col("n") - col("k"))
+    val d = m1 - m2
+    val score = d * d * col("k") * (col("n") - col("k")) / col("n")
+    p.crossJoin(broadcast(tot))
+      .filter(col("k") < col("n"))
+      .select(col("day").as("split_day"), col("n").as("n_days"),
+        (floor(m1 * 1e4 + lit(0.5)) / 1e4).as("mean_before"),
+        (floor(m2 * 1e4 + lit(0.5)) / 1e4).as("mean_after"),
+        score.as("score_raw"))
+      .orderBy(col("score_raw").desc, col("split_day"))
+      .limit(1)
+      .select(col("split_day"), col("n_days"), col("mean_before"),
+        col("mean_after"),
+        (floor(col("score_raw") * 1e4 + lit(0.5)) / 1e4).as("score"))
+  }
+
+  val changepointSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS day,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM lineitem GROUP BY 1),
+      |p AS (
+      |  SELECT day,
+      |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+      |    CAST(SUM(rev_c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s1
+      |  FROM daily),
+      |t AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM daily),
+      |sc AS (
+      |  SELECT day, n,
+      |    CAST(s1 AS DOUBLE) / 100.0 / k AS m1,
+      |    CAST(s - s1 AS DOUBLE) / 100.0 / (n - k) AS m2,
+      |    (CAST(s1 AS DOUBLE) / 100.0 / k - CAST(s - s1 AS DOUBLE) / 100.0 / (n - k))
+      |      * (CAST(s1 AS DOUBLE) / 100.0 / k - CAST(s - s1 AS DOUBLE) / 100.0 / (n - k))
+      |      * k * (n - k) / n AS score_raw
+      |  FROM p CROSS JOIN t WHERE k < n)
+      |SELECT day AS split_day, n AS n_days,
+      |  floor(m1 * 10000.0 + 0.5) / 10000.0 AS mean_before,
+      |  floor(m2 * 10000.0 + 0.5) / 10000.0 AS mean_after,
+      |  floor(score_raw * 10000.0 + 0.5) / 10000.0 AS score
+      |FROM sc ORDER BY score_raw DESC, split_day LIMIT 1""".stripMargin
+
+  /** E81: per-year winsorized price statistics — the robust mean after
+    * clipping at rank-based p05/p95 (C69's no-interpolated-percentile
+    * discipline: order-statistic VALUES, never engine quantile
+    * builtins). Scale shape is E69's: aggregate to (year, price-cents)
+    * CELLS first — bounded by the price domain, not row count — then
+    * window over the small cells frame for cumulative counts; the clip
+    * re-enters as a |years|-row broadcast join and the winsorized sum
+    * is exact integer cents end to end.
+    */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables(spark, dir).lineitem
+      .groupBy(year(col("l_shipdate")).as("yr"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("price_c"))
+      .agg(count(lit(1)).as("w"))
+    val run = Window.partitionBy(col("yr")).orderBy(col("price_c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("yr"))
+    val p = cells.select(col("yr"), col("price_c"), col("w"),
+      sum(col("w")).over(run).as("cum"), sum(col("w")).over(tot).as("n"))
+    val bounds = p.groupBy(col("yr")).agg(
+      max(col("n")).as("n_rows"),
+      min(when(col("cum") >= expr("((n - 1) * 5) div 100 + 1"), col("price_c")))
+        .as("p05_c"),
+      min(when(col("cum") >= expr("((n - 1) * 95) div 100 + 1"), col("price_c")))
+        .as("p95_c"))
+    cells.join(broadcast(bounds), "yr")
+      .groupBy(col("yr"))
+      .agg(max(col("n_rows")).as("n_rows"),
+        max(col("p05_c")).as("p05_c"), max(col("p95_c")).as("p95_c"),
+        sum(col("w") * least(greatest(col("price_c"), col("p05_c")), col("p95_c")))
+          .as("clip_sum_c"))
+      .select(col("yr"), col("n_rows"),
+        round(col("p05_c").cast("double") / 100.0, 2).as("p05"),
+        round(col("p95_c").cast("double") / 100.0, 2).as("p95"),
+        (floor(col("clip_sum_c").cast("double") / 100.0 / col("n_rows") * 1e4
+          + lit(0.5)) / 1e4).as("winsorized_mean"))
+  }
+
+  val winsorizeSql: String =
+    """WITH cells AS (
+      |  SELECT CAST(year(l_shipdate) AS INTEGER) AS yr,
+      |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+      |    CAST(COUNT(*) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |p AS (
+      |  SELECT yr, price_c, w,
+      |    CAST(SUM(w) OVER (PARTITION BY yr ORDER BY price_c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(SUM(w) OVER (PARTITION BY yr) AS BIGINT) AS n
+      |  FROM cells),
+      |bounds AS (
+      |  SELECT yr, MAX(n) AS n_rows,
+      |    MIN(CASE WHEN cum >= ((n - 1) * 5) // 100 + 1 THEN price_c END) AS p05_c,
+      |    MIN(CASE WHEN cum >= ((n - 1) * 95) // 100 + 1 THEN price_c END) AS p95_c
+      |  FROM p GROUP BY yr)
+      |SELECT c.yr, MAX(n_rows) AS n_rows,
+      |  round(CAST(MAX(p05_c) AS DOUBLE) / 100.0, 2) AS p05,
+      |  round(CAST(MAX(p95_c) AS DOUBLE) / 100.0, 2) AS p95,
+      |  floor(CAST(SUM(w * LEAST(GREATEST(price_c, p05_c), p95_c)) AS DOUBLE)
+      |    / 100.0 / MAX(n_rows) * 10000.0 + 0.5) / 10000.0 AS winsorized_mean
+      |FROM cells c JOIN bounds b ON c.yr = b.yr
+      |GROUP BY c.yr""".stripMargin
 }

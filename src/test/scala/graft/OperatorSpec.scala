@@ -501,6 +501,62 @@ class OperatorSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("q_changepoint: the argmax split beats both trivial neighbors") {
+    val r = run("q_changepoint").head
+    assert(r.getAs[Long]("n_days") > 2)
+    assert(r.getAs[Double]("score") >= 0.0)
+    // the reported means really differ (a zero-contrast corpus would
+    // make every split score 0 and the tiebreak pick day 1)
+    assert(r.getAs[Double]("mean_before") != r.getAs[Double]("mean_after"))
+  }
+
+  test("q_winsorize: clip bounds are order statistics, mean within them") {
+    val d = run("q_winsorize").cache()
+    assert(d.count() == 7) // shipdate years in the TPC-H-ish data
+    assert(d.filter(col("p05") > col("p95")).count() == 0)
+    assert(d.filter(col("winsorized_mean") < col("p05")
+      || col("winsorized_mean") > col("p95")).count() == 0)
+    // robust mean must be finite and positive on price data
+    assert(d.filter(col("winsorized_mean") <= 0).count() == 0)
+    d.unpersist()
+  }
+
+  test("q_ivf_stats: cell census covers the corpus, shares sum to ~1") {
+    val d = run("q_ivf_stats").cache()
+    assert(d.count() <= 8) // at most the trained cell count
+    val total = graft.sources.Tables(spark, dir).embeddings.count()
+    assert(d.agg(sum("n_vecs")).head.getLong(0) == total)
+    val shareSum = d.agg(sum("share")).head.getDouble(0)
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
+    d.unpersist()
+  }
+
+  test("q_pack_stats: fragmentation census consistent with the packed layout") {
+    val d = run("q_pack_stats").head
+    val packed = run("q_seq_pack").cache()
+    assert(d.getAs[Long]("n_docs") == packed.count())
+    // straddling docs recomputed off the layout itself
+    val straddling = packed.filter(
+      expr("start_tok DIV 256") =!= expr("(start_tok + n_tokens - 1) DIV 256")).count()
+    assert(d.getAs[Long]("n_straddling") == straddling)
+    assert(d.getAs[Double]("straddle_frac") >= 0.0 && d.getAs[Double]("straddle_frac") <= 1.0)
+    // every sequence id the packer assigned fits under n_seqs
+    assert(packed.agg(max(expr("(start_tok + n_tokens - 1) DIV 256"))).head.getLong(0)
+      < d.getAs[Long]("n_seqs"))
+    packed.unpersist()
+  }
+
+  test("q_dataset_card: per-source census reconciles with the corpus") {
+    val d = run("q_dataset_card").cache()
+    val docs = graft.sources.Tables(spark, dir).documents
+    assert(d.agg(sum("n_docs")).head.getLong(0) == docs.count())
+    val shareSum = d.agg(sum("token_share")).head.getDouble(0)
+    assert(math.abs(shareSum - 1.0) < 1e-3, s"token shares sum to $shareSum")
+    assert(d.filter(col("dup_frac") < 0 || col("dup_frac") > 1).count() == 0)
+    assert(d.filter(col("n_dup_docs") > col("n_docs")).count() == 0)
+    d.unpersist()
+  }
+
   test("q_embed_quantize: quantized values bounded by int8 range") {
     val d = run("q_embed_quantize").cache()
     (0 until 4).foreach { i =>
