@@ -438,6 +438,91 @@ object Corpus {
       |    AS avg_chars
       |FROM s CROSS JOIN tot""".stripMargin
 
+  /** C81: class-balanced downsampling — every (lang) class cut to the
+    * size of the SMALLEST class, members chosen by the deterministic
+    * hash order (C28's shuffle key, so the kept set is a uniform
+    * pseudorandom sample and reproducible run-to-run). The balancing
+    * step before training a classifier on skewed labels. Scale shape:
+    * the min class size is a |classes|-row aggregate re-entering as a
+    * 1-row broadcast; the per-class rank is one keyed window whose
+    * partitions are the classes themselves (each holds only its own
+    * members); kept rows ship, dropped rows die map-side after the
+    * rank filter.
+    */
+  def classBalance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"), shuffleKey.as("u"))
+    val minSize = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("k"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("u"), col("doc_id"))
+    d.withColumn("rk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(minSize))
+      .filter(col("rk") <= col("k"))
+      .select(col("lang"), col("rk"), col("doc_id"))
+  }
+
+  val classBalanceSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, $shuffleKeySql AS u FROM documents),
+       |k AS (SELECT CAST(MIN(n) AS BIGINT) AS k FROM (
+       |  SELECT COUNT(*) AS n FROM d GROUP BY lang)),
+       |r AS (
+       |  SELECT lang, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS BIGINT) AS rk
+       |  FROM d)
+       |SELECT lang, rk, doc_id FROM r CROSS JOIN k WHERE rk <= k.k""".stripMargin
+
+  /** C82: incremental dedup — the ingestion-time shape real corpora
+    * run nightly: dedup a NEW batch against the EXISTING corpus's
+    * persisted fingerprint store plus itself, without ever rescanning
+    * existing text. Here the corpus splits deterministically into
+    * existing (doc hash-bucket < 80%) and the new batch (≥ 80%); the
+    * existing side contributes ONLY (16-byte md5, min doc_id)
+    * fingerprints — what the store persists — and each new doc reports
+    * whether it duplicates the store, an earlier new doc, or is novel.
+    * Exchange: fingerprint keys only; text never shuffles.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        (shuffleKey % 10L).as("b"))
+    val existing = d.filter(col("b") < 8)
+    val batch = d.filter(col("b") >= 8)
+    val store = existing.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("store_doc"))
+    // earlier-in-batch dup: the min doc_id per hash within the batch
+    val batchMin = batch.groupBy(col("h")).agg(min(col("doc_id")).as("first_new"))
+    batch.join(store, Seq("h"), "left")
+      .join(batchMin, Seq("h"))
+      .select(col("doc_id"),
+        col("store_doc").isNotNull.as("dup_of_store"),
+        (col("doc_id") > col("first_new")).as("dup_in_batch"),
+        coalesce(col("store_doc"), col("first_new")).as("canonical_doc"))
+      .withColumn("verdict",
+        when(col("dup_of_store"), lit("dup_store"))
+          .when(col("dup_in_batch"), lit("dup_batch"))
+          .otherwise(lit("novel")))
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, md5(text) AS h, ($shuffleKeySql) % 10 AS b
+       |  FROM documents),
+       |existing AS (SELECT * FROM d WHERE b < 8),
+       |batch AS (SELECT * FROM d WHERE b >= 8),
+       |store AS (SELECT h, MIN(doc_id) AS store_doc FROM existing GROUP BY h),
+       |bm AS (SELECT h, MIN(doc_id) AS first_new FROM batch GROUP BY h)
+       |SELECT batch.doc_id,
+       |  store.store_doc IS NOT NULL AS dup_of_store,
+       |  batch.doc_id > bm.first_new AS dup_in_batch,
+       |  COALESCE(store.store_doc, bm.first_new) AS canonical_doc,
+       |  CASE WHEN store.store_doc IS NOT NULL THEN 'dup_store'
+       |       WHEN batch.doc_id > bm.first_new THEN 'dup_batch'
+       |       ELSE 'novel' END AS verdict
+       |FROM batch LEFT JOIN store ON batch.h = store.h
+       |JOIN bm ON batch.h = bm.h""".stripMargin
+
   /** C61: weighted systematic sampling — exactly k=100 draws (with
     * replacement) where each document's pick count is proportional to
     * its size: the sampler behind size-weighted corpus mixing and

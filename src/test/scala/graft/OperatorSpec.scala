@@ -501,6 +501,33 @@ class OperatorSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("q_class_balance: every class cut to exactly the smallest class size") {
+    val d = run("q_class_balance").cache()
+    val sizes = d.groupBy("lang").count().select("count").distinct().collect()
+    assert(sizes.length == 1, "balanced classes must all have equal size")
+    val docs = graft.sources.Tables(spark, dir).documents
+    val minClass = docs.groupBy("lang").count().agg(min("count")).head.getLong(0)
+    assert(sizes.head.getLong(0) == minClass)
+    // kept rows are real docs, each at most once
+    assert(d.select("doc_id").distinct().count() == d.count())
+    d.unpersist()
+  }
+
+  test("q_dedup_incremental: verdicts partition the batch, canonicals precede") {
+    val d = run("q_dedup_incremental").cache()
+    assert(d.count() > 0)
+    // verdict is a function of the two flags
+    assert(d.filter(col("verdict") === "dup_store" && !col("dup_of_store")).count() == 0)
+    assert(d.filter(col("verdict") === "novel"
+      && (col("dup_of_store") || col("dup_in_batch"))).count() == 0)
+    // a canonical doc never comes after the doc it canonicalizes
+    // unless it lives in the store (store docs may have any id below
+    // the batch split — but batch-internal canonicals must precede)
+    assert(d.filter(col("verdict") === "dup_batch"
+      && col("canonical_doc") >= col("doc_id")).count() == 0)
+    d.unpersist()
+  }
+
   test("q_changepoint: the argmax split beats both trivial neighbors") {
     val r = run("q_changepoint").head
     assert(r.getAs[Long]("n_days") > 2)
