@@ -965,6 +965,48 @@ object Extras {
       |       (SELECT COUNT(*) FROM c) AS n_view_click,
       |       (SELECT COUNT(*) FROM p) AS n_full_funnel""".stripMargin
 
+  /** E83: TIME-CONSTRAINED funnel — E24 with conversion windows, the
+    * attribution shape marketing analytics actually runs: first view,
+    * first click within 1 HOUR of it, first purchase within 24 HOURS
+    * of that click. Stage times are per-user integer-µs minima (time-
+    * only, so ties collapse and no id tiebreak is needed); each stage
+    * is one user-keyed join + aggregate against the previous stage's
+    * bounded frame, and the three stage counts compose via 1-row
+    * broadcast cross joins — no driver-side counting.
+    */
+  def funnelWindowed(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"), nsToUs(col("ts")).as("t"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("t")).as("tv"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("t") > col("tv") && col("t") <= col("tv") + 3600000000L)
+      .groupBy("user_id").agg(min(col("t")).as("tc"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("t") > col("tc") && col("t") <= col("tc") + 86400000000L)
+      .groupBy("user_id").agg(min(col("t")).as("tp"))
+    v.agg(count(lit(1)).as("n_view_users"))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_click_1h"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase_24h"))))
+  }
+
+  val funnelWindowedSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+      |v AS (SELECT user_id, MIN(t) AS tv FROM e
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(t) AS tc FROM e JOIN v ON e.user_id = v.user_id
+      |      WHERE event_type = 'click' AND t > tv AND t <= tv + 3600000000
+      |      GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(t) AS tp FROM e JOIN c ON e.user_id = c.user_id
+      |      WHERE event_type = 'purchase' AND t > tc AND t <= tc + 86400000000
+      |      GROUP BY e.user_id)
+      |SELECT (SELECT COUNT(*) FROM v) AS n_view_users,
+      |       (SELECT COUNT(*) FROM c) AS n_click_1h,
+      |       (SELECT COUNT(*) FROM p) AS n_purchase_24h""".stripMargin
+
   /** E25: retention cohorts — users grouped by their first active
     * month; per (cohort, months-since) count of still-active users.
     * Distinct (user, month) first (the only full-width exchange), then

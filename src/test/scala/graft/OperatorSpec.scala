@@ -501,6 +501,17 @@ class OperatorSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("q_funnel_windowed: stages shrink monotonically and never exceed E24") {
+    val r = run("q_funnel_windowed").head
+    val (nv, nc, np) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nv >= nc && nc >= np, s"funnel must narrow: $nv >= $nc >= $np")
+    assert(nv > 0)
+    // the windowed funnel is a strict subset of the unwindowed one
+    val u = run("q_funnel").head
+    assert(nc <= u.getAs[Long]("n_view_click"))
+    assert(np <= u.getAs[Long]("n_full_funnel"))
+  }
+
   test("q_class_balance: every class cut to exactly the smallest class size") {
     val d = run("q_class_balance").cache()
     val sizes = d.groupBy("lang").count().select("count").distinct().collect()

