@@ -285,4 +285,67 @@ object Interop {
       |WHERE o_custkey % 256 < 32
       |  AND date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256 < 32
       |GROUP BY o_orderstatus""".stripMargin
+
+  /** The exchange-free join pair behind E86: both fact tables
+    * persisted BUCKETED on the join key (`bucketBy(n, key)` +
+    * `sortBy`, one file per bucket via a pre-write repartition on the
+    * key), so a later join on that key reads co-located buckets and
+    * needs NO shuffle on either side — at 100 TB this is the
+    * difference between a join that moves 100 TB twice and one that
+    * moves nothing (the warehouse paid the exchange ONCE, at write
+    * time, for every future join to amortize). Exposed separately so
+    * PlanSpec can pin the physical plan: a SortMergeJoin with zero
+    * ShuffleExchange below it.
+    */
+  def bucketedJoinPair(spark: SparkSession, dir: String, buckets: Int = 8)
+      : (DataFrame, () => Unit) = {
+    val t = Tables(spark, dir)
+    val suffix = java.lang.Long.toHexString(System.nanoTime())
+    val liT = s"graft_bkt_li_$suffix"
+    val oT = s"graft_bkt_o_$suffix"
+    val base = tempDir("graft_bucket")
+    t.lineitem.select(col("l_orderkey"), col("l_extendedprice"))
+      .repartition(buckets, col("l_orderkey"))
+      .write.bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$base/li").mode("overwrite").saveAsTable(liT)
+    t.orders.select(col("o_orderkey"), col("o_orderpriority"))
+      .repartition(buckets, col("o_orderkey"))
+      .write.bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$base/o").mode("overwrite").saveAsTable(oT)
+    // merge hint: the point is the exchange-free SortMergeJoin, not a
+    // broadcast that small-SF AQE would otherwise pick
+    val joined = spark.table(liT).hint("merge")
+      .join(spark.table(oT), col("l_orderkey") === col("o_orderkey"))
+    val cleanup = () => {
+      spark.sql(s"DROP TABLE IF EXISTS $liT")
+      spark.sql(s"DROP TABLE IF EXISTS $oT"): Unit
+    }
+    (joined, cleanup)
+  }
+
+  /** E86 `q_bucket_join`: the bucketed co-located join, end to end —
+    * write both sides bucketed on the join key, join WITHOUT a
+    * shuffle, aggregate revenue per order priority. The result is
+    * materialized before the catalog entries drop (the external-table
+    * files live in scratch space for the session), so the face stays
+    * a pure (spark, dir) ⇒ DataFrame. The oracle is the plain join —
+    * bucketing must change the PLAN, never the ANSWER.
+    */
+  def bucketJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (joined, cleanup) = bucketedJoinPair(spark, dir)
+    val out = tempDir("graft_bucket_res") + "/result"
+    try joined.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        graft.functions.Fns.decSum(col("l_extendedprice")).as("revenue"))
+      .coalesce(1).write.mode("overwrite").parquet(out)
+    finally cleanup()
+    spark.read.parquet(out)
+  }
+
+  val bucketJoinSql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
 }

@@ -1811,4 +1811,169 @@ object Mining {
       |                - floor(CAST(SUM(cst * lnterm) AS DECIMAL(26,6))) AS DOUBLE))
       |        / CAST(MAX(n_s) AS DOUBLE), 6) AS kl
       |FROM terms GROUP BY 1""".stripMargin
+
+  /** Rank-based median of `valueCol` over a BOUNDED frame, as a 1-row
+    * (np, med) result — the cells + distributed-prefix discipline (E69)
+    * with the standard both-middles average: cells = (value, weight),
+    * running weight via [[Corpus.prefixSum]] (never an unpartitioned
+    * window), med = (value at rank ⌈n/2⌉ + value at rank ⌊n/2⌋+1) / 2.
+    * Both middles are exact doubles and their mean is one IEEE add +
+    * one halving — bit-identical across engines.
+    */
+  private def boundedMedian(df: DataFrame, valueCol: Column): DataFrame = {
+    val cells = df.groupBy(valueCol.as("v")).agg(count(lit(1)).as("w"))
+    val cum = Corpus.prefixSum(cells, Seq(col("v")), "w", "cum0")
+      .select(col("v"), (col("cum0") + col("w")).as("cum"))
+    val tot = df.agg(count(lit(1)).as("np"))
+    cum.crossJoin(broadcast(tot))
+      .agg(
+        max(col("np")).as("np"),
+        min(when(col("cum") >= expr("(np + 1) DIV 2"), col("v"))).as("m_lo"),
+        min(when(col("cum") >= expr("np DIV 2 + 1"), col("v"))).as("m_hi"))
+      .select(col("np"), ((col("m_lo") + col("m_hi")) / 2).as("med"))
+  }
+
+  /** E84 `q_trend_robust`: Theil–Sen slope + Mann–Kendall trend test
+    * over the monthly revenue series — the robust replacement for an
+    * OLS fit when the series carries outliers (a promo spike should
+    * not own the slope). Slope = median of all pairwise slopes;
+    * Mann–Kendall S = Σ sign(revⱼ − revᵢ) with τ = S / (n(n−1)/2);
+    * intercept = median of (revᵢ − slope·monthᵢ).
+    *
+    * Scale shape: the corpus folds to the MONTH frame first (one
+    * map-combinable groupBy; the frame is bounded by the calendar, not
+    * the row count), so the O(T²) pair expansion is over ~84 rows at
+    * any SF — pairwise statistics are affordable exactly when they are
+    * pairwise over a DOMAIN, never over rows. Medians run through the
+    * cells + prefix-sum discipline ([[boundedMedian]]).
+    *
+    * Portability: revenues are exact integer cents; each pairwise
+    * slope is ONE long→double cast pair and ONE correctly-rounded IEEE
+    * division (identical bits in both engines); S and ranks are
+    * integers; τ rounds by the §8(d) floor idiom.
+    */
+  def trendRobust(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables(spark, dir).orders
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("m"))
+      .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("rev_c"))
+    val pairs = monthly.as("a")
+      .join(broadcast(monthly.as("b")), col("a.m") < col("b.m"))
+      .select(
+        ((col("b.rev_c") - col("a.rev_c")).cast("double")
+          / (col("b.m") - col("a.m")).cast("double")).as("slope"),
+        when(col("b.rev_c") > col("a.rev_c"), 1L)
+          .when(col("b.rev_c") < col("a.rev_c"), -1L).otherwise(0L).as("sgn"))
+    val mk = pairs.agg(count(lit(1)).as("n_pairs"), sum(col("sgn")).as("mk_s"))
+    val slopeMed = boundedMedian(pairs, col("slope"))
+      .select(col("med").as("ts_slope_c"))
+    val icand = monthly.crossJoin(broadcast(slopeMed))
+      .select((col("rev_c").cast("double")
+        - col("ts_slope_c") * col("m").cast("double")).as("ic"))
+    val icMed = boundedMedian(icand, col("ic"))
+      .select(col("np").as("n_months"), col("med").as("ts_intercept_c"))
+    icMed.crossJoin(broadcast(mk)).crossJoin(broadcast(slopeMed))
+      .select(col("n_months"), col("n_pairs"), col("mk_s"),
+        (floor(col("mk_s").cast("double") / col("n_pairs").cast("double")
+          * 1e6 + 0.5) / 1e6).as("mk_tau"),
+        col("ts_slope_c"), col("ts_intercept_c"))
+  }
+
+  val trendRobustSql: String =
+    """WITH monthly AS (
+      |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+      |  FROM orders GROUP BY 1),
+      |pairs AS (
+      |  SELECT CAST(b.rev_c - a.rev_c AS DOUBLE)
+      |      / CAST(b.m - a.m AS DOUBLE) AS slope,
+      |    CASE WHEN b.rev_c > a.rev_c THEN 1
+      |         WHEN b.rev_c < a.rev_c THEN -1 ELSE 0 END AS sgn
+      |  FROM monthly a JOIN monthly b ON a.m < b.m),
+      |mk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |              CAST(SUM(sgn) AS BIGINT) AS mk_s FROM pairs),
+      |scells AS (SELECT slope AS v, COUNT(*) AS w FROM pairs GROUP BY 1),
+      |scum AS (SELECT v, SUM(w) OVER (ORDER BY v) AS cum FROM scells),
+      |smed AS (SELECT
+      |    (MIN(CASE WHEN cum >= (n_pairs + 1) // 2 THEN v END)
+      |     + MIN(CASE WHEN cum >= n_pairs // 2 + 1 THEN v END)) / 2 AS ts_slope_c
+      |  FROM scum CROSS JOIN mk),
+      |icand AS (
+      |  SELECT CAST(rev_c AS DOUBLE) - ts_slope_c * CAST(m AS DOUBLE) AS v
+      |  FROM monthly CROSS JOIN smed),
+      |itot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_months FROM icand),
+      |icells AS (SELECT v, COUNT(*) AS w FROM icand GROUP BY 1),
+      |icum AS (SELECT v, SUM(w) OVER (ORDER BY v) AS cum FROM icells),
+      |imed AS (SELECT
+      |    (MIN(CASE WHEN cum >= (n_months + 1) // 2 THEN v END)
+      |     + MIN(CASE WHEN cum >= n_months // 2 + 1 THEN v END)) / 2
+      |      AS ts_intercept_c
+      |  FROM icum CROSS JOIN itot)
+      |SELECT n_months, n_pairs, mk_s,
+      |  FLOOR(CAST(mk_s AS DOUBLE) / CAST(n_pairs AS DOUBLE) * 1e6 + 0.5) / 1e6
+      |    AS mk_tau,
+      |  ts_slope_c, ts_intercept_c
+      |FROM itot CROSS JOIN mk CROSS JOIN smed CROSS JOIN imed""".stripMargin
+
+  /** E85 `q_hhi`: supplier-revenue concentration per nation — the
+    * Herfindahl–Hirschman index (Σ shareᵢ²) plus the CR1 top share,
+    * the standard "is this market a monopoly" gate (here: is one
+    * supplier carrying a nation's volume — the supply-chain-risk twin
+    * of E57's customer gini).
+    *
+    * Portability: shares are QUANTIZED to millionths by floor — an
+    * exact integer per supplier — so the HHI sum is an exact BIGINT
+    * (Σ share_ppm² ≤ 10¹²·|suppliers|, and the double view of a sum
+    * ≤ 10¹² is exact: < 2^53). No double is ever summed.
+    *
+    * Scale shape: lineitem folds map-side to the supplier frame (one
+    * suppkey exchange — the big shuffle, unavoidable and keyed);
+    * everything after is |suppliers|-frame arithmetic with the fixed
+    * 25-row nation dim broadcast.
+    */
+  def hhi(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val supRev = t.lineitem
+      .groupBy(col("l_suppkey"))
+      .agg((sum(dec(col("l_extendedprice"))) * 100).cast("long").as("c"))
+      .join(t.supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+    val natTot = supRev.groupBy(col("s_nationkey"))
+      .agg(sum(col("c")).as("tot"))
+    val shares = supRev.join(natTot, Seq("s_nationkey"))
+      .select(col("s_nationkey"),
+        floor(col("c").cast("double") / col("tot").cast("double") * 1e6)
+          .cast("long").as("share_ppm"))
+    shares.groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("share_ppm") * col("share_ppm")).as("hhi_e12"),
+        max(col("share_ppm")).as("top_ppm"))
+      .join(broadcast(Tables(spark, dir).nation
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n_suppliers"), col("hhi_e12"),
+        (col("hhi_e12").cast("double") / 1e12).as("hhi"),
+        (col("top_ppm").cast("double") / 1e6).as("top_share"))
+  }
+
+  val hhiSql: String =
+    """WITH sup AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1),
+      |sr AS (
+      |  SELECT s_nationkey, c FROM sup JOIN supplier ON l_suppkey = s_suppkey),
+      |nt AS (SELECT s_nationkey, CAST(SUM(c) AS BIGINT) AS tot
+      |       FROM sr GROUP BY 1),
+      |sh AS (
+      |  SELECT sr.s_nationkey,
+      |    CAST(FLOOR(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE) * 1e6) AS BIGINT)
+      |      AS share_ppm
+      |  FROM sr JOIN nt ON sr.s_nationkey = nt.s_nationkey)
+      |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+      |  CAST(SUM(share_ppm * share_ppm) AS BIGINT) AS hhi_e12,
+      |  CAST(CAST(SUM(share_ppm * share_ppm) AS BIGINT) AS DOUBLE) / 1e12 AS hhi,
+      |  CAST(MAX(share_ppm) AS DOUBLE) / 1e6 AS top_share
+      |FROM sh JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
 }

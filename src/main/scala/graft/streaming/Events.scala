@@ -737,6 +737,120 @@ object Events {
       .agg(count(col("click_event_id")).as("n_clicks"))
   }
 
+  /** D16 `q_stream_late`: the LATE-DATA AUDIT — what a watermark
+    * actually does to a real feed. The events table arrives in three
+    * deterministic waves (distinct file mtimes under
+    * `maxFilesPerTrigger=1`, so FileStreamSource's mtime order IS the
+    * arrival order): wave 0 = the on-time rows (`event_id % 7 ≠ 0`),
+    * wave 1 = ONE far-future filler row, wave 2 = the withheld late
+    * rows (`event_id % 7 = 0`). The hourly aggregate (D7's transform)
+    * runs in APPEND mode — the production emission mode, where each
+    * window is emitted exactly once, after the watermark proves it
+    * closed.
+    *
+    * Why the filler wave sits BETWEEN on-time and late (pinned
+    * empirically with a per-batch progress probe; Spark's stateful
+    * aggregation carries TWO watermarks): late-event FILTERING in
+    * batch N uses the EVICTION watermark of batch N−1, i.e. event-time
+    * stats through batch N−2 — one batch later than eviction. This is
+    * deliberate engine design (what was finalized under the previous
+    * eviction pass is exactly what must now be refused), but it means
+    * a late wave arriving directly after the on-time wave is judged
+    * against the PRE-on-time watermark (= unset) and sails in. The
+    * filler makes the lag land where the audit wants it: during the
+    * late wave, the filter watermark is `max(on-time) − 2 h` exactly.
+    * A late row is DROPPED iff its hour-window END ≤ that watermark
+    * (the watermark clock is MILLISECONDS, floored from the µs event
+    * time); survivors merge into still-open windows. Eviction during
+    * the late wave runs at `filler − 2 h`, so every REAL window is
+    * emitted by stream end, while the filler's own window (END >
+    * every watermark the run can reach) never materializes in the
+    * output. Note the filler is NOT filtered out in the plan: a
+    * `filter(event_type ≠ …)` above `withWatermark` gets pushed below
+    * the watermark node by Catalyst (the D15 trap) and the row would
+    * never reach the event-time stats at all.
+    *
+    * The emitted table is arrival-invariant GIVEN the staged wave
+    * order — which the face fixes by construction, making the batch
+    * restatement exact. Scale: state is bounded by the 2 h horizon
+    * regardless of feed length; the audit's "what did we lose" column
+    * is the count gap vs the raw batch rollup, visible as the
+    * oracle's drop rule. (dbt source freshness — A20 — is the batch
+    * cousin: both quantify arrival lag against a declared tolerance.)
+    */
+  def qStreamLate(spark: SparkSession, dir: String): DataFrame = withConf(
+      spark, "spark.sql.shuffle.partitions", "8") {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = s"$dir/events.parquet"
+    val raw = spark.read.parquet(path)
+    val schema = raw.schema
+    val feedDir = tempDir("graft_feed_late")
+    def stageWave(df: org.apache.spark.sql.DataFrame, n: Int, mtimeMs: Long): Unit = {
+      val tmp = tempDir(s"graft_late_wave$n")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val s = java.nio.file.Files.list(tmp)
+        try {
+          val it = s.iterator()
+          var found: java.nio.file.Path = null
+          while (it.hasNext && found == null) {
+            val f = it.next()
+            if (f.getFileName.toString.endsWith(".parquet")) found = f
+          }
+          require(found != null, s"stageWave: no parquet part under $tmp")
+          found
+        } finally s.close()
+      }
+      val dst = feedDir.resolve(f"part-$n%05d.parquet")
+      java.nio.file.Files.copy(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs)): Unit
+    }
+    val now = System.currentTimeMillis()
+    stageWave(raw.filter(col("event_id") % 7 =!= 0), 0, now - 60000)
+    // 1-row aggregate: the filler must outrun every real event time
+    val maxNs = Tables.normalizeEventTs(raw)
+      .agg(max(col("ts"))).head.getLong(0)
+    val filler = spark.range(1).select(schema.fields.map { f =>
+      (f.name match {
+        case "ts" =>
+          Tables.tsLiteralAs(lit(maxNs + 8640000000000000L), f.dataType)
+        case "event_id" | "user_id" => lit(-1L).cast(f.dataType)
+        case "event_type" => lit("__filler").cast(f.dataType)
+        case "value" => lit(0.0).cast(f.dataType)
+        case _ => lit("").cast(f.dataType)
+      }).as(f.name)
+    }: _*)
+    stageWave(filler, 1, now - 40000)
+    stageWave(raw.filter(col("event_id") % 7 === 0), 2, now - 20000)
+    val stream = Tables.normalizeEventTs(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir.toString))
+      .withColumn("event_ts", nsToTimestamp(col("ts")))
+      .withWatermark("event_ts", "2 hours")
+    val q = hourlyAgg(stream).writeStream
+      .outputMode("append").format("memory").queryName("q_stream_late_sink")
+      .trigger(Trigger.AvailableNow()).start()
+    try require(q.awaitTermination(300000),
+      "AvailableNow run did not self-terminate")
+    finally if (q.isActive) q.stop()
+    spark.table("q_stream_late_sink")
+  }
+
+  val qStreamLateSql: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type, value, epoch_us(ts) AS t_us FROM events),
+      |w AS (
+      |  SELECT (MAX(CASE WHEN event_id % 7 <> 0 THEN t_us END) // 1000)
+      |    - 7200000 AS wm_ms FROM e),
+      |kept AS (
+      |  SELECT e.* FROM e CROSS JOIN w
+      |  WHERE e.event_id % 7 <> 0
+      |     OR (t_us - (t_us % 3600000000) + 3600000000) // 1000 > wm_ms)
+      |SELECT make_timestamp(t_us - (t_us % 3600000000)) AS hour_start,
+      |  event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM kept GROUP BY 1, 2""".stripMargin
+
   val qStreamLeftJoinSql: String =
     """WITH e AS (
       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),

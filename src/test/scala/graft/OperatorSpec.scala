@@ -1024,4 +1024,85 @@ class OperatorSpec extends AnyFunSuite {
     assert(d.filter(col("n_docs") < 2).count() == 0)
     pairs.unpersist(); d.unpersist()
   }
+
+  test("q_k_anonymity: census reconciles with a direct QI group-by") {
+    val r = run("q_k_anonymity").head
+    val direct = graft.sources.Tables(spark, dir).customer
+      .groupBy(col("c_nationkey"), floor(col("c_acctbal") / 1000.0))
+      .agg(count(lit(1)).as("sz"))
+      .agg(min(col("sz")), count(lit(1)), sum(col("sz"))).head
+    assert(r.getAs[Long]("k_anonymity") == direct.getLong(0))
+    assert(r.getAs[Long]("n_classes") == direct.getLong(1))
+    assert(r.getAs[Long]("n_rows") == direct.getLong(2))
+    assert(r.getAs[Long]("n_unsafe_rows") <= r.getAs[Long]("n_rows"))
+    val share = r.getAs[Double]("unsafe_row_share")
+    assert(share >= 0.0 && share <= 1.0)
+    // l-diversity can never exceed k (a class of size k holds ≤ k values)
+    assert(r.getAs[Long]("l_diversity") >= 1)
+  }
+
+  test("q_dp_counts: mass conserved pre-noise, clamp holds, mechanism is seeded") {
+    val d = run("q_dp_counts").cache()
+    val docs = graft.sources.Tables(spark, dir).documents.count()
+    assert(d.agg(sum("n_true")).head.getLong(0) == docs)
+    assert(d.filter(col("n_noisy") < 0).count() == 0)
+    // clamp only ever rounds UP from a negative sum
+    assert(d.filter(col("n_noisy") =!= greatest(lit(0L),
+      col("n_true") + col("noise"))).count() == 0)
+    // α = 1/2 two-sided geometric: P(noise = 0) = 1/3 — with ~100
+    // groups the zero fraction must land well inside (0.1, 0.6)
+    val n = d.count().toDouble
+    val zeros = d.filter(col("noise") === 0).count().toDouble
+    assert(zeros / n > 0.1 && zeros / n < 0.6, s"zero share ${zeros / n}")
+    // seeded hash noise ⇒ bit-identical across runs
+    val again = run("q_dp_counts")
+    assert(d.except(again).count() == 0 && again.except(d).count() == 0)
+    d.unpersist()
+  }
+
+  test("q_trend_robust: pair count closes; tau bounded; slope inside the pair range") {
+    val r = run("q_trend_robust").head
+    val n = r.getAs[Long]("n_months")
+    assert(r.getAs[Long]("n_pairs") == n * (n - 1) / 2)
+    val tau = r.getAs[Double]("mk_tau")
+    assert(tau >= -1.0 && tau <= 1.0)
+    // the median of pairwise slopes lies between the extreme slopes
+    val monthly = graft.sources.Tables(spark, dir).orders
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("m"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("rev_c"))
+    val ext = monthly.as("a").join(monthly.as("b"), col("a.m") < col("b.m"))
+      .select(((col("b.rev_c") - col("a.rev_c")).cast("double")
+        / (col("b.m") - col("a.m")).cast("double")).as("s"))
+      .agg(min("s"), max("s")).head
+    val slope = r.getAs[Double]("ts_slope_c")
+    assert(slope >= ext.getDouble(0) && slope <= ext.getDouble(1))
+  }
+
+  test("q_hhi: bounds hold per nation and the supplier census closes") {
+    val d = run("q_hhi").cache()
+    // HHI ∈ [1/n, 1] up to ppm flooring; CR1 dominates: hhi ≤ top_share
+    assert(d.filter(col("hhi") > col("top_share") + 1e-9).count() == 0)
+    assert(d.filter(col("hhi") <= 0 || col("hhi") > 1.0).count() == 0)
+    assert(d.filter(col("top_share") * col("top_share") >
+      col("hhi") + 1e-6).count() == 0)
+    val t = graft.sources.Tables(spark, dir)
+    val active = t.lineitem.select(col("l_suppkey")).distinct().count()
+    assert(d.agg(sum("n_suppliers")).head.getLong(0) == active)
+    d.unpersist()
+  }
+
+  test("q_bucket_join: bucketing changes the plan, never the answer") {
+    val bucketed = run("q_bucket_join")
+    val plain = {
+      val t = graft.sources.Tables(spark, dir)
+      t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          graft.functions.Fns.decSum(col("l_extendedprice")).as("revenue"))
+    }
+    assert(bucketed.collect().map(_.toString).sorted
+      .sameElements(plain.collect().map(_.toString).sorted))
+  }
 }

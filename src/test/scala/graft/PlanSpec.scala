@@ -266,4 +266,30 @@ class PlanSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted
     assert(agg.sameElements(viaWindow))
   }
+
+  test("q_bucket_join: the bucketed join runs with ZERO exchange below it") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val (joined, cleanup) =
+      graft.operators.Interop.bucketedJoinPair(spark, dir)
+    try {
+      val agg = joined.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"))
+      // NOTE: collectAll walks AdaptiveSparkPlanExec.inputPlan, which
+      // predates EnsureRequirements (no Exchange nodes exist there yet)
+      // — pin this contract on the prepared plan's rendering instead.
+      val s = agg.queryExecution.executedPlan.toString
+      val lines = s.linesIterator.toVector
+      val smjAt = lines.indexWhere(_.contains("SortMergeJoin"))
+      assert(smjAt >= 0, s"expected a SortMergeJoin:\n$s")
+      val exchangeLines = lines.zipWithIndex
+        .filter(_._1.contains("Exchange hashpartitioning"))
+      // exactly one exchange in the whole plan — the final aggregate —
+      // and it sits ABOVE the join (nothing below the join shuffles)
+      assert(exchangeLines.size == 1, s"expected exactly 1 exchange:\n$s")
+      assert(exchangeLines.head._2 < smjAt,
+        s"the exchange must be the post-join aggregate, above the join:\n$s")
+      // both sides read their co-located buckets
+      assert("Bucketed: true".r.findAllIn(s).size == 2, s)
+    } finally cleanup()
+  }
 }

@@ -345,4 +345,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.except(batch).count() == 0)
     assert(batch.except(streamed).count() == 0)
   }
+
+  test("q_stream_late: append-mode emission equals the batch drop-rule restatement") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = Events.qStreamLate(spark, dir).cache()
+    // batch restatement of the pinned semantics: watermark (ms clock)
+    // from the ON-TIME wave only; a late row survives iff its
+    // hour-window END strictly clears that watermark
+    val ev = graft.sources.Tables(spark, dir).events
+      .select(col("event_id"), col("event_type"), col("value"),
+        graft.functions.Fns.nsToUs(col("ts")).as("t_us"))
+    val wmMs = ev.filter(col("event_id") % 7 =!= 0)
+      .agg(max(expr("t_us div 1000"))).head.getLong(0) - 7200000L
+    val kept = ev.filter(col("event_id") % 7 =!= 0 ||
+      expr(s"(t_us - (t_us % 3600000000) + 3600000000) div 1000") > wmMs)
+    val batch = kept
+      .groupBy(timestamp_micros(expr("t_us - (t_us % 3600000000)"))
+        .as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Fns.decSum(col("value")).as("total_value"))
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+    // the audit is non-vacuous: some late rows were genuinely dropped
+    val dropped = ev.filter(col("event_id") % 7 === 0 &&
+      expr(s"(t_us - (t_us % 3600000000) + 3600000000) div 1000") <= wmMs).count()
+    assert(dropped > 0, "late wave contained no droppable rows — audit is vacuous")
+    assert(streamed.agg(sum("n_events")).head.getLong(0) ==
+      ev.count() - dropped)
+    streamed.unpersist()
+  }
 }
