@@ -1365,4 +1365,55 @@ object Corpus {
       |  CAST(SUM(c * term) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS avg_bigram_logprob
       |FROM db JOIN terms ON db.bigram = terms.bigram
       |GROUP BY db.doc_id""".stripMargin
+
+  /** C83 `q_entity_split`: leakage-free ENTITY-level holdout — the
+    * events feed split 80/10/10 by a hash of `user_id`, never of the
+    * event row. C17 splits documents row-wise, which is correct for
+    * i.i.d. docs; for behavioral data a row-wise split leaks the same
+    * user's history across train and eval (the model "memorizes the
+    * user", eval overstates). Hashing the ENTITY key puts every event
+    * of a user on one side by construction.
+    *
+    * Output: per-split census (users, events, exact-decimal value
+    * sum, event share in exact ppm). The no-straddle property is the
+    * algebraic consequence of split = f(user_id); the spec asserts it
+    * by census (Σ per-split distinct users = global distinct users).
+    *
+    * Plan: split label is a map-side expression; one groupBy(split)
+    * with a distinct-user partial (×2 Expand, the documented A16
+    * contract); totals re-enter as a 1-row broadcast.
+    */
+  def entitySplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = (col("user_id") % 1000000L) * 2654435761L % 100L
+    val labeled = Tables(spark, dir).events
+      .select(col("user_id"), col("value"),
+        when(bucket < 80, "train").when(bucket < 90, "valid")
+          .otherwise("test").as("split"))
+    val per = labeled.groupBy(col("split"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        graft.functions.Fns.decSum(col("value")).as("total_value"))
+    val tot = per.agg(sum(col("n_events")).as("tot_events"))
+    per.crossJoin(broadcast(tot))
+      .select(col("split"), col("n_users"), col("n_events"),
+        col("total_value"),
+        expr("n_events * 1000000 DIV tot_events").as("event_share_ppm"))
+  }
+
+  val entitySplitSql: String =
+    """WITH labeled AS (
+      |  SELECT user_id, value,
+      |    CASE WHEN (user_id % 1000000) * 2654435761 % 100 < 80 THEN 'train'
+      |         WHEN (user_id % 1000000) * 2654435761 % 100 < 90 THEN 'valid'
+      |         ELSE 'test' END AS split
+      |  FROM events),
+      |per AS (
+      |  SELECT split, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |  FROM labeled GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS tot_events FROM per)
+      |SELECT split, n_users, n_events, total_value,
+      |  CAST(n_events * 1000000 // tot_events AS BIGINT) AS event_share_ppm
+      |FROM per CROSS JOIN tot""".stripMargin
 }

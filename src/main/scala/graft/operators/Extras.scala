@@ -1428,4 +1428,64 @@ object Extras {
       |    / 100.0 / MAX(n_rows) * 10000.0 + 0.5) / 10000.0 AS winsorized_mean
       |FROM cells c JOIN bounds b ON c.yr = b.yr
       |GROUP BY c.yr""".stripMargin
+
+  /** E87 `q_join_skew_audit`: the pre-flight skew census a 100 TB join
+    * runs BEFORE it runs — per-key fanout distribution of the
+    * lineitem⋈part key, the exact numbers that decide broadcast vs
+    * salt vs AQE skew-split: total keys/rows, max and p50/p99 fanout
+    * (rank-based over the fanout-domain cells — never an interpolated
+    * percentile), the self-equi-join output size Σc² (the "will it
+    * explode" estimate, an exact BIGINT), and the hottest key's row
+    * share in exact ppm.
+    *
+    * Plan shape: ONE map-combinable groupBy folds the fact to the
+    * (key → count) frame; a second narrow fold to (count → n_keys)
+    * cells bounds every window by the DISTINCT-FANOUT domain (≪ keys);
+    * the census is a 1-row aggregate. Nothing after the first exchange
+    * scales with the row count.
+    */
+  def joinSkewAudit(spark: SparkSession, dir: String): DataFrame = {
+    val perKey = Tables(spark, dir).lineitem
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+    val cells = perKey.groupBy(col("c")).agg(count(lit(1)).as("nk"))
+    val cum = Corpus.prefixSum(cells, Seq(col("c")), "nk", "cum0")
+      .select(col("c"), col("nk"), (col("cum0") + col("nk")).as("cum"))
+    val tot = cells.agg(sum(col("nk")).as("n_keys"),
+      sum(col("c") * col("nk")).as("n_rows"),
+      sum(col("c") * col("c") * col("nk")).as("selfjoin_rows"),
+      max(col("c")).as("max_fanout"))
+    cum.crossJoin(broadcast(tot))
+      .agg(
+        max(col("n_keys")).as("n_keys"),
+        max(col("n_rows")).as("n_rows"),
+        max(col("max_fanout")).as("max_fanout"),
+        min(when(col("cum") * 2 >= col("n_keys"), col("c"))).as("p50_fanout"),
+        min(when(col("cum") * 100 >= col("n_keys") * 99, col("c")))
+          .as("p99_fanout"),
+        max(col("selfjoin_rows")).as("selfjoin_rows"))
+      .select(col("n_keys"), col("n_rows"), col("max_fanout"),
+        col("p50_fanout"), col("p99_fanout"), col("selfjoin_rows"),
+        expr("max_fanout * 1000000 DIV n_rows").as("top_key_ppm"))
+  }
+
+  val joinSkewAuditSql: String =
+    """WITH pk AS (
+      |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1),
+      |cells AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS nk FROM pk GROUP BY 1),
+      |cum AS (
+      |  SELECT c, nk, SUM(nk) OVER (ORDER BY c) AS cum FROM cells),
+      |tot AS (
+      |  SELECT CAST(SUM(nk) AS BIGINT) AS n_keys,
+      |    CAST(SUM(c * nk) AS BIGINT) AS n_rows,
+      |    CAST(SUM(c * c * nk) AS BIGINT) AS selfjoin_rows,
+      |    CAST(MAX(c) AS BIGINT) AS max_fanout
+      |  FROM cells)
+      |SELECT MAX(n_keys) AS n_keys, MAX(n_rows) AS n_rows,
+      |  MAX(max_fanout) AS max_fanout,
+      |  MIN(CASE WHEN cum * 2 >= n_keys THEN c END) AS p50_fanout,
+      |  MIN(CASE WHEN cum * 100 >= n_keys * 99 THEN c END) AS p99_fanout,
+      |  MAX(selfjoin_rows) AS selfjoin_rows,
+      |  CAST(MAX(max_fanout) * 1000000 // MAX(n_rows) AS BIGINT) AS top_key_ppm
+      |FROM cum CROSS JOIN tot""".stripMargin
 }

@@ -1028,4 +1028,42 @@ object TextAnalysis {
       |    / SUM(len(string_split(text, ' '))) AS fertility
       |FROM documents
       |GROUP BY lang""".stripMargin
+
+  /** C84 `q_lang_confusion`: the label-quality audit over C8 — the
+    * confusion matrix between the corpus's CLAIMED language labels and
+    * the n-gram language-id's PREDICTIONS, with each cell's share of
+    * its claimed row in exact ppm. This is the standard "are the
+    * upstream labels trustworthy" gate a mixture pipeline (C34/C40)
+    * runs before weighting by `lang`: a diagonal-heavy matrix means
+    * the labels can drive the mixture; a smeared row means that
+    * language's labels are noise.
+    *
+    * Plan: C8's predictor is a map-side expression; one groupBy on the
+    * (claimed, predicted) pair (≤ |langs|² groups at any scale), row
+    * totals re-enter as a broadcast join on claimed_lang.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val m = langId(spark, dir)
+      .groupBy(col("claimed_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val rowTot = m.groupBy(col("claimed_lang"))
+      .agg(sum(col("n_docs")).as("row_tot"))
+    m.join(broadcast(rowTot), Seq("claimed_lang"))
+      .select(col("claimed_lang"), col("predicted_lang"), col("n_docs"),
+        expr("n_docs * 1000000 DIV row_tot").as("row_share_ppm"),
+        (col("claimed_lang") === col("predicted_lang")).as("is_diagonal"))
+  }
+
+  val langConfusionSql: String =
+    s"""WITH pred AS (${langIdSql.replace("\n", "\n       |  ")}),
+       |m AS (
+       |  SELECT claimed_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM pred GROUP BY 1, 2),
+       |rt AS (
+       |  SELECT claimed_lang, CAST(SUM(n_docs) AS BIGINT) AS row_tot
+       |  FROM m GROUP BY 1)
+       |SELECT m.claimed_lang, predicted_lang, n_docs,
+       |  CAST(n_docs * 1000000 // row_tot AS BIGINT) AS row_share_ppm,
+       |  m.claimed_lang = predicted_lang AS is_diagonal
+       |FROM m JOIN rt ON m.claimed_lang = rt.claimed_lang""".stripMargin
 }

@@ -1093,6 +1093,46 @@ class OperatorSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("q_join_skew_audit: the Σc² estimate equals the real self-join size") {
+    val r = run("q_join_skew_audit").head
+    val li = graft.sources.Tables(spark, dir).lineitem
+    assert(r.getAs[Long]("n_rows") == li.count())
+    // the audit's whole point: predict the self-equi-join blowup exactly
+    val real = li.select(col("l_partkey")).as("a")
+      .join(li.select(col("l_partkey")).as("b"),
+        col("a.l_partkey") === col("b.l_partkey")).count()
+    assert(r.getAs[Long]("selfjoin_rows") == real)
+    assert(r.getAs[Long]("p50_fanout") <= r.getAs[Long]("p99_fanout"))
+    assert(r.getAs[Long]("p99_fanout") <= r.getAs[Long]("max_fanout"))
+  }
+
+  test("q_entity_split: no user straddles a split; censuses close") {
+    val d = run("q_entity_split").cache()
+    val ev = graft.sources.Tables(spark, dir).events
+    assert(d.agg(sum("n_events")).head.getLong(0) == ev.count())
+    // entity-level property: per-split distinct users PARTITION the
+    // global user set (equality fails if any user lands in 2 splits)
+    assert(d.agg(sum("n_users")).head.getLong(0) ==
+      ev.select("user_id").distinct().count())
+    val ppm = d.agg(sum("event_share_ppm")).head.getLong(0)
+    assert(ppm <= 1000000L && ppm >= 1000000L - 3)
+    d.unpersist()
+  }
+
+  test("q_lang_confusion: matrix mass closes and rows sum to ~1e6 ppm") {
+    val d = run("q_lang_confusion").cache()
+    val docs = graft.sources.Tables(spark, dir).documents.count()
+    assert(d.agg(sum("n_docs")).head.getLong(0) == docs)
+    val rows = d.groupBy("claimed_lang")
+      .agg(sum("row_share_ppm").as("s"), count(lit(1)).as("cells"))
+    assert(rows.filter(col("s") > 1000000L ||
+      col("s") < lit(1000000L) - col("cells")).count() == 0)
+    // diagonal cells carry the flag
+    assert(d.filter(col("claimed_lang") === col("predicted_lang") &&
+      !col("is_diagonal")).count() == 0)
+    d.unpersist()
+  }
+
   test("q_bucket_join: bucketing changes the plan, never the answer") {
     val bucketed = run("q_bucket_join")
     val plain = {

@@ -237,6 +237,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!nodes.exists(_.contains("Cartesian")), nodes.distinct.mkString(","))
   }
 
+  test("r7b audits: broadcast totals re-enter; skew audit has no global window") {
+    for (q <- Seq("q_lang_confusion", "q_entity_split")) {
+      val plan = collectAll(executedPlan(q))
+      assert(plan.exists(_.isInstanceOf[BroadcastHashJoinExec])
+        || plan.exists(_.nodeName.contains("BroadcastNestedLoop")),
+        s"$q: expected a broadcast re-entry, got ${plan.map(_.nodeName).distinct}")
+    }
+    // the fanout percentiles run on the prefix primitive over the
+    // distinct-fanout cells — never a single-reducer window
+    val nodes = collectAll(executedPlan("q_join_skew_audit")).map(_.nodeName)
+    assert(!nodes.exists(_.contains("Window")), nodes.distinct.mkString(","))
+  }
+
   test("q_winsorize: cells-first — windows run over the cell frame, not raw rows") {
     // the aggregate to (yr, price-cents) cells must sit BELOW the
     // window sort in the plan (E69's discipline: the window frame is
