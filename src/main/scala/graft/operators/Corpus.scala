@@ -971,6 +971,65 @@ object Corpus {
     bpeMerges(words, 10)
   }
 
+  /** Oracle restatement of C36 — the conversion that closes the
+    * board's LAST rows-only entry. The blocker was the merge-rule
+    * APPLICATION: a data-dependent left-to-right non-overlapping fold
+    * over each word's symbols, which "portable SQL cannot state" — and
+    * as a list operation it can't. The unlock is a STRING encoding
+    * with DOUBLE separators: a symbol sequence is
+    * `␟␟t1␟␟t2␟␟…␟␟tn␟␟` (␟ = chr(31), absent from the corpus — the
+    * text is pure [A-Za-z0-9 ], checked at all SFs), and one
+    * `replace(d, '␟l␟␟r␟', '␟lr␟')` IS the greedy fold: each boundary
+    * holds two separators and a match borrows exactly one from each
+    * side, so consuming a site never starves the next adjacent site
+    * (verified: `aaaa → aa·aa`, `aaa → aa·a`, `abab → ab·ab` — the
+    * cases where a single-separator encoding provably diverges), while
+    * a pattern bounded by separators on both ends can never match a
+    * token PREFIX. `replace` in both engines scans left-to-right,
+    * non-overlapping, never rescanning the replacement — exactly BPE's
+    * one-round application order. Each of the 10 rounds is an unrolled
+    * CTE trio: adjacent-pair counts from the split state, the argmax
+    * rule (count DESC, pair ASC — binary collation in both engines),
+    * and the replace step with the rule spliced in as scalar
+    * subqueries. The face is unchanged — distributed pair-count
+    * shuffles + map-only folds; this is only its sequential
+    * restatement.
+    */
+  val bpeTrainSql: String = {
+    val S = "\u001f"
+    def round(r: Int): String = {
+      val prev = if (r == 1) "s0" else s"s${r - 1}"
+      s"""p$r AS (
+         |  SELECT L[i] AS l, L[i + 1] AS rr, freq
+         |  FROM (SELECT freq, string_split(d, '$S$S') AS L FROM $prev),
+         |       unnest(range(2, len(L) - 1)) AS t(i)),
+         |t$r AS MATERIALIZED (
+         |  SELECT l, rr, CAST(SUM(freq) AS BIGINT) AS n
+         |  FROM p$r GROUP BY 1, 2
+         |  ORDER BY n DESC, l, rr LIMIT 1),
+         |s$r AS MATERIALIZED (
+         |  SELECT freq,
+         |    replace(d, (SELECT '$S' || l || '$S$S' || rr || '$S' FROM t$r),
+         |               (SELECT '$S' || l || rr || '$S' FROM t$r)) AS d
+         |  FROM $prev)""".stripMargin
+    }
+    val unions = (1 to 10).map { r =>
+      s"""SELECT CAST($r AS INTEGER) AS iter, l AS "left", rr AS "right",
+         |  l || rr AS merged, n AS pair_count FROM t$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  GROUP BY word),
+       |s0 AS MATERIALIZED (
+       |  SELECT freq,
+       |    '$S$S' || array_to_string(
+       |      list_append(string_split(word, ''), '</w>'), '$S$S') || '$S$S' AS d
+       |  FROM w),
+       |${(1 to 10).map(round).mkString(",\n")}
+       |$unions""".stripMargin
+  }
+
   /** Per-doc distinct 8-token span hashes (shared by C31 and C38). */
   private def spanHashes(d: DataFrame): DataFrame =
     d.select(col("doc_id"), split(col("text"), " ").as("tk"))
