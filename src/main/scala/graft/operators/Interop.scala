@@ -348,4 +348,54 @@ object Interop {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin
+
+  /** E88 `q_scan_manifest`: the partition MANIFEST — per-month
+    * min/max/count column statistics for the orders table plus the
+    * pruning verdict a lakehouse planner derives from them (Iceberg/
+    * Delta manifests in miniature, and what parquet row-group stats do
+    * one level down). The probe predicate is data-derived (totalprice
+    * above 90% of the global maximum, in exact cents), and `can_skip`
+    * is the manifest's whole value: a scan with that predicate opens
+    * ONLY the files of non-skippable partitions — at 100 TB the
+    * manifest read is KB where the data read would be TB.
+    *
+    * Plan: one map-combinable groupBy to the |months|-bounded manifest
+    * frame; the global threshold re-enters as a 1-row broadcast. The
+    * spec proves the verdict sound: partitions marked skippable
+    * contain zero qualifying rows.
+    */
+  def scanManifest(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("price_c"))
+    val manifest = o.groupBy(col("month"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        min(col("price_c")).as("min_price_c"),
+        max(col("price_c")).as("max_price_c"))
+    val thr = o.agg(max(col("price_c")).as("mx"))
+      .select(expr("mx * 9 DIV 10").as("thr_c"))
+    manifest.crossJoin(broadcast(thr))
+      .select(col("month"), col("n_rows"), col("min_key"), col("max_key"),
+        col("min_price_c"), col("max_price_c"), col("thr_c"),
+        (col("max_price_c") < col("thr_c")).as("can_skip"))
+  }
+
+  val scanManifestSql: String =
+    """WITH o AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderkey,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+      |  FROM orders),
+      |manifest AS (
+      |  SELECT month, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+      |    MIN(price_c) AS min_price_c, MAX(price_c) AS max_price_c
+      |  FROM o GROUP BY 1),
+      |thr AS (SELECT MAX(price_c) * 9 // 10 AS thr_c FROM o)
+      |SELECT month, n_rows, min_key, max_key, min_price_c, max_price_c,
+      |  CAST(thr_c AS BIGINT) AS thr_c,
+      |  max_price_c < thr_c AS can_skip
+      |FROM manifest CROSS JOIN thr""".stripMargin
 }
