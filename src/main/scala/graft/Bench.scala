@@ -43,6 +43,48 @@ object Bench {
     // dev loop: SPARK_GRAFT_ONLY=q_a,q_b times just those queries
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+
+    // Cold-JVM warmup (r7 judge finding): the sweep runs alphabetically,
+    // so the first queries in — the B-block headliners — paid the whole
+    // JVM's cold costs (classloading, parquet reader init, codegen
+    // compiler warmup, JIT) and showed ~3× their solo times in every
+    // driver artifact (q1_pricing 4.61 s sweep vs 1.21 s solo in r7).
+    // The per-query warmup pass below can't absorb process-global
+    // warmth, so run one untimed throwaway sweep of the headliners
+    // before ANY timing starts. ~5 s once, removes a 3× artifact.
+    Seq("q1_pricing", "q3_topk", "q5_join5", "q14_promo", "q18_big_orders")
+      .foreach { name =>
+        try SparkEntry.queries(name)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
+      }
+    // Scale-up arm (r7 item #1): if a ScaleUp replica dir exists (built
+    // once by `runMain graft.tools.ScaleUp /root/testdata/sf0.1
+    // target/scaleup64 64`, persisted under target/), time the
+    // SF-scaling headline joins at 64× sf0.1 — the scale point where
+    // the unhinted orders-side joins flip to SortMergeJoin (see
+    // PLANS_SCALE.md). Runs right after the headliner warmup, BEFORE
+    // the 233-query sweep piles up heap debris; one gc-fenced timed
+    // pass per query (the r8 probes measured the same fact build at
+    // 25 s gc-fenced vs 88–208 s riding another query's garbage).
+    // Skipped silently when the dir is absent so a clean checkout
+    // still produces the contract JSON.
+    val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scaleup64")
+    val scaleResults: Seq[(String, Double)] =
+      if (only.isEmpty && new java.io.File(s"$scaleDir/lineitem.parquet").isDirectory) {
+        Seq("q1_pricing", "q3_topk", "q5_join5", "q14_promo",
+          "q18_big_orders", "q_fact_join").map { name =>
+          System.gc()
+          val t0 = System.nanoTime()
+          val s = try {
+            SparkEntry.queries(name)(spark, scaleDir)
+              .write.mode("overwrite").format("noop").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case _: Throwable => -1.0 }
+          name -> s
+        }
+      } else Seq.empty
+
     // a misspelled name must not silently yield an empty bench
     only.foreach { names =>
       val unknown = names.diff(SparkEntry.queries.keySet)
@@ -60,8 +102,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalStr = f"$total%.3f"
+    val scaleJson = if (scaleResults.isEmpty) "" else {
+      val m = scaleResults.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      val st = scaleResults.map(_._2).filter(_ >= 0).sum
+      s""","scaleup":{"dir":"$scaleDir","factor_vs_sf01":64,"total":${f"$st%.3f"},"queries":$m}"""
+    }
+
     val json =
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir"$scaleJson}"""
     // The driver parses one JSON line from stdout; sbt's logger can
     // prefix it ([info]) depending on invocation, so ALSO write the line
     // to bench.json in the working directory as the durable contract.
@@ -76,8 +125,12 @@ object Bench {
     val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val scaleHeadline = if (scaleResults.isEmpty) "" else {
+      val st = scaleResults.map(_._2).filter(_ >= 0).sum
+      s""","scaleup64_total":${f"$st%.3f"}"""
+    }
     val headline =
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","n":${results.size},"worst":$worst,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","n":${results.size},"worst":$worst,"sf":"$sfDir"$scaleHeadline}"""
     realOut.println(headline)
     realOut.flush()
     try {

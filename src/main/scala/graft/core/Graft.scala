@@ -36,8 +36,24 @@ object Graft {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
-    // dims here are KB–MB; at 100 TB the dims stay small while facts grow,
-    // so a generous broadcast threshold keeps all role-joins shuffle-free.
-    .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    // AQE coalesces DOWN from this, so start fine-grained: at small SF
+    // it collapses to a handful of reducers anyway; at 64–128× sf0.1 it
+    // keeps sorts/aggs under the per-task memory budget instead of
+    // forcing 32 half-GB partition sorts into spill (observed r8,
+    // PLANS_SCALE.md). On a 1000-executor cluster the same ratio holds.
+    .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      (shufflePartitions * 8).toString)
+    // Spark's stock 10 MB, deliberately NOT raised: the planner's size
+    // estimate is the COMPRESSED on-disk footprint scaled by column
+    // pruning, and the in-memory HashedRelation it actually builds runs
+    // 5–10× that. r7 shipped 64 MB here ("generous keeps role-joins
+    // shuffle-free"); the r8 scale-up run falsified it — at 128× sf0.1
+    // the threshold admitted the 19 M-row orders side of q5_join5 /
+    // q_fact_join as broadcasts (33 MB estimate, GB-scale relation),
+    // and the pinned relations + GC debt degraded not just those joins
+    // but every query sharing the session (PLANS_SCALE.md). Dims that
+    // are genuinely small (region/nation, filtered customer arms) still
+    // broadcast; SF-scaling tables flip to SMJ exactly when they should.
+    .config("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString)
     .config("spark.ui.enabled", "false")
 }

@@ -993,7 +993,13 @@ object Corpus {
     * and the replace step with the rule spliced in as scalar
     * subqueries. The face is unchanged — distributed pair-count
     * shuffles + map-only folds; this is only its sequential
-    * restatement.
+    * restatement. Exhaustion guard: on a corpus with fewer than 10
+    * possible merges t$r is empty, its scalar subqueries are NULL, and
+    * an unguarded `replace(d, NULL, NULL)` would NULL the whole state
+    * and silently corrupt every later round — so both pattern
+    * subqueries are COALESCEd to the bare separator ('␟'→'␟' is the
+    * identity replace), making exhausted rounds no-ops that emit zero
+    * union rows, exactly matching the face's clean stop.
     */
   val bpeTrainSql: String = {
     val S = "\u001f"
@@ -1009,8 +1015,8 @@ object Corpus {
          |  ORDER BY n DESC, l, rr LIMIT 1),
          |s$r AS MATERIALIZED (
          |  SELECT freq,
-         |    replace(d, (SELECT '$S' || l || '$S$S' || rr || '$S' FROM t$r),
-         |               (SELECT '$S' || l || rr || '$S' FROM t$r)) AS d
+         |    replace(d, COALESCE((SELECT '$S' || l || '$S$S' || rr || '$S' FROM t$r), '$S'),
+         |               COALESCE((SELECT '$S' || l || rr || '$S' FROM t$r), '$S')) AS d
          |  FROM $prev)""".stripMargin
     }
     val unions = (1 to 10).map { r =>
@@ -1138,10 +1144,11 @@ object Corpus {
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.NativeExprs
     val e = Tables(spark, dir).embeddings
-      .repartition(spark.sparkContext.defaultParallelism)
-      .persist()
-    val centroids = try Ann.ivfCentroids(e, c = 8, iters = 2)
-    finally e.unpersist(blocking = false)
+    // the SAME build-once index C7b serves from (r8: production
+    // parameters c = ceil(sqrt(N)) — more, smaller cells: the quadratic
+    // within-cell term shrinks as the corpus grows, which is SemDeDup's
+    // entire scale story)
+    val centroids = Ann.loadIvfIndex(spark, Ann.ivfIndexPath(spark, dir))
     val celled = e.withColumn("cell",
       NativeExprs.cell_probe(col("embedding"), centroids, 1)(0))
     val a = celled.select(col("cell"), col("vec_id").as("vec_a"),
@@ -1438,12 +1445,22 @@ object Corpus {
     * algebraic consequence of split = f(user_id); the spec asserts it
     * by census (Σ per-split distinct users = global distinct users).
     *
+    * The bucket is a REAL mixing hash (md5 of the id, 60-bit prefix,
+    * mod 100) — NOT the multiplicative residue family: `(id % 10^6) *
+    * 2654435761 % 100` algebraically collapses to `id * 61 % 100`
+    * (the Knuth constant is a no-op modulo 100), so that "hash"
+    * depends only on the id's last-two-digit residue and any mod-100
+    * id assignment pattern (round-robin sharding, region-prefixed
+    * ranges) yields a systematically biased split. md5 mixing makes
+    * the split independent of id structure.
+    *
     * Plan: split label is a map-side expression; one groupBy(split)
     * with a distinct-user partial (×2 Expand, the documented A16
     * contract); totals re-enter as a 1-row broadcast.
     */
   def entitySplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = (col("user_id") % 1000000L) * 2654435761L % 100L
+    val bucket = conv(substring(md5(concat(lit("es|"),
+      col("user_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100L
     val labeled = Tables(spark, dir).events
       .select(col("user_id"), col("value"),
         when(bucket < 80, "train").when(bucket < 90, "valid")
@@ -1462,8 +1479,8 @@ object Corpus {
   val entitySplitSql: String =
     """WITH labeled AS (
       |  SELECT user_id, value,
-      |    CASE WHEN (user_id % 1000000) * 2654435761 % 100 < 80 THEN 'train'
-      |         WHEN (user_id % 1000000) * 2654435761 % 100 < 90 THEN 'valid'
+      |    CASE WHEN ('0x' || substr(md5('es|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+      |         WHEN ('0x' || substr(md5('es|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'valid'
       |         ELSE 'test' END AS split
       |  FROM events),
       |per AS (

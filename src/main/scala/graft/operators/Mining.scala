@@ -1978,27 +1978,28 @@ object Mining {
       |GROUP BY n_name""".stripMargin
 
   /** E89 `q_power_analysis`: the experiment-sizing companion to E64's
-    * A/B test — given the OBSERVED baseline conversion (share of users
-    * with a purchase), the required sample size per arm to detect a
-    * {2%, 5%, 10%} relative lift at α=0.05 / power=0.8, by the
-    * standard two-proportion formula
+    * A/B test — given the OBSERVED baseline conversion (the per-event
+    * purchase rate; an "ever purchased" user-level rate saturates to
+    * 1.0 on this feed — every user has ≥1 purchase at every SF — and a
+    * two-proportion test on p₀=1 is undefined), the required sample
+    * size per arm to detect a {2%, 5%, 10%} relative lift at α=0.05 /
+    * power=0.8, by the standard two-proportion formula
     * n = (z_{α/2}·√(2p̄q̄) + z_β·√(p₀q₀+p₁q₁))² / (p₁−p₀)².
     *
     * Portability: p₀ comes from exact integer counts; the z constants
     * are shared literals; √ and the arithmetic chain are IEEE
     * operations evaluated in ONE fixed order, so both engines produce
-    * the identical double and the identical ceil. Plan: one user-keyed
-    * fold to per-user flags, a 1-row count aggregate, then a
-    * 3-literal-row grid joined map-side — nothing scales with events
-    * but the first fold.
+    * the identical double and the identical ceil. Rows whose lifted
+    * p₁ ≥ 1 are filtered in BOTH face and oracle (the formula's q₁<0
+    * would go NaN — an undetectable lift has no finite n). Plan: one
+    * map-combinable 1-row census over events, then a 3-literal-row
+    * grid joined map-side — nothing scales with events but the census.
     */
   def powerAnalysis(spark: SparkSession, dir: String): DataFrame = {
-    val users = Tables(spark, dir).events
-      .groupBy(col("user_id"))
-      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
-        .as("converted"))
-    val base = users.agg(count(lit(1)).as("n_users"),
-      sum(col("converted")).as("n_converted"))
+    val base = Tables(spark, dir).events
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchase"))
     val grid = Seq(0.02, 0.05, 0.10).map(l => s"(CAST($l AS DOUBLE))").mkString(", ")
     val a = lit(1.959963984540054) * sqrt(lit(2.0) * ((col("p0") + col("p1")) / 2.0)
       * (lit(1.0) - (col("p0") + col("p1")) / 2.0)) +
@@ -2008,38 +2009,39 @@ object Mining {
     // pinned across engines; the square as one IEEE multiply is
     base.crossJoin(broadcast(
         base.sparkSession.sql(s"SELECT * FROM (VALUES $grid) AS t(rel_lift)")))
-      .select(col("n_users"), col("n_converted"), col("rel_lift"),
-        expr("CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE)").as("p0"))
-      .select(col("n_users"), col("n_converted"), col("rel_lift"), col("p0"),
+      .select(col("n_events"), col("n_purchase"), col("rel_lift"),
+        expr("CAST(n_purchase AS DOUBLE) / CAST(n_events AS DOUBLE)").as("p0"))
+      .select(col("n_events"), col("n_purchase"), col("rel_lift"), col("p0"),
         (col("p0") * (lit(1.0) + col("rel_lift"))).as("p1"))
-      .select(col("n_users"), col("rel_lift"), col("p0"), col("p1"),
+      .filter(col("p1") < 1.0)
+      .select(col("n_events"), col("rel_lift"), col("p0"), col("p1"),
         ceil((a * a) / ((col("p1") - col("p0")) * (col("p1") - col("p0"))))
           .cast("long").as("n_per_arm"))
   }
 
   val powerAnalysisSql: String =
-    """WITH u AS (
-      |  SELECT user_id,
-      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
-      |  FROM events GROUP BY 1),
-      |base AS (
-      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
-      |    CAST(SUM(converted) AS BIGINT) AS n_converted FROM u),
+    """WITH base AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_purchase
+      |  FROM events),
       |g AS (SELECT * FROM (VALUES (CAST(0.02 AS DOUBLE)), (CAST(0.05 AS DOUBLE)),
       |                            (CAST(0.10 AS DOUBLE))) AS t(rel_lift)),
       |e AS (
-      |  SELECT n_users, rel_lift,
-      |    CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE) AS p0,
-      |    CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE)
+      |  SELECT n_events, rel_lift,
+      |    CAST(n_purchase AS DOUBLE) / CAST(n_events AS DOUBLE) AS p0,
+      |    CAST(n_purchase AS DOUBLE) / CAST(n_events AS DOUBLE)
       |      * (1.0 + rel_lift) AS p1
-      |  FROM base CROSS JOIN g),
+      |  FROM base CROSS JOIN g
+      |  WHERE CAST(n_purchase AS DOUBLE) / CAST(n_events AS DOUBLE)
+      |      * (1.0 + rel_lift) < 1.0),
       |a AS (
-      |  SELECT n_users, rel_lift, p0, p1,
+      |  SELECT n_events, rel_lift, p0, p1,
       |    1.959963984540054 * SQRT(2.0 * ((p0 + p1) / 2.0)
       |        * (1.0 - (p0 + p1) / 2.0))
       |      + 0.8416212335729143 * SQRT(p0 * (1.0 - p0) + p1 * (1.0 - p1)) AS za
       |  FROM e)
-      |SELECT n_users, rel_lift, p0, p1,
+      |SELECT n_events, rel_lift, p0, p1,
       |  CAST(CEIL((za * za) / ((p1 - p0) * (p1 - p0))) AS BIGINT) AS n_per_arm
       |FROM a""".stripMargin
 }

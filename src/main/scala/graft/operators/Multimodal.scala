@@ -6,12 +6,109 @@ import graft.sources.Tables
 
 /** Multimodal-column plumbing (SURVEY §2 C14–C15): image/audio/video
   * payloads are opaque `binary` columns with typed metadata alongside.
-  * The container has no media codecs, so the DECODE step is a
-  * clearly-marked deterministic stub — but the Spark-side plumbing
-  * (schema, binary encoding, typed Dataset, mapPartitions batch shape,
-  * partition-parallel feature extraction) is real and tested.
+  *
+  * Since r8 the decode step is REAL for one public format: binary
+  * P6 PPM (netpbm, a published spec and pure byte arithmetic — no
+  * codec dependency needed). The corpus carries text, so the feature
+  * face first PACKS each payload into a genuine P6 container
+  * ([[encodePpm]]) and then runs the true decoder ([[decodePpm]]:
+  * header tokenizer with comment/whitespace handling, dimension and
+  * maxval validation, pixel-plane extraction) inside the same
+  * `mapPartitions` batch shape a libjpeg-style decoder would use.
+  * Formats the decoder does not claim (JPEG/PNG/audio) remain out of
+  * scope and fail loudly — not a silent fake.
   */
 object Multimodal {
+
+  /** Fixed PPM geometry for the packed corpus images: 16 px wide, RGB
+    * (3 bytes/px, 48 bytes/row), height = however many rows the payload
+    * needs (zero-padded tail). Shared by face and SQL oracle.
+    */
+  private[graft] val PpmWidth = 16
+  private[graft] val PpmRowBytes = PpmWidth * 3
+
+  /** Pack raw bytes into a REAL binary P6 PPM: `P6\n<w> <h>\n255\n`
+    * header + zero-padded RGB plane. The output parses in any netpbm
+    * tool; this is the corpus→image packing step, not a stub.
+    */
+  private[graft] def encodePpm(raw: Array[Byte]): Array[Byte] = {
+    val h = math.max(1, (raw.length + PpmRowBytes - 1) / PpmRowBytes)
+    val header = s"P6\n$PpmWidth $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + h * PpmRowBytes)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(raw, 0, out, header.length, raw.length)
+    out // tail beyond raw.length is already zero
+  }
+
+  /** Decoded raster: dimensions + the raw RGB plane. */
+  final case class PpmImage(width: Int, height: Int, pixels: Array[Byte])
+
+  /** REAL P6 decoder (netpbm spec): magic check, token scanner that
+    * skips whitespace and `#` comments between header fields, width /
+    * height / maxval parse and validation (maxval ≤ 255 — the 1-byte
+    * sample variant), then exactly width·height·3 pixel bytes. Returns
+    * None on anything malformed (truncated plane, bad magic, maxval
+    * out of range) — the negative paths MultimodalSpec pins.
+    */
+  private[graft] def decodePpm(payload: Array[Byte]): Option[PpmImage] = {
+    if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6') return None
+    var i = 2
+    def skipSpaceAndComments(): Unit = {
+      var going = true
+      while (going && i < payload.length) {
+        val b = payload(i)
+        if (b == ' ' || b == '\n' || b == '\r' || b == '\t') i += 1
+        else if (b == '#') { while (i < payload.length && payload(i) != '\n') i += 1 }
+        else going = false
+      }
+    }
+    def readInt(): Int = {
+      skipSpaceAndComments()
+      var v = 0
+      var any = false
+      while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
+        v = v * 10 + (payload(i) - '0'); i += 1; any = true
+      }
+      if (any) v else -1
+    }
+    val w = readInt(); val h = readInt(); val maxval = readInt()
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
+    // exactly ONE whitespace byte separates maxval from the plane
+    if (i >= payload.length) return None
+    val sep = payload(i)
+    if (sep != ' ' && sep != '\n' && sep != '\r' && sep != '\t') return None
+    i += 1
+    val need = w * h * 3
+    if (payload.length - i < need) return None
+    val px = new Array[Byte](need)
+    System.arraycopy(payload, i, px, 0, need)
+    Some(PpmImage(w, h, px))
+  }
+
+  /** Nearest-neighbor 2-D downsample of a decoded raster to
+    * `tw`×`th` — the real resize kernel (per-axis stride sampling over
+    * the pixel GRID, not over raw container bytes). Pure integer
+    * index arithmetic, deterministic.
+    */
+  private[graft] def resizePpm(img: PpmImage, tw: Int, th: Int): PpmImage = {
+    val out = new Array[Byte](tw * th * 3)
+    var y = 0
+    while (y < th) {
+      val sy = (y.toLong * img.height / th).toInt
+      var x = 0
+      while (x < tw) {
+        val sx = (x.toLong * img.width / tw).toInt
+        val si = (sy * img.width + sx) * 3
+        val di = (y * tw + x) * 3
+        out(di) = img.pixels(si)
+        out(di + 1) = img.pixels(si + 1)
+        out(di + 2) = img.pixels(si + 2)
+        x += 1
+      }
+      y += 1
+    }
+    PpmImage(tw, th, out)
+  }
 
   /** C14: opaque-binary column + typed metadata. `payload` stands in
     * for image/audio bytes (UTF-8 of the doc text here — the schema and
@@ -64,37 +161,43 @@ object Multimodal {
   /** Input/output rows of the feature extractor. */
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
   final case class MediaFeatures(
-      doc_id: Long, n_bytes: Int,
-      features: Array[Double], frame_sample: Array[Int])
+      doc_id: Long, n_bytes: Int, width: Int, height: Int,
+      means: Array[Double], frame_sample: Array[Int])
 
-  /** STUB decode: a real pipeline would call an image/audio codec here
-    * (libs absent in this container). This deterministic fake folds the
-    * payload bytes into an 8-bin histogram-ish feature vector and
-    * "samples frames" as the first 4 byte values, preserving the exact
-    * batch shape (bytes in → fixed-dim float features out) a decoder
-    * would have. Bins accumulate as exact INTEGER byte sums (order-free
-    * by construction); each feature is then one fixed IEEE sequence
-    * (sum/255.0/n) the SQL oracle restates operation-for-operation —
-    * summing pre-divided doubles instead was the merge-order ulp drift
-    * the round-3 oracle caught.
+  /** REAL decode + feature extraction for one packed image: parse the
+    * P6 container with [[decodePpm]] (fail loudly on malformed input —
+    * a silent fallback would be the old stub wearing a mask), then
+    * per-CHANNEL means over the decoded plane: exact integer byte sums
+    * per channel (order-free), each divided by the identical fixed IEEE
+    * sequence (sum → /255.0 → /npix) the SQL oracle restates
+    * operation-for-operation — summing pre-divided doubles was the
+    * merge-order ulp drift the round-3 oracle caught. Frame sample =
+    * the first 4 plane bytes (the plane is ≥48 bytes by construction,
+    * so no null frames).
     */
-  private def decodeStub(r: MediaRow): MediaFeatures = {
-    val sums = new Array[Long](8)
+  private def decodeFeatures(r: MediaRow): MediaFeatures = {
+    val packed = encodePpm(r.payload)
+    val img = decodePpm(packed).getOrElse(
+      throw new IllegalStateException(s"undecodable P6 payload for doc ${r.doc_id}"))
+    val sums = new Array[Long](3)
     var i = 0
-    while (i < r.payload.length) {
-      sums(i % 8) += (r.payload(i) & 0xff)
+    while (i < img.pixels.length) {
+      sums(i % 3) += (img.pixels(i) & 0xff)
       i += 1
     }
-    val n = math.max(r.payload.length, 1)
+    val npix = img.width * img.height
     MediaFeatures(
-      r.doc_id, r.payload.length,
-      sums.map(s => s.toDouble / 255.0 / n),
-      r.payload.take(4).map(b => (b & 0xff): Int))
+      r.doc_id, packed.length, img.width, img.height,
+      sums.map(s => s.toDouble / 255.0 / npix),
+      Array.tabulate(4)(j => (img.pixels(j) & 0xff): Int))
   }
 
   /** C15: partition-parallel feature extraction over binary payloads —
     * the `mapPartitions` shape a real decoder (batched, per-executor
     * codec init) would use. Narrow, no shuffle; scales with executors.
+    * Since r8 the decode is a REAL P6 PPM parse (see object doc): each
+    * payload is packed into a genuine container, and the features come
+    * from the decoded pixel plane, not the raw bytes.
     *
     * The vector/frame columns are flattened to scalars for the output
     * contract (fixed dims, so lossless) — compare harnesses sort rows by
@@ -105,78 +208,79 @@ object Multimodal {
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as(Encoders.product[MediaRow])
     val feats = rows
-      .mapPartitions(it => it.map(decodeStub))(Encoders.product[MediaFeatures])
+      .mapPartitions(it => it.map(decodeFeatures))(Encoders.product[MediaFeatures])
       .toDF()
-    // get() is 0-based and null-on-missing (a <4-byte payload yields a
-    // short frame_sample) — element_at would throw under ANSI mode.
-    // Feature cells round to 6 dp and fix as decimal (the ln-pattern
-    // from q_unigram_logprob) so the byte-sum arithmetic compares
-    // exactly against the SQL oracle restating it.
     // 6dp-fix, then emit as DOUBLE (exact cast): decimal finals hash
     // differently in the driver's canonicalization — every driver-green
     // face ends in double/int finals.
-    val featCols = (0 until 8).map(i =>
-      round(get(col("features"), lit(i)), 6).cast("decimal(18,6)")
-        .cast("double").as(s"f$i"))
+    val meanCols = Seq("mean_r", "mean_g", "mean_b").zipWithIndex.map {
+      case (name, i) =>
+        round(get(col("means"), lit(i)), 6).cast("decimal(18,6)")
+          .cast("double").as(name)
+    }
     val frameCols = (0 until 4).map(i =>
       get(col("frame_sample"), lit(i)).as(s"frame$i"))
-    feats.select(col("doc_id") +: col("n_bytes") +: (featCols ++ frameCols): _*)
+    feats.select(Seq(col("doc_id"), col("n_bytes"), col("width"),
+      col("height")) ++ meanCols ++ frameCols: _*)
   }
 
-  /** Oracle restating [[decodeStub]]'s byte arithmetic in SQL: payload
-    * = UTF-8 text bytes (ASCII in the test corpus, so byte i ==
-    * character i), 8 stride-binned exact integer byte sums, then the
-    * identical /255.0/n double sequence, first-4-byte frame sample.
+  /** Oracle restating the REAL pack→decode arithmetic in SQL: the
+    * container is `P6\n16 <h>\n255\n` (11 header bytes + the digits of
+    * h) + a zero-padded 48·h-byte plane whose byte k is text byte k
+    * (ASCII corpus, so byte k == character k+1); h = ⌈len/48⌉ (min 1).
+    * Channel-c mean = Σ of plane bytes at k ≡ c (mod 3), then the
+    * identical /255.0/npix double sequence. Frames = first 4 plane
+    * bytes (zero-padded, so never NULL).
     */
   val multimodalFeaturesSql: String = {
-    val fCols = (0 until 8).map(j =>
-      s"    CAST(CAST(round(CAST(COALESCE(SUM(CASE WHEN j = $j THEN b END), 0) AS DOUBLE) / 255.0 / n_bytes, 6) AS DECIMAL(18,6)) AS DOUBLE) AS f$j")
-      .mkString(",\n")
+    val means = Seq("mean_r", "mean_g", "mean_b").zipWithIndex.map {
+      case (name, c) =>
+        s"    CAST(CAST(round(CAST(COALESCE(SUM(CASE WHEN k % 3 = $c THEN v END), 0) AS DOUBLE) / 255.0 / (16 * h), 6) AS DECIMAL(18,6)) AS DOUBLE) AS $name"
+    }.mkString(",\n")
     val frames = (0 until 4).map(j =>
-      s"  CASE WHEN length(d.text) >= ${j + 1} THEN ascii(substr(d.text, ${j + 1}, 1)) END AS frame$j")
+      s"  CASE WHEN length(d.text) >= ${j + 1} THEN ascii(substr(d.text, ${j + 1}, 1)) ELSE 0 END AS frame$j")
       .mkString(",\n")
-    s"""WITH t AS (
-       |  SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-       |    (i - 1) % 8 AS j,
-       |    ascii(substr(text, CAST(i AS INTEGER), 1)) AS b
-       |  FROM documents, unnest(range(1, length(text) + 1)) AS u(i)),
+    s"""WITH dims AS (
+       |  SELECT doc_id, text,
+       |    GREATEST(1, (length(text) + 47) // 48) AS h
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id, h,
+       |    CASE WHEN k < length(text)
+       |         THEN ascii(substr(text, CAST(k + 1 AS INTEGER), 1)) ELSE 0 END AS v,
+       |    k
+       |  FROM dims, unnest(range(0, h * 48)) AS u(k)),
        |f AS (
-       |  SELECT doc_id, n_bytes,
-       |$fCols
-       |  FROM t GROUP BY doc_id, n_bytes)
-       |SELECT f.doc_id, f.n_bytes, f0, f1, f2, f3, f4, f5, f6, f7,
+       |  SELECT doc_id, h,
+       |$means
+       |  FROM t GROUP BY doc_id, h)
+       |SELECT f.doc_id,
+       |  CAST(11 + length(CAST(f.h AS VARCHAR)) + f.h * 48 AS INTEGER) AS n_bytes,
+       |  16 AS width, CAST(f.h AS INTEGER) AS height,
+       |  mean_r, mean_g, mean_b,
        |$frames
        |FROM f JOIN documents d USING (doc_id)""".stripMargin
   }
 
-  /** STUB resize: stride-sample the payload down to ≤16 bytes — a real
-    * pipeline would decode and bilinear-resize; what's preserved is the
-    * binary→binary per-partition batch shape and determinism.
-    */
-  private[operators] def resizeStub(payload: Array[Byte], target: Int = 16): Array[Byte] =
-    if (payload.length <= target) payload
-    else {
-      val out = new Array[Byte](target)
-      val stride = payload.length.toDouble / target
-      var i = 0
-      while (i < target) { out(i) = payload((i * stride).toInt); i += 1 }
-      out
-    }
-
   final case class Thumb(doc_id: Long, n_bytes_in: Int, thumb: Array[Byte])
 
-  /** C15b (library+test): resize/thumbnail plumbing — binary in, fixed
-    * small binary out, partition-parallel, no shuffle. Emitted as
-    * (id, input size, thumb bytes); downstream can fingerprint or
-    * re-encode.
+  /** C15b (library+test): REAL thumbnailing — decode the packed P6
+    * container, nearest-neighbor downsample the pixel GRID to 4×4 RGB
+    * ([[resizePpm]]: per-axis integer stride over rows and columns, a
+    * genuine 2-D image op), re-emit as binary. Partition-parallel, no
+    * shuffle. MultimodalSpec drives it with known rasters (corner
+    * colors, gradients) and asserts the picked pixels.
     */
   def multimodalResize(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as(Encoders.product[MediaRow])
-      .mapPartitions(it => it.map(r =>
-        Thumb(r.doc_id, r.payload.length, resizeStub(r.payload))))(
-        Encoders.product[Thumb])
+      .mapPartitions(it => it.map { r =>
+        val img = decodePpm(encodePpm(r.payload)).getOrElse(
+          throw new IllegalStateException(s"undecodable P6 payload for doc ${r.doc_id}"))
+        val thumb = resizePpm(img, 4, 4)
+        Thumb(r.doc_id, r.payload.length, thumb.pixels)
+      })(Encoders.product[Thumb])
       .toDF()
 
   /** C51: shard packing — assign payloads to fixed-size (4 KiB here;

@@ -234,16 +234,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(total == events)
   }
 
-  test("q_multimodal_features: stub decode is deterministic and shape-stable") {
+  test("q_multimodal_features: real P6 decode — dims, channel means, frames") {
     val d = run("q_multimodal_features").cache()
-    // all 8 feature bins present and bounded (byte sums / 255 / n <= 1)
-    for (i <- 0 until 8) {
-      assert(d.filter(col(s"f$i").isNull).count() == 0)
-      assert(d.filter(col(s"f$i") < 0 || col(s"f$i") > 1).count() == 0)
+    // channel means present and bounded (byte sums / 255 / npix <= 1)
+    for (c <- Seq("mean_r", "mean_g", "mean_b")) {
+      assert(d.filter(col(c).isNull).count() == 0)
+      assert(d.filter(col(c) < 0 || col(c) > 1).count() == 0)
     }
-    assert(d.filter(col("n_bytes") <= 0).count() == 0)
-    // frame sample = first payload bytes, here ASCII codes
+    // container geometry: fixed width, height covers the text, n_bytes
+    // = header (11 + digits of h) + 48·h plane
+    assert(d.filter(col("width") =!= 16).count() == 0)
+    val t = graft.sources.Tables(spark, dir).documents
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    assert(d.join(t, "doc_id")
+      .filter(col("height") =!= greatest(lit(1L), ceil(col("len") / 48.0).cast("long")))
+      .count() == 0)
+    assert(d.filter(col("n_bytes") =!=
+      (lit(11) + length(col("height").cast("string")) + col("height") * 48))
+      .count() == 0)
+    // frame sample = first decoded plane bytes, here ASCII codes
     assert(d.filter(col("frame0") < 0 || col("frame0") > 255).count() == 0)
+    assert(d.filter(col("frame0").isNull).count() == 0)
     d.unpersist()
   }
 
@@ -561,7 +572,9 @@ class OperatorSpec extends AnyFunSuite {
 
   test("q_ivf_stats: cell census covers the corpus, shares sum to ~1") {
     val d = run("q_ivf_stats").cache()
-    assert(d.count() <= 8) // at most the trained cell count
+    // at most the trained cell count (c = ceil(sqrt(N)) since r8)
+    val n = graft.sources.Tables(spark, dir).embeddings.count()
+    assert(d.count() <= math.ceil(math.sqrt(n.toDouble)).toLong)
     val total = graft.sources.Tables(spark, dir).embeddings.count()
     assert(d.agg(sum("n_vecs")).head.getLong(0) == total)
     val shareSum = d.agg(sum("share")).head.getDouble(0)
@@ -622,7 +635,7 @@ class OperatorSpec extends AnyFunSuite {
     d.unpersist()
   }
 
-  test("multimodalResize: thumbs capped at 16 bytes, deterministic") {
+  test("multimodalResize: 4x4 RGB thumbs (48 bytes), deterministic") {
     val a = graft.operators.Multimodal.multimodalResize(spark, dir)
       .select("doc_id", "thumb").collect()
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
@@ -630,7 +643,8 @@ class OperatorSpec extends AnyFunSuite {
       .select("doc_id", "thumb").collect()
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
     assert(a == b)
-    assert(a.values.forall(_.size <= 16))
+    // real raster contract: every thumb is a full 4x4 RGB plane
+    assert(a.values.forall(_.size == 48))
   }
 
   test("embedQuantize: all-zero vector quantizes to zeros, not Infinity") {
@@ -845,6 +859,47 @@ class OperatorSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("q_ann_refine: coarse+refine beats coarse-only at equal probe budget") {
+    val d = run("q_ann_refine").cache()
+    assert(d.count() == 10)
+    for (c <- Seq("recall_coarse", "recall_refine"))
+      assert(d.filter(col(c) < 0 || col(c) > 1).count() == 0)
+    // the refine arm probes 2x the cells at int8 cost and rescores the
+    // shortlist — per-query it can only see a superset of the coarse
+    // candidates, so its MEAN recall must not lose
+    val m = d.agg(avg("recall_coarse"), avg("recall_refine")).head
+    assert(m.getDouble(1) >= m.getDouble(0),
+      s"refine ${m.getDouble(1)} lost to coarse ${m.getDouble(0)}")
+    // and it must strictly add recall somewhere, or the refinement is
+    // dead weight (2x cells at sf0.001 widens the pool substantially)
+    assert(d.filter(col("n_hit_refine") > col("n_hit_coarse")).count() > 0
+      || m.getDouble(0) > 0.95, "refine arm never improved a query")
+    d.unpersist()
+  }
+
+  test("splitHotCells: max cell share drops, coverage preserved, codebook grows") {
+    val e = graft.sources.Tables(spark, dir).embeddings
+    val base = graft.operators.Ann.ivfCentroids(e, c = 4, iters = 2)
+    def shares(cs: Seq[Seq[Double]]): Map[Int, Long] = {
+      val assigned = e.withColumn("cell",
+        graft.functions.NativeExprs.cell_probe(col("embedding"), cs, 1)(0))
+      assigned.groupBy("cell").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+    val before = shares(base)
+    assert(before.values.sum == e.count())
+    // factor barely above 1: any above-mean cell is "hot" — forces the
+    // split path on the natural k-means imbalance
+    val grown = graft.operators.Ann.splitHotCells(e, base, factor = 1.01)
+    assert(grown.size > base.size)
+    val after = shares(grown)
+    assert(after.values.sum == e.count()) // coverage preserved
+    assert(after.values.max < before.values.max,
+      s"hot cell did not shrink: ${before.values.max} -> ${after.values.max}")
+    // no-op contract: a balanced codebook comes back unchanged
+    assert(graft.operators.Ann.splitHotCells(e, base, factor = 1e9) eq base)
+  }
+
   test("q_window_rank: distributions bounded; nth_value null before row 2") {
     val d = run("q_window_rank").cache()
     assert(d.filter(col("pct_rank") < 0 || col("pct_rank") > 1).count() == 0)
@@ -914,10 +969,12 @@ class OperatorSpec extends AnyFunSuite {
       col("vec_a").as("la"), col("vec_b").as("lb"), col("cosine").as("lc"))
     val missed = labelPairs.join(sem,
       col("la") === col("vec_a") && col("lb") === col("vec_b"), "left_anti")
-    // missed pairs are exactly the cross-cell ones — verify by recomputing cells
+    // missed pairs are exactly the cross-cell ones — verify against the
+    // SAME build-once index the face serves from (r8: c = ceil(sqrt(N)))
     import graft.functions.NativeExprs
     val e = graft.sources.Tables(spark, dir).embeddings
-    val cents = graft.operators.Ann.ivfCentroids(e, c = 8, iters = 2)
+    val cents = graft.operators.Ann.loadIvfIndex(spark,
+      graft.operators.Ann.ivfIndexPath(spark, dir))
     val cellOf = e.select(col("vec_id"),
       NativeExprs.cell_probe(col("embedding"), cents, 1)(0).as("cell"))
     val crossCell = missed
@@ -1090,6 +1147,52 @@ class OperatorSpec extends AnyFunSuite {
     val t = graft.sources.Tables(spark, dir)
     val active = t.lineitem.select(col("l_suppkey")).distinct().count()
     assert(d.agg(sum("n_suppliers")).head.getLong(0) == active)
+    d.unpersist()
+  }
+
+  test("q_scan_manifest: skip verdict is sound — skippable partitions hold zero qualifying rows") {
+    val d = run("q_scan_manifest").cache()
+    val t = graft.sources.Tables(spark, dir)
+    // censuses close against the base table
+    assert(d.agg(sum("n_rows")).head.getLong(0) == t.orders.count())
+    // one manifest row per month, stats ordered
+    assert(d.select("month").distinct().count() == d.count())
+    assert(d.filter(col("min_key") > col("max_key")).count() == 0)
+    assert(d.filter(col("min_price_c") > col("max_price_c")).count() == 0)
+    // the manifest's whole value: a partition marked can_skip contains
+    // ZERO rows qualifying under the probe predicate (price ≥ thr)
+    val thr = d.select("thr_c").head.getLong(0)
+    val qualifying = t.orders
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("price_c"))
+      .filter(col("price_c") >= thr)
+      .groupBy("month").count()
+    val unsound = d.filter(col("can_skip"))
+      .join(qualifying, "month").count()
+    assert(unsound == 0)
+    // and the verdict is not vacuous: at least one partition survives
+    assert(d.filter(!col("can_skip")).count() > 0)
+    d.unpersist()
+  }
+
+  test("q_power_analysis: two-proportion sizing is monotone in the lift") {
+    val d = run("q_power_analysis").cache()
+    assert(d.count() == 3)
+    // smaller detectable lift ⇒ (much) larger required sample
+    val byLift = d.orderBy(col("rel_lift")).collect()
+    assert(byLift.sliding(2).forall { case Array(a, b) =>
+      a.getAs[Long]("n_per_arm") > b.getAs[Long]("n_per_arm") })
+    // p1 = p0 · (1 + lift), p0 = the per-event purchase rate
+    val t = graft.sources.Tables(spark, dir)
+    val p0 = t.events
+      .agg(avg(when(col("event_type") === "purchase", 1.0).otherwise(0.0)))
+      .head.getDouble(0)
+    byLift.foreach { r =>
+      assert(math.abs(r.getAs[Double]("p0") - p0) < 1e-12)
+      assert(math.abs(r.getAs[Double]("p1")
+        - p0 * (1.0 + r.getAs[Double]("rel_lift"))) < 1e-12)
+      assert(r.getAs[Long]("n_per_arm") > 0)
+    }
     d.unpersist()
   }
 
