@@ -16,23 +16,42 @@ object Analytics {
   /** B1: wide scan-aggregate (TPC-H Q1 shape). Filter is pushed to the
     * parquet scan; single shuffle on the 6-value grouping key;
     * map-side partial aggregation makes the exchange tiny.
+    *
+    * r8: the aggregation runs on the Fns fixed-point money kernels —
+    * per-row exact cents/bp, long split-accumulator sums, decimal
+    * reconstruction only on the |groups| frame — because decimal(38,…)
+    * sum buffers leave Spark's compact-long representation and run the
+    * hash-agg update loop 4–7× slower (measured at 64× sf0.1). The
+    * emitted doubles are bit-for-bit the previous decimal face's (same
+    * exact rationals, same final cast chain); the oracle is unchanged.
     */
   def q1Pricing(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir).lineitem
-    val one = lit(1).cast("decimal(8,4)")
-    val discDec = dec(col("l_discount"), 8, 4)
-    val taxDec = dec(col("l_tax"), 8, 4)
+    val c = cents(col("l_extendedprice"))
+    val qc = cents(col("l_quantity"))
+    val d = bp(col("l_discount"))
+    val t = bp(col("l_tax"))
+    val p1 = c * (lit(10000L) - d) // extprice·(1−disc), scale-6 integer
+    val p2 = p1 * (lit(10000L) + t) // ·(1+tax), scale-10 integer
     li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        qc.as("qc"), c.as("c"), d.as("d"),
+        splitHi(p1).as("p1h"), splitLo(p1).as("p1l"),
+        splitHi(p2).as("p2h"), splitLo(p2).as("p2l"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(
-        decSum(col("l_quantity")).as("sum_qty"),
-        decSum(col("l_extendedprice")).as("sum_base_price"),
-        decSumProd(dec(col("l_extendedprice")) * (one - discDec)).as("sum_disc_price"),
-        decSumProd(dec(col("l_extendedprice")) * (one - discDec) * (one + taxDec)).as("sum_charge"),
-        decAvg(col("l_quantity")).as("avg_qty"),
-        decAvg(col("l_extendedprice")).as("avg_price"),
-        decAvg(col("l_discount"), 8, 4).as("avg_disc"),
+      .agg(sum(col("qc")).as("sqc"), sum(col("c")).as("sc"), sum(col("d")).as("sd"),
+        sum(col("p1h")).as("sp1h"), sum(col("p1l")).as("sp1l"),
+        sum(col("p2h")).as("sp2h"), sum(col("p2l")).as("sp2l"),
         count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        fixedToDouble(col("sqc"), 100L).as("sum_qty"),
+        fixedToDouble(col("sc"), 100L).as("sum_base_price"),
+        split6ToDouble(col("sp1h"), col("sp1l")).as("sum_disc_price"),
+        split10ToDouble(col("sp2h"), col("sp2l")).as("sum_charge"),
+        (fixedToDouble(col("sqc"), 100L) / col("count_order")).as("avg_qty"),
+        (fixedToDouble(col("sc"), 100L) / col("count_order")).as("avg_price"),
+        (fixedToDouble(col("sd"), 10000L) / col("count_order")).as("avg_disc"),
+        col("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
@@ -59,15 +78,23 @@ object Analytics {
     */
   def q14Promo(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val one = lit(1).cast("decimal(8,4)")
-    val rev = dec(col("l_extendedprice")) * (one - dec(col("l_discount"), 8, 4))
+    // fixed-point revenue (r8, see q1Pricing): scale-6 integer per row,
+    // split long sums, decimal reconstruction on the |months| frame
+    val rev = cents(col("l_extendedprice")) * (lit(10000L) - bp(col("l_discount")))
+    val promoRev = when(col("p_type") === "PROMO", rev).otherwise(lit(0L))
     t.lineitem
       .join(t.part, col("l_partkey") === col("p_partkey"))
-      .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
-      .agg(
-        decSumProd(when(col("p_type") === "PROMO", rev).otherwise(lit(0))).as("promo_revenue"),
-        decSumProd(rev).as("total_revenue"),
+      .select(date_trunc("month", col("l_shipdate")).as("month"),
+        splitHi(rev).as("rh"), splitLo(rev).as("rl"),
+        splitHi(promoRev).as("ph"), splitLo(promoRev).as("pl"))
+      .groupBy(col("month"))
+      .agg(sum(col("ph")).as("sph"), sum(col("pl")).as("spl"),
+        sum(col("rh")).as("srh"), sum(col("rl")).as("srl"),
         count(lit(1)).as("n_items"))
+      .select(col("month"),
+        split6ToDouble(col("sph"), col("spl")).as("promo_revenue"),
+        split6ToDouble(col("srh"), col("srl")).as("total_revenue"),
+        col("n_items"))
       .select(col("month"), col("promo_revenue"), col("total_revenue"),
         (col("promo_revenue") * 100 / col("total_revenue")).as("promo_pct"),
         col("n_items"))
@@ -100,11 +127,18 @@ object Analytics {
     val li = t.lineitem
       .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
+    // fixed-point revenue (r8, see q1Pricing) — the grouping key here is
+    // high-cardinality (every qualifying order), exactly where decimal
+    // partial-agg buffers hurt most
+    val rev = cents(col("l_extendedprice")) * (lit(10000L) - bp(col("l_discount")))
     li.join(ord.join(cust, col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("o_orderdate"),
+        splitHi(rev).as("rh"), splitLo(rev).as("rl"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg(decSumProd(dec(col("l_extendedprice")) * (lit(1).cast("decimal(8,4)") - dec(col("l_discount"), 8, 4)))
-        .as("revenue"))
+      .agg(sum(col("rh")).as("srh"), sum(col("rl")).as("srl"))
+      .select(col("l_orderkey"), col("o_orderdate"),
+        split6ToDouble(col("srh"), col("srl")).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -118,9 +152,13 @@ object Analytics {
     */
   def q18BigOrders(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // fixed-point quantity cents (r8, see q1Pricing): long sum per order
+    // (bounded: ≤ 5000/row), exact reconstruction, identical double
     val heavy = t.lineitem
+      .select(col("l_orderkey"), cents(col("l_quantity")).as("qc"))
       .groupBy(col("l_orderkey"))
-      .agg(decSum(col("l_quantity")).as("total_qty"))
+      .agg(sum(col("qc")).as("sqc"))
+      .select(col("l_orderkey"), fixedToDouble(col("sqc"), 100L).as("total_qty"))
       .filter(col("total_qty") > 250.0)
     heavy
       .join(t.orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
@@ -191,9 +229,13 @@ object Analytics {
         col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
       .join(broadcast(t.nation.select("n_nationkey", "n_name")),
         col("c_nationkey") === col("n_nationkey"))
+      // fixed-point revenue (r8, see q1Pricing)
+      .select(col("n_name"),
+        splitHi(cents(col("l_extendedprice")) * (lit(10000L) - bp(col("l_discount")))).as("rh"),
+        splitLo(cents(col("l_extendedprice")) * (lit(10000L) - bp(col("l_discount")))).as("rl"))
       .groupBy(col("n_name"))
-      .agg(decSumProd(dec(col("l_extendedprice")) * (lit(1).cast("decimal(8,4)") - dec(col("l_discount"), 8, 4)))
-        .as("revenue"))
+      .agg(sum(col("rh")).as("srh"), sum(col("rl")).as("srl"))
+      .select(col("n_name"), split6ToDouble(col("srh"), col("srl")).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 

@@ -93,24 +93,46 @@ object Facts {
     * build path: downstream models read upstream materializations).
     */
   def monthlyRollupFrom(fact: DataFrame): DataFrame = {
-    val one = lit(1).cast("decimal(8,4)")
-    val d = dec(col("l_discount"), 8, 4)
-    val tx = dec(col("l_tax"), 8, 4)
-    val ep = dec(col("l_extendedprice"))
+    // fixed-point money kernels (r8, see Analytics.q1Pricing): exact
+    // integer cents/bp per row, long split-accumulator partials over the
+    // exchange, decimal reconstruction on the (zone, month, type) frame —
+    // bit-identical doubles to the previous decimal aggregation
+    val c = cents(col("l_extendedprice"))
+    val qc = cents(col("l_quantity"))
+    val d = bp(col("l_discount"))
+    val tx = bp(col("l_tax"))
+    val pd = c * d                   // ep·disc, scale 6
+    val pt = c * tx                  // ep·tax, scale 6
+    val p1 = c * (lit(10000L) - d)   // ep·(1−disc), scale 6
+    val p2 = p1 * (lit(10000L) + tx) // ·(1+tax), scale 10
     fact
+      .select(col("supp_zone"), col("l_shipdate"), col("service_type"),
+        col("tripid"), qc.as("qc"), c.as("c"),
+        splitHi(pd).as("pdh"), splitLo(pd).as("pdl"),
+        splitHi(pt).as("pth"), splitLo(pt).as("ptl"),
+        splitHi(p1).as("p1h"), splitLo(p1).as("p1l"),
+        splitHi(p2).as("p2h"), splitLo(p2).as("p2l"))
       .groupBy(col("supp_zone").as("revenue_zone"),
         date_trunc("month", col("l_shipdate")).as("revenue_month"),
         col("service_type"))
-      .agg(
-        decSum(col("l_quantity")).as("revenue_monthly_quantity"),
-        decSum(col("l_extendedprice")).as("revenue_monthly_base"),
-        decSumProd(ep * d).as("revenue_monthly_discount"),
-        decSumProd(ep * tx).as("revenue_monthly_tax"),
-        decSumProd(ep * (one - d)).as("revenue_monthly_disc_price"),
-        decSumProd(ep * (one - d) * (one + tx)).as("revenue_monthly_total"),
-        count(col("tripid")).as("total_monthly_trips"),
-        decAvg(col("l_quantity")).as("avg_monthly_quantity"),
-        decAvg(col("l_extendedprice")).as("avg_monthly_price"))
+      .agg(sum(col("qc")).as("sqc"), sum(col("c")).as("sc"),
+        sum(col("pdh")).as("spdh"), sum(col("pdl")).as("spdl"),
+        sum(col("pth")).as("spth"), sum(col("ptl")).as("sptl"),
+        sum(col("p1h")).as("sp1h"), sum(col("p1l")).as("sp1l"),
+        sum(col("p2h")).as("sp2h"), sum(col("p2l")).as("sp2l"),
+        count(col("tripid")).as("total_monthly_trips"))
+      .select(col("revenue_zone"), col("revenue_month"), col("service_type"),
+        fixedToDouble(col("sqc"), 100L).as("revenue_monthly_quantity"),
+        fixedToDouble(col("sc"), 100L).as("revenue_monthly_base"),
+        split6ToDouble(col("spdh"), col("spdl")).as("revenue_monthly_discount"),
+        split6ToDouble(col("spth"), col("sptl")).as("revenue_monthly_tax"),
+        split6ToDouble(col("sp1h"), col("sp1l")).as("revenue_monthly_disc_price"),
+        split10ToDouble(col("sp2h"), col("sp2l")).as("revenue_monthly_total"),
+        col("total_monthly_trips"),
+        (fixedToDouble(col("sqc"), 100L) / col("total_monthly_trips"))
+          .as("avg_monthly_quantity"),
+        (fixedToDouble(col("sc"), 100L) / col("total_monthly_trips"))
+          .as("avg_monthly_price"))
   }
 
   private val factCte: String =

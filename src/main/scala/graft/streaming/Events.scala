@@ -648,9 +648,12 @@ object Events {
     * for eviction. A production deployment on a genuinely unbounded
     * feed would switch to `update`/`append` mode, where the declared
     * 1-hour watermark actually evicts closed windows and bounds state;
-    * the aggregation itself is mode-agnostic. Together with D7
-    * (tumbling) and D10 (session) every batch windowing face has a
-    * live streaming twin.
+    * the aggregation itself is mode-agnostic — PROVEN since r8 by
+    * StreamingSpec's "slidingAgg in update mode" case, which runs this
+    * exact aggregate in update mode and pins the state-store row count
+    * DROPPING once the watermark passes the early windows. Together
+    * with D7 (tumbling) and D10 (session) every batch windowing face
+    * has a live streaming twin.
     */
   def qStreamSliding(spark: SparkSession, dir: String): DataFrame = withConf(
       spark, "spark.sql.shuffle.partitions", "8") {

@@ -6,17 +6,21 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Builds the skewed sibling of a ScaleUp directory: every table is
-  * carried over unchanged except lineitem, whose l_partkey is pointed
-  * at ONE hot part for a deterministic ~20% of rows
-  * (l_orderkey % 5 == 0). FK integrity holds — the hot key is an
-  * existing partkey — but the partkey shuffle now has a reducer
-  * carrying ≥20% of all bytes, which at 64× sf0.1 (~38 M lineitem
-  * rows) crosses BOTH default AQE skew gates
+  * carried over unchanged except lineitem, whose l_orderkey is pointed
+  * at ONE hot order for a deterministic ~20% of rows
+  * (l_linenumber-preserving; rows with original l_orderkey % 5 == 0 go
+  * hot). FK integrity holds — the hot key is an existing orderkey —
+  * and the skew lands on the ORDERKEY column because that is the key
+  * the SF-scaling SortMergeJoins actually shuffle on (q18 / q5 / the
+  * fact build); a partkey skew would be invisible, since the
+  * lineitem⋈part join stays a broadcast at every captured scale (the
+  * r8 first attempt measured exactly that: skew=false everywhere).
+  * At 128× sf0.1 (~77 M lineitem rows) the hot reducer carries ≥20%
+  * of the shuffle bytes, crossing BOTH default AQE skew gates
   * (`skewedPartitionFactor`=5× median and
-  * `skewedPartitionThresholdInBytes`=256 MB), so
-  * OptimizeSkewedJoin must split the hot reducer — the skew-split arm
-  * of the 100 TB story, observed at default settings rather than
-  * simulated with lowered thresholds.
+  * `skewedPartitionThresholdInBytes`=256 MB), so OptimizeSkewedJoin
+  * must split it — the skew-split arm of the 100 TB story, observed at
+  * default settings rather than simulated with lowered thresholds.
   *
   * Usage: runMain graft.tools.SkewUp <scaleDir> <outDir> [hotFrac=5]
   * (hotFrac = modulus: rows with l_orderkey % hotFrac == 0 go hot.)
@@ -53,15 +57,15 @@ object SkewUp {
     }
 
     val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
-    val hotKey = li.agg(min(col("l_partkey"))).head.getLong(0)
+    val hotKey = li.agg(min(col("l_orderkey"))).head.getLong(0)
     li.select(li.columns.map {
-        case "l_partkey" =>
+        case "l_orderkey" =>
           when(col("l_orderkey") % hotMod === 0, lit(hotKey))
-            .otherwise(col("l_partkey")).as("l_partkey")
+            .otherwise(col("l_orderkey")).as("l_orderkey")
         case c => col(c)
       }.toIndexedSeq: _*)
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
-    System.err.println(s"[skewup] wrote skewed lineitem (hot l_partkey=$hotKey, 1/$hotMod of rows)")
+    System.err.println(s"[skewup] wrote skewed lineitem (hot l_orderkey=$hotKey, 1/$hotMod of rows)")
     spark.stop()
   }
 }
