@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 import graft.core.Graft
 
+import scala.util.control.NonFatal
+
 /** Benchmark main: times every SparkEntry query at the given scale
   * factor and prints the driver's one-line JSON. Queries are forced
   * end-to-end with a `noop` sink (a bare `.count()` would let Catalyst
@@ -25,12 +27,21 @@ object Bench {
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def time(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       def once(): Unit =
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       // warm-up pass absorbs one-time planning/codegen/JIT; the timed
-      // pass measures steady-state engine throughput
-      try { once() } catch { case _: Throwable => return -1.0 }
+      // pass measures steady-state engine throughput. NonFatal only:
+      // swallowing OOM/fatal errors would mislabel a dying JVM as a
+      // per-query -1, and a silently-broken query must be named loudly
+      // (r8 ADVICE) — a no-op warmup would quietly reintroduce the 3×
+      // cold-start artifact the warmup exists to remove.
+      try { once() } catch {
+        case NonFatal(e) =>
+          System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+          return -1.0
+      }
       // 100 query executions share this JVM: collect the previous
       // queries' garbage OUTSIDE the timing window, so query N's number
       // doesn't pay for query N-1's allocations
@@ -56,7 +67,10 @@ object Bench {
       .foreach { name =>
         try SparkEntry.queries(name)(spark, sfDir)
           .write.mode("overwrite").format("noop").save()
-        catch { case _: Throwable => () }
+        catch {
+          case NonFatal(e) => System.err.println(
+            s"BENCH WARMUP FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+        }
       }
     // Scale-up arm (r7 item #1): if a ScaleUp replica dir exists (built
     // once by `runMain graft.tools.ScaleUp /root/testdata/sf0.1
@@ -74,13 +88,28 @@ object Bench {
       if (only.isEmpty && new java.io.File(s"$scaleDir/lineitem.parquet").isDirectory) {
         Seq("q1_pricing", "q3_topk", "q5_join5", "q14_promo",
           "q18_big_orders", "q_fact_join").map { name =>
-          System.gc()
-          val t0 = System.nanoTime()
+          def once(): Unit = SparkEntry.queries(name)(spark, scaleDir)
+            .write.mode("overwrite").format("noop").save()
+          // One untimed pass first (r8 judge finding #2): the first read
+          // of a 64× replica pays cold page-cache I/O + footer parsing,
+          // and a single cold-timed pass recorded 200 s where
+          // steady-state is ~2 s — a 25–94× artifact on exactly the
+          // rows a reader checks for the scale story. Warm first, THEN
+          // gc-fence and time the steady-state pass (the r8 probes
+          // measured the same fact build at 25 s gc-fenced vs 88–208 s
+          // riding another query's garbage).
           val s = try {
-            SparkEntry.queries(name)(spark, scaleDir)
-              .write.mode("overwrite").format("noop").save()
+            once()
+            System.gc()
+            val t0 = System.nanoTime()
+            once()
             (System.nanoTime() - t0) / 1e9
-          } catch { case _: Throwable => -1.0 }
+          } catch {
+            case NonFatal(e) =>
+              System.err.println(
+                s"BENCH SCALEUP FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+              -1.0
+          }
           name -> s
         }
       } else Seq.empty
@@ -96,7 +125,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        name -> time(fn)
+        name -> time(name, fn)
       }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

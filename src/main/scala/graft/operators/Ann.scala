@@ -508,10 +508,13 @@ object Ann {
     * candidate pool — but score them with C25's int8 quantization
     * (per-vector symmetric scale 127/max|x|): the integer dot is ~4×
     * cheaper per candidate than the float cosine, so 2× cells at int8
-    * costs about one coarse arm; then rescore only the 2k-candidate
-    * shortlist at full precision. The report emits per-query recall@k
-    * of BOTH arms against exact brute force — the refine arm must win
-    * or the refinement isn't paying for itself.
+    * costs about one coarse arm; then rescore at full precision the
+    * UNION of the 2k-candidate shortlist and the coarse arm's top-k
+    * (≤3k pairs/query), which makes per-query
+    * n_hit_refine ≥ n_hit_coarse a theorem rather than an empirical
+    * bound (see the inline proof at the pool construction). The report
+    * emits per-query recall@k of BOTH arms against exact brute force —
+    * the refine arm must win or the refinement isn't paying for itself.
     *
     * Portability of every ranking step: the int8 dot is an exact
     * integer (quantized values are `floor(x·(127/amax)+0.5)` — one
@@ -553,12 +556,31 @@ object Ann {
       .orderBy(col("s8").desc, col("vec_id"))
     val shortlist = dot8.withColumn("rn8", row_number().over(w8))
       .filter(col("rn8") <= 2 * TopK)
-    // full-precision rescore of the shortlist only
-    val refined = rank(shortlist.select(col("query_id"), col("vec_id"),
+    val coarsePairs = annIvf(spark, dir)
+      .select(col("query_id"), col("vec_id"))
+    // Full-precision rescore of the UNION of the int8 shortlist and the
+    // coarse arm's top-k (r8 ADVICE): the unnormalized quantized dot can
+    // drop a true neighbor the coarse arm kept, so rescoring the
+    // shortlist alone makes "refine ≥ coarse" merely empirical. With the
+    // union, refine's pool ⊇ coarse's top-k BY CONSTRUCTION, and since
+    // the rescore uses exactly exact-brute-force's total order (rounded
+    // cosine desc, vec_id asc), any exact-top-k member in the pool has
+    // < k pool elements above it and survives refine's top-k — so
+    // per-query n_hit_refine ≥ n_hit_coarse is a theorem. The union adds
+    // at most k pairs/query to a 2k shortlist: same cost class.
+    val pool = shortlist.select(col("query_id"), col("vec_id"))
+      .unionAll(coarsePairs).distinct()
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val poolEmb = emb.join(broadcast(pool), Seq("vec_id"))
+      .join(broadcast(emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))),
+        Seq("query_id"))
+    val refined = rank(poolEmb.select(col("query_id"), col("vec_id"),
       round(NativeExprs.cosine_f32(col("q_emb"), col("embedding")), 3).as("cosine")))
       .select(col("query_id").as("rq"), col("vec_id").as("rv"))
 
-    val coarse = annIvf(spark, dir)
+    val coarse = coarsePairs
       .select(col("query_id").as("cq"), col("vec_id").as("cv"))
     val exact = annTopK(spark, dir).select(col("query_id"), col("vec_id"))
     exact
@@ -576,8 +598,8 @@ object Ann {
   /** Oracle restatement of [[annRefine]] (C7e): the shared IVF pipeline
     * (dynamic √N params), a doubled probe set (rn ≤ 2·np), per-vector
     * int8 quantization over the exploded frame, exact-integer dots,
-    * the amax-scaled shortlist window, full-precision rescore, and the
-    * two-arm recall fold.
+    * the amax-scaled shortlist window, the shortlist∪coarse pool
+    * union, full-precision rescore, and the two-arm recall fold.
     */
   lazy val annRefineSql: String =
     s"""WITH $ivfPipelineSql,
@@ -611,11 +633,15 @@ object Ann {
        |    SELECT query_id, vec_id,
        |      row_number() OVER (PARTITION BY query_id ORDER BY s8 DESC, vec_id) AS rn8
        |    FROM sc8) WHERE rn8 <= ${2 * TopK}),
+       |pool AS (
+       |  SELECT query_id, vec_id FROM short
+       |  UNION
+       |  SELECT query_id, vec_id FROM coarse),
        |ref_scored AS (
        |  SELECT s.query_id, s.vec_id,
        |    round(list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
        |                                 CAST(ec.embedding AS DOUBLE[])), 3) AS cosine
-       |  FROM short s
+       |  FROM pool s
        |  JOIN embeddings eq ON eq.vec_id = s.query_id
        |  JOIN embeddings ec ON ec.vec_id = s.vec_id),
        |refined AS (
@@ -645,16 +671,28 @@ object Ann {
        |GROUP BY e.query_id""".stripMargin
 
   /** Balance-aware hot-cell split (library + test face; r7 VERDICT
-    * item #3's third leg): given trained centroids and the corpus,
-    * split every cell whose population exceeds `factor`× the mean by
-    * replacing its centroid with TWO — the original, plus the member
-    * FARTHEST from it (fixed-point distance, ties → lower vec_id; the
-    * classic deterministic 2-seed split) — then run one Lloyd round to
-    * settle the new boundaries. C7d's share census is the trigger:
-    * production retrains with this when a cell's share breaches the
-    * gate. Not oracle-faced (the split is corpus-conditional control
-    * flow); AnnSpec pins that the max cell share strictly drops on a
-    * skewed corpus and that total coverage is preserved.
+    * item #3's third leg; oracle-faced via [[ivfRebalance]] since r9):
+    * given trained centroids and the corpus, split every cell whose
+    * population exceeds `factor`× the mean by keeping its centroid and
+    * ADDING one new centroid: the MEAN of the cell's farthest-half
+    * members (ranked by own-centroid fixed-point dot ascending, ties →
+    * lower vec_id; exactly the members ⌈m/2⌉ deepest into the cell's
+    * tail — the deterministic median split). The split is LOCAL — no
+    * settling Lloyd round: existing centroids never move, so under the
+    * grown codebook every vector either keeps its cell or defects to a
+    * new centroid, meaning NO existing cell can grow (the split-
+    * without-retrain invariant). Two alternatives were measured and
+    * rejected in r9: a global settling Lloyd round WORSENS balance at
+    * mild imbalance (sf0.1 max count 56→69, and 56→125 at factor 1.0)
+    * because one Lloyd step from a perturbed codebook moves mass
+    * between untouched cells; seeding with the farthest member ITSELF
+    * is far worse (56→274) because a raw vector's norm beats every
+    * mean-valued centroid under unnormalized dot assignment — the new
+    * centroid must be a mean to sit on the codebook's norm scale.
+    * C7d's share census is the trigger: production retrains with this
+    * when a cell's share breaches the gate. AnnSpec pins that the max
+    * cell share strictly drops on a skewed corpus and that total
+    * coverage is preserved.
     */
   def splitHotCells(e: DataFrame, centroids: Seq[Seq[Double]],
       factor: Double = 2.0): Seq[Seq[Double]] = {
@@ -665,27 +703,210 @@ object Ann {
     val mean = counts.values.sum.toDouble / centroids.size
     val hot = counts.filter(_._2 > factor * mean).keys.toSeq.sorted
     if (hot.isEmpty) return centroids
-    // farthest member per hot cell: minimize the fixed-point dot with
-    // the own centroid (unit-ish vectors: small dot = far), tie → low id
-    val farthest = hot.map { cellId =>
-      val c = centroids(cellId)
-      val dotFx = aggregate(
-        zip_with(col("embedding"), typedLit(c),
-          (x, w) => floor(x.cast("double") * w * 1e10 + lit(0.5)).cast("long")),
-        lit(0L), (s, v) => s + v)
-      val rows = assigned.filter(col("cell") === cellId)
-        .select(col("vec_id"), dotFx.as("d"))
-        .orderBy(col("d").asc, col("vec_id").asc)
-        .limit(1).collect()
-      rows.head.getLong(0)
+    // Rank hot-cell members by the fixed-point dot with their OWN
+    // centroid (unit-ish vectors: small dot = far), tie → low id. ONE
+    // window pass over all hot cells (r8 VERDICT item #5): the per-row
+    // centroid arrives through a broadcast map literal keyed by cell —
+    // |hot| cells cost one exchange keyed by cell, not one Spark job
+    // per hot cell as the r7 driver loop did.
+    val cmap = typedLit(centroids.zipWithIndex
+      .map { case (c, i) => i -> c }.toMap)
+    val dotFx = aggregate(
+      zip_with(col("embedding"), element_at(cmap, col("cell")),
+        (x, w) => floor(x.cast("double") * w * 1e10 + lit(0.5)).cast("long")),
+      lit(0L), (s, v) => s + v)
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("d").asc, col("vec_id").asc)
+    val cw = Window.partitionBy(col("cell"))
+    // farthest HALF of each hot cell (rn·2 ≤ m+1 ⇔ rn ≤ ⌈m/2⌉, spelled
+    // in exact integers); the new centroid is its fixed-point mean —
+    // the same Σ⌊v·10⁷+½⌋/10⁷/n spelling as every Lloyd mean, so it
+    // sits on the codebook's norm scale (see scaladoc)
+    val far = assigned.filter(col("cell").isInCollection(hot))
+      .select(col("cell"), col("vec_id"), col("embedding"), dotFx.as("d"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(cw))
+      .filter(col("rn") * 2 <= col("m") + 1)
+    val sums = far
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(sum(floor(col("v").cast("double") * lit(1e7) + lit(0.5))
+        .cast("long")).as("s"), count(lit(1)).as("n"))
+      .collect() // |hot|·dim-bounded
+      .groupBy(_.getInt(0))
+    // local split: append the half-means, move nothing — see scaladoc
+    centroids ++ hot.map { h =>
+      sums(h).sortBy(_.getInt(1))
+        .map(r => r.getLong(2).toDouble / 1e7 / r.getLong(3)).toSeq
     }
-    val newSeeds = e.filter(col("vec_id").isInCollection(farthest))
-      .select("vec_id", "embedding").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toMap
-    val grown = centroids ++ farthest.map(newSeeds)
-    // one settling Lloyd round over the grown codebook
-    ivfCentroidsFrom(e, grown, iters = 1)
   }
+
+  /** The split-trigger factor of [[ivfRebalance]] (C7f): a cell holding
+    * more than this multiple of the mean population is split. 1.2 keeps
+    * probe-time worst case within ~1.2× the balanced cost and fires on
+    * the natural k-means imbalance the test corpora exhibit (measured
+    * max cell/mean: 1.43 at sf0.001, 1.24 at sf0.01, 1.26 at sf0.1 —
+    * a 1.5 gate never fires there and the face would degenerate to an
+    * identity report).
+    */
+  private[graft] val RebalanceFactor = 1.2
+
+  /** C7f `q_ivf_rebalance`: the production retrain story, oracle-faced
+    * (r8 VERDICT item #5). C7d's share census is the trigger; this face
+    * runs the whole loop once: census the trained index (C7b's cached
+    * ⌈√N⌉-cell codebook), split every cell above [[RebalanceFactor]]×
+    * the mean population via [[splitHotCells]] (deterministic local
+    * 2-seed split, no retrain — see its scaladoc), then report
+    * before/after —
+    * codebook size, max cell share, and recall@k vs exact brute force
+    * at each arm's own ⌈√c⌉ probe budget. One summary row.
+    *
+    * Recall is emitted as exact integer hit totals plus ONE IEEE divide
+    * (hits/k_total) — never an avg over per-query doubles, whose
+    * summation order would be engine-dependent. Shares use the §8d
+    * floor(x·10⁶+½)/10⁶ idiom. Everything upstream (assignment dots,
+    * Lloyd means, split seeding) is the fixed-point arithmetic the
+    * oracle restates verbatim, so the row hash-matches.
+    *
+    * Scale: the census and both recall arms are the C7b/C7c plans
+    * (corpus never shuffles; queries/centroids broadcast); the split
+    * adds one cell-keyed window over hot-cell members only.
+    */
+  def ivfRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val base = loadIvfIndex(spark, ivfIndexPath(spark, dir))
+    val grown = splitHotCells(e, base, factor = RebalanceFactor)
+
+    def maxShare(centroids: Seq[Seq[Double]]): DataFrame = {
+      val celled = e.withColumn("cell",
+        NativeExprs.cell_probe(col("embedding"), centroids, 1)(0))
+      celled.groupBy(col("cell")).agg(count(lit(1)).as("nv"))
+        .agg(max(col("nv")).as("max_nv"), sum(col("nv")).as("n_total"))
+        .select((floor(col("max_nv").cast("double") / col("n_total") * 1e6
+          + lit(0.5)) / 1e6).as("ms"))
+    }
+    def hits(approx: DataFrame): DataFrame = {
+      val exact = annTopK(spark, dir).select(col("query_id"), col("vec_id"))
+      exact.join(approx.select(col("query_id").as("qi"), col("vec_id").as("vi")),
+          col("query_id") === col("qi") && col("vec_id") === col("vi"), "left")
+        .agg(count(lit(1)).as("k_total"), count(col("vi")).as("n_hit"))
+    }
+    val before = hits(annIvf(spark, dir))
+      .crossJoin(broadcast(maxShare(base)))
+      .select(col("k_total"), col("n_hit").as("hits_before"),
+        col("ms").as("max_share_before"))
+    val after = hits(annIvfServe(e, grown, nprobe = ivfNProbe(grown.size)))
+      .crossJoin(broadcast(maxShare(grown)))
+      .select(col("n_hit").as("hits_after"), col("ms").as("max_share_after"))
+    before.crossJoin(broadcast(after))
+      .select(
+        lit(base.size.toLong).as("cells_before"),
+        lit(grown.size.toLong).as("cells_after"),
+        col("max_share_before"), col("max_share_after"),
+        col("k_total"), col("hits_before"), col("hits_after"),
+        (col("hits_before").cast("double") / col("k_total")).as("recall_before"),
+        (col("hits_after").cast("double") / col("k_total")).as("recall_after"))
+  }
+
+  /** Oracle restatement of [[ivfRebalance]] (C7f): the shared trained
+    * pipeline, the census + hot set (nv > factor·N/c), the farthest-
+    * member window (min own-centroid fixed dot, tie → low vec_id), the
+    * grown codebook (new cell ids appended in hot-cell order; existing
+    * centroids verbatim — the local no-retrain split, so an empty hot
+    * set degenerates to the base codebook exactly like splitHotCells'
+    * early return), re-assignment + recall at the grown arm's own
+    * ⌈√c'⌉ probes, and the single summary row.
+    */
+  lazy val ivfRebalanceSql: String =
+    s"""WITH $ivfPipelineSql,
+       |ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+       |cellsb AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS nv FROM af GROUP BY cell),
+       |hot AS (
+       |  SELECT cell FROM cellsb
+       |  WHERE CAST(nv AS DOUBLE) > $RebalanceFactor *
+       |    (CAST((SELECT n FROM ntot) AS DOUBLE) / CAST((SELECT c FROM params) AS DOUBLE))),
+       |down AS (
+       |  SELECT x.vec_id, af.cell,
+       |    SUM(CAST(floor(x.xi * c2.c * 10000000000.0 + 0.5) AS BIGINT)) AS dot
+       |  FROM x JOIN af USING (vec_id)
+       |  JOIN c2 ON c2.cell = af.cell AND c2.dim = x.dim
+       |  WHERE af.cell IN (SELECT cell FROM hot)
+       |  GROUP BY x.vec_id, af.cell),
+       |farh AS (
+       |  SELECT cell, vec_id FROM (
+       |    SELECT cell, vec_id,
+       |      row_number() OVER (PARTITION BY cell ORDER BY dot ASC, vec_id) AS rn,
+       |      COUNT(*) OVER (PARTITION BY cell) AS m
+       |    FROM down) WHERE rn * 2 <= m + 1),
+       |numc AS (
+       |  SELECT cell, row_number() OVER (ORDER BY cell) AS k
+       |  FROM (SELECT DISTINCT cell FROM farh)),
+       |newc AS (
+       |  SELECT CAST((SELECT c FROM params) + n.k - 1 AS INTEGER) AS cell, x.dim,
+       |    CAST(SUM(CAST(floor(x.xi * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |      / 10000000.0 / COUNT(*) AS c
+       |  FROM farh f JOIN x USING (vec_id) JOIN numc n ON n.cell = f.cell
+       |  GROUP BY n.k, x.dim),
+       |cfin AS (SELECT cell, dim, c FROM c2 UNION ALL SELECT cell, dim, c FROM newc),
+       |params2 AS (
+       |  SELECT CAST((SELECT c FROM params) + (SELECT COUNT(*) FROM hot) AS BIGINT) AS ca,
+       |    CAST(CEIL(SQRT((SELECT c FROM params) + (SELECT COUNT(*) FROM hot))) AS BIGINT) AS np2),
+       |d5 AS (
+       |  SELECT x.vec_id, cfin.cell,
+       |    SUM(CAST(floor(x.xi * cfin.c * 10000000000.0 + 0.5) AS BIGINT)) AS dot
+       |  FROM x JOIN cfin USING (dim) GROUP BY x.vec_id, cfin.cell),
+       |r5 AS (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell) AS rn
+       |  FROM d5),
+       |af5 AS (SELECT vec_id, cell FROM r5 WHERE rn = 1),
+       |qp5 AS (SELECT vec_id AS query_id, cell FROM r5
+       |        WHERE rn <= (SELECT np2 FROM params2) AND vec_id < $NQueries),
+       |sc5 AS (
+       |  SELECT q.query_id, a.vec_id,
+       |    round(list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+       |                                 CAST(ec.embedding AS DOUBLE[])), 3) AS cosine
+       |  FROM qp5 q
+       |  JOIN af5 a ON a.cell = q.cell AND a.vec_id != q.query_id
+       |  JOIN embeddings eq ON eq.vec_id = q.query_id
+       |  JOIN embeddings ec ON ec.vec_id = a.vec_id),
+       |rk5 AS (
+       |  SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM sc5),
+       |approx_after AS (SELECT query_id, vec_id FROM rk5 WHERE rank <= $TopK),
+       |approx_before AS (SELECT query_id, vec_id FROM ivf_ranked WHERE rank <= $TopK),
+       |exact_scored AS (
+       |  SELECT q.vec_id AS query_id, e2.vec_id,
+       |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                 CAST(e2.embedding AS DOUBLE[])), 3) AS cosine
+       |  FROM embeddings q JOIN embeddings e2 ON e2.vec_id != q.vec_id
+       |  WHERE q.vec_id < $NQueries
+       |), exact_ranked AS (
+       |  SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM exact_scored
+       |), exact AS (SELECT query_id, vec_id FROM exact_ranked WHERE rank <= $TopK),
+       |cellsa AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS nv FROM af5 GROUP BY cell),
+       |msb AS (SELECT floor(CAST(MAX(nv) AS DOUBLE) / (SELECT n FROM ntot)
+       |  * 1000000.0 + 0.5) / 1000000.0 AS v FROM cellsb),
+       |msa AS (SELECT floor(CAST(MAX(nv) AS DOUBLE) / (SELECT n FROM ntot)
+       |  * 1000000.0 + 0.5) / 1000000.0 AS v FROM cellsa),
+       |rec AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS k_total,
+       |    CAST(COUNT(b.vec_id) AS BIGINT) AS hits_before,
+       |    CAST(COUNT(a2.vec_id) AS BIGINT) AS hits_after
+       |  FROM exact e
+       |  LEFT JOIN approx_before b ON e.query_id = b.query_id AND e.vec_id = b.vec_id
+       |  LEFT JOIN approx_after a2 ON e.query_id = a2.query_id AND e.vec_id = a2.vec_id)
+       |SELECT CAST((SELECT c FROM params) AS BIGINT) AS cells_before,
+       |  (SELECT ca FROM params2) AS cells_after,
+       |  (SELECT v FROM msb) AS max_share_before,
+       |  (SELECT v FROM msa) AS max_share_after,
+       |  k_total, hits_before, hits_after,
+       |  CAST(hits_before AS DOUBLE) / k_total AS recall_before,
+       |  CAST(hits_after AS DOUBLE) / k_total AS recall_after
+       |FROM rec""".stripMargin
 
   /** C22: embedding normalization — per-vector L2 norm and dimension,
     * the standard pre-index hygiene pass (unit-normalizing makes cosine

@@ -64,24 +64,31 @@ object Multimodal {
     }
     def readInt(): Int = {
       skipSpaceAndComments()
-      var v = 0
+      // accumulate in Long so a pathological digit run can't wrap Int
+      // into a small positive value (r8 ADVICE: w=h=65536 made
+      // w*h*3 wrap to 0 and a corrupt header decoded "successfully")
+      var v = 0L
       var any = false
       while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
-        v = v * 10 + (payload(i) - '0'); i += 1; any = true
+        v = math.min(v * 10 + (payload(i) - '0'), Int.MaxValue.toLong)
+        i += 1; any = true
       }
-      if (any) v else -1
+      if (any) v.toInt else -1
     }
     val w = readInt(); val h = readInt(); val maxval = readInt()
     if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
+    // dimension sanity bound (netpbm has none; 32768² is far beyond any
+    // thumbnail corpus) — with it, need below provably fits an Int
+    if (w > (1 << 15) || h > (1 << 15)) return None
     // exactly ONE whitespace byte separates maxval from the plane
     if (i >= payload.length) return None
     val sep = payload(i)
     if (sep != ' ' && sep != '\n' && sep != '\r' && sep != '\t') return None
     i += 1
-    val need = w * h * 3
+    val need = w.toLong * h * 3
     if (payload.length - i < need) return None
-    val px = new Array[Byte](need)
-    System.arraycopy(payload, i, px, 0, need)
+    val px = new Array[Byte](need.toInt)
+    System.arraycopy(payload, i, px, 0, need.toInt)
     Some(PpmImage(w, h, px))
   }
 

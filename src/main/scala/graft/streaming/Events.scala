@@ -267,8 +267,8 @@ object Events {
     * the batch oracle states this result exactly; StreamingSpec holds
     * the incremental-arrival and self-termination properties.
     */
-  def qStreamHourly(spark: SparkSession, dir: String): DataFrame = withConf(
-      spark, "spark.sql.shuffle.partitions", "8") {
+  def qStreamHourly(spark: SparkSession, dir: String): DataFrame = graft.operators.Mining.withShufflePartitions(
+      spark, 8) {
     import org.apache.spark.sql.streaming.Trigger
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
@@ -298,8 +298,8 @@ object Events {
     * batch `SELECT DISTINCT` exactly, which is the oracle. State cost
     * at scale is bounded by the horizon, not the stream length.
     */
-  def qStreamDedup(spark: SparkSession, dir: String): DataFrame = withConf(
-      spark, "spark.sql.shuffle.partitions", "8") {
+  def qStreamDedup(spark: SparkSession, dir: String): DataFrame = graft.operators.Mining.withShufflePartitions(
+      spark, 8) {
     import org.apache.spark.sql.streaming.Trigger
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
@@ -330,8 +330,8 @@ object Events {
     * `Trigger.AvailableNow`. Complete-mode output over the whole feed
     * is arrival-invariant, so the batch join's SQL is the exact oracle.
     */
-  def qStreamEnrich(spark: SparkSession, dir: String): DataFrame = withConf(
-      spark, "spark.sql.shuffle.partitions", "8") {
+  def qStreamEnrich(spark: SparkSession, dir: String): DataFrame = graft.operators.Mining.withShufflePartitions(
+      spark, 8) {
     import org.apache.spark.sql.streaming.Trigger
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
@@ -370,8 +370,8 @@ object Events {
     * 2-dp, so both land within ulps of the same 2-dp value and the
     * round recovers it bit-for-bit.
     */
-  def qStreamSessionize(spark: SparkSession, dir: String): DataFrame = withConf(
-      spark, "spark.sql.shuffle.partitions", "8") {
+  def qStreamSessionize(spark: SparkSession, dir: String): DataFrame = graft.operators.Mining.withShufflePartitions(
+      spark, 8) {
     import org.apache.spark.sql.streaming.Trigger
     val path = s"$dir/events.parquet"
     // schema = the RAW feed schema (feed-dir files must match it);
@@ -435,6 +435,17 @@ object Events {
       |FROM numbered
       |GROUP BY user_id, session_id""".stripMargin
 
+  // Every streaming face scopes its shuffle width to 8 via
+  // Mining.withShufflePartitions — stateful streaming queries
+  // instantiate one state store PER shuffle partition per stateful
+  // operator per micro-batch (a stream-stream join keeps FOUR per
+  // partition), so the session's scan-sized width would spend seconds
+  // on store commits for kilobytes of state. The shared helper scopes
+  // initialPartitionNum alongside shuffle.partitions (r9): the
+  // streaming plan itself ignores AQE, but the batch sub-queries these
+  // faces run (foreachBatch folds, final state reads) would otherwise
+  // launch at the global 8×-width pre-coalesce fan-out.
+
   /** D11: end-to-end stream–stream interval join the batch harness
     * drives — E14's range-join semantics (clicks in the hour before
     * each purchase) as a real watermarked stream-stream join under
@@ -446,28 +457,8 @@ object Events {
     * sink to (purchase, n_clicks) per converting purchase; the batch
     * join's SQL is the exact oracle.
     */
-  /** Scoped conf override, restored on exit — stateful streaming
-    * queries instantiate one state store PER shuffle partition per
-    * stateful operator per micro-batch (a stream-stream join keeps
-    * FOUR per partition), so the session's scan-sized shuffle width
-    * would spend seconds on store commits for kilobytes of state. The
-    * query captures the width at start; the session conf is restored
-    * immediately after, never leaked (the A-block discipline: no silent
-    * config mutation).
-    */
-  private def withConf[T](spark: SparkSession, key: String, value: String)(
-      body: => T): T = {
-    val old = spark.conf.getOption(key)
-    spark.conf.set(key, value)
-    try body
-    finally old match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
-
-  def qStreamJoin(spark: SparkSession, dir: String): DataFrame = withConf(
-      spark, "spark.sql.shuffle.partitions", "8") {
+  def qStreamJoin(spark: SparkSession, dir: String): DataFrame = graft.operators.Mining.withShufflePartitions(
+      spark, 8) {
     import org.apache.spark.sql.streaming.Trigger
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
@@ -540,29 +531,56 @@ object Events {
     * never overwrite-in-place: readers of v(n−1) are untouched while
     * v(n) lands — the lakehouse commit discipline in miniature).
     */
-  def qStreamCdc(spark: SparkSession, dir: String): DataFrame = withConf(
-      spark, "spark.sql.shuffle.partitions", "8") {
+  /** Highest committed state version under `stateRoot` (the `v<id>`
+    * snapshot dirs [[cdcPass]] writes), -1 when none. Deriving the
+    * resume point from the SINK (not a driver variable) is what makes
+    * the fold restart-safe: a fresh JVM resuming a killed run finds
+    * the last landed snapshot the same way the original would have.
+    */
+  private[graft] def latestStateVersion(stateRoot: java.nio.file.Path): Long = {
+    val kids = stateRoot.toFile.listFiles()
+    if (kids == null) -1L
+    else kids.iterator.filter(_.isDirectory).map(_.getName)
+      .collect { case s if s.matches("v\\d+") => s.drop(1).toLong }
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** One `Trigger.AvailableNow` pass of D12's CDC fold over `feedDir`,
+    * returning the batch ids THIS pass processed. Restart recovery is
+    * split across the two durable stores exactly as a production
+    * lakehouse job splits it:
+    *   - SOURCE offsets live in `checkpoint` (when given): a restarted
+    *     pass consumes only files the committed offsets haven't covered
+    *     — never re-reads finished input (exactly-once consumption; the
+    *     StreamingSpec restart case pins the resumed pass's batch ids).
+    *   - SINK state is an idempotent overwrite keyed by batchId, folded
+    *     from the LATEST landed `v<id>` snapshot. A batch replayed
+    *     after a crash between sink-write and offset-commit re-folds
+    *     v(batchId) over itself — the latest-wins max is idempotent on
+    *     duplicates — and overwrites the same dir with identical
+    *     content, so at-least-once replay converges to exactly-once
+    *     output.
+    */
+  private[graft] def cdcPass(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType, feedDir: String,
+      stateRoot: java.nio.file.Path,
+      checkpoint: Option[String]): Seq[Long] = {
     import org.apache.spark.sql.streaming.Trigger
-    val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    val feedDir = tempDir("graft_feed_cdc")
-    spark.read.parquet(path).repartition(4)
-      .write.mode("overwrite").parquet(feedDir.toString)
-    val stateRoot = tempDir("graft_cdc_state")
-    @volatile var stateVersion = -1L
+    val processed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     val changes = Tables.normalizeEventTs(spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(feedDir.toString))
+        .option("maxFilesPerTrigger", "1").parquet(feedDir))
       .select(col("user_id").as("key"), nsToUs(col("ts")).as("seq"),
         col("event_id"),
         when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
         dec(col("value"), 18, 2).as("new_bal"))
-    val q = changes.writeStream
+    val writer = changes.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
+        val prev = latestStateVersion(stateRoot)
         val incoming =
-          if (stateVersion < 0) batch
+          if (prev < 0) batch
           else batch.unionByName(
-            sp.read.parquet(stateRoot.resolve(s"v$stateVersion").toString))
+            sp.read.parquet(stateRoot.resolve(s"v$prev").toString))
         incoming
           .groupBy(col("key"))
           .agg(max(struct(col("seq"), col("event_id"), col("op"),
@@ -572,15 +590,30 @@ object Events {
             col("c.new_bal").as("new_bal"))
           .write.mode("overwrite")
           .parquet(stateRoot.resolve(s"v$batchId").toString)
-        stateVersion = batchId
+        processed.add(batchId): Unit
       }
-      .trigger(Trigger.AvailableNow()).start()
+      .trigger(Trigger.AvailableNow())
+    val q = checkpoint
+      .fold(writer)(c => writer.option("checkpointLocation", c)).start()
     try require(q.awaitTermination(300000),
       "AvailableNow run did not self-terminate")
     finally if (q.isActive) q.stop()
-    require(stateVersion >= 0, "no micro-batch ran")
+    import scala.jdk.CollectionConverters._
+    processed.iterator().asScala.toSeq.sorted
+  }
+
+  def qStreamCdc(spark: SparkSession, dir: String): DataFrame = graft.operators.Mining.withShufflePartitions(
+      spark, 8) {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val feedDir = tempDir("graft_feed_cdc")
+    spark.read.parquet(path).repartition(4)
+      .write.mode("overwrite").parquet(feedDir.toString)
+    val stateRoot = tempDir("graft_cdc_state")
+    val ran = cdcPass(spark, schema, feedDir.toString, stateRoot, None)
+    require(ran.nonEmpty, "no micro-batch ran")
     val latest = spark.read
-      .parquet(stateRoot.resolve(s"v$stateVersion").toString)
+      .parquet(stateRoot.resolve(s"v${latestStateVersion(stateRoot)}").toString)
       .select(col("key"), col("op"), col("new_bal"))
     val base = Tables(spark, dir).customer.select(col("c_custkey").as("key"),
       dec(col("c_acctbal"), 18, 2).as("base_bal"))
@@ -603,8 +636,8 @@ object Events {
     * in-plan 5% error claim the oracle states as TRUE; the claim is a
     * deterministic function of this feed, oracle-checked at every scale.
     */
-  def qStreamUniques(spark: SparkSession, dir: String): DataFrame = withConf(
-      spark, "spark.sql.shuffle.partitions", "8") {
+  def qStreamUniques(spark: SparkSession, dir: String): DataFrame = graft.operators.Mining.withShufflePartitions(
+      spark, 8) {
     import org.apache.spark.sql.streaming.Trigger
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
@@ -655,8 +688,8 @@ object Events {
     * with D7 (tumbling) and D10 (session) every batch windowing face
     * has a live streaming twin.
     */
-  def qStreamSliding(spark: SparkSession, dir: String): DataFrame = withConf(
-      spark, "spark.sql.shuffle.partitions", "8") {
+  def qStreamSliding(spark: SparkSession, dir: String): DataFrame = graft.operators.Mining.withShufflePartitions(
+      spark, 8) {
     import org.apache.spark.sql.streaming.Trigger
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
@@ -699,8 +732,8 @@ object Events {
     * null row under ANY arrival order, so the batch LEFT JOIN over the
     * same horizon states the result exactly.
     */
-  def qStreamLeftJoin(spark: SparkSession, dir: String): DataFrame = withConf(
-      spark, "spark.sql.shuffle.partitions", "8") {
+  def qStreamLeftJoin(spark: SparkSession, dir: String): DataFrame = graft.operators.Mining.withShufflePartitions(
+      spark, 8) {
     import org.apache.spark.sql.streaming.Trigger
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
@@ -781,8 +814,8 @@ object Events {
     * oracle's drop rule. (dbt source freshness — A20 — is the batch
     * cousin: both quantify arrival lag against a declared tolerance.)
     */
-  def qStreamLate(spark: SparkSession, dir: String): DataFrame = withConf(
-      spark, "spark.sql.shuffle.partitions", "8") {
+  def qStreamLate(spark: SparkSession, dir: String): DataFrame = graft.operators.Mining.withShufflePartitions(
+      spark, 8) {
     import org.apache.spark.sql.streaming.Trigger
     val path = s"$dir/events.parquet"
     val raw = spark.read.parquet(path)

@@ -864,9 +864,13 @@ class OperatorSpec extends AnyFunSuite {
     assert(d.count() == 10)
     for (c <- Seq("recall_coarse", "recall_refine"))
       assert(d.filter(col(c) < 0 || col(c) > 1).count() == 0)
-    // the refine arm probes 2x the cells at int8 cost and rescores the
-    // shortlist — per-query it can only see a superset of the coarse
-    // candidates, so its MEAN recall must not lose
+    // the refine arm rescores shortlist ∪ coarse-top-k with exactly the
+    // exact arm's total order, so per-query n_hit_refine >= n_hit_coarse
+    // is guaranteed BY CONSTRUCTION (any exact-top-k member has < k
+    // global betters, hence survives top-k of any pool containing it) —
+    // pin the per-query invariant, not just the mean
+    assert(d.filter(col("n_hit_refine") < col("n_hit_coarse")).count() == 0,
+      "refine lost a coarse hit — the pool-union superset guarantee broke")
     val m = d.agg(avg("recall_coarse"), avg("recall_refine")).head
     assert(m.getDouble(1) >= m.getDouble(0),
       s"refine ${m.getDouble(1)} lost to coarse ${m.getDouble(0)}")
@@ -874,6 +878,30 @@ class OperatorSpec extends AnyFunSuite {
     // dead weight (2x cells at sf0.001 widens the pool substantially)
     assert(d.filter(col("n_hit_refine") > col("n_hit_coarse")).count() > 0
       || m.getDouble(0) > 0.95, "refine arm never improved a query")
+    d.unpersist()
+  }
+
+  test("q_ivf_rebalance: split fires, max share drops, recall does not collapse") {
+    val d = run("q_ivf_rebalance").cache()
+    assert(d.count() == 1)
+    val r = d.head
+    val cb = r.getAs[Long]("cells_before")
+    val ca = r.getAs[Long]("cells_after")
+    // the natural k-means imbalance at this SF must trigger the split —
+    // otherwise the face degenerates to an identity report
+    assert(ca > cb, s"no hot cells at factor 1.2 (cells $cb -> $ca)")
+    assert(r.getAs[Double]("max_share_after") < r.getAs[Double]("max_share_before"),
+      s"max share did not drop: ${r.getAs[Double]("max_share_before")} -> " +
+        s"${r.getAs[Double]("max_share_after")}")
+    for (c <- Seq("recall_before", "recall_after")) {
+      val v = r.getAs[Double](c)
+      assert(v >= 0 && v <= 1, s"$c=$v out of range")
+    }
+    // the retrained index keeps serving: recall may move (cell walls
+    // shifted) but must stay in the same quality class as the trigger
+    // gate C7c enforces on the before arm
+    assert(r.getAs[Double]("recall_after") >= 0.4,
+      s"rebalanced recall ${r.getAs[Double]("recall_after")} collapsed")
     d.unpersist()
   }
 

@@ -305,4 +305,30 @@ class PlanSpec extends AnyFunSuite {
       assert("Bucketed: true".r.findAllIn(s).size == 2, s)
     } finally cleanup()
   }
+
+  test("withShufflePartitions scopes BOTH width confs — initialPartitionNum is not inert") {
+    // r8's q_components 2x regression: Graft.tune sets a global 8x
+    // initialPartitionNum, and when that conf is set Spark ignores
+    // shuffle.partitions for the pre-coalesce width — so scoping only
+    // shuffle.partitions is silently inert. Pin that a plan EXECUTED
+    // inside the scope launches its exchanges at the scoped width, and
+    // that both confs restore afterwards.
+    import org.apache.spark.sql.functions.col
+    val keys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+    val before = keys.map(spark.conf.getOption)
+    val widths = graft.operators.Mining.withShufflePartitions(spark, 8) {
+      val agg = spark.range(1000).toDF("n").groupBy(col("n") % 10).count()
+      agg.collect()
+      val finalPlan = agg.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      "hashpartitioning\\(.*, (\\d+)\\)".r
+        .findAllMatchIn(finalPlan).map(_.group(1).toInt).toSeq
+    }
+    assert(widths.nonEmpty, "no hash-partitioned exchange found in the executed plan")
+    assert(widths.forall(_ == 8),
+      s"exchanges planned at widths $widths, not the scoped 8 — " +
+        "the global initialPartitionNum leaked into the scope")
+    assert(keys.map(spark.conf.getOption) == before, "confs not restored after the scope")
+  }
 }

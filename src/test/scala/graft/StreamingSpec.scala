@@ -294,6 +294,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("qStreamCdc pipeline: checkpoint restart resumes offsets, never re-reads, state converges") {
+    // The one streaming story r8 left unexercised (VERDICT item #6):
+    // kill a checkpointed query mid-feed, resume from sink + checkpoint,
+    // and land on exactly the uninterrupted run's output.
+    import java.nio.file.Files
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // stage the 4-part feed; reveal it in two halves around the "kill"
+    val staged = Files.createTempDirectory("graft_restart_staged")
+    spark.read.parquet(s"$dir/events.parquet").repartition(4)
+      .write.mode("overwrite").parquet(staged.toString)
+    val parts = staged.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    assert(parts.length == 4)
+    val feed = Files.createTempDirectory("graft_restart_feed")
+    val ckpt = Files.createTempDirectory("graft_restart_ckpt").toString
+    val state = Files.createTempDirectory("graft_restart_state")
+    parts.take(2).foreach(f => Files.copy(f.toPath, feed.resolve(f.getName)))
+    // run 1 consumes the visible half, then the job "dies" (query gone;
+    // checkpoint offsets and v* state snapshots survive on disk)
+    val run1 = graft.streaming.Events.cdcPass(
+      spark, schema, feed.toString, state, Some(ckpt))
+    assert(run1 == Seq(0L, 1L), s"run1 processed $run1")
+    // the rest of the feed lands while the job is down
+    parts.drop(2).foreach(f => Files.copy(f.toPath, feed.resolve(f.getName)))
+    // run 2 resumes from the SAME checkpoint: batch ids continue and
+    // ONLY the two new files are consumed — committed input is never
+    // re-read (exactly-once source consumption)
+    val run2 = graft.streaming.Events.cdcPass(
+      spark, schema, feed.toString, state, Some(ckpt))
+    assert(run2 == Seq(2L, 3L), s"run2 processed $run2 — offsets did not resume")
+    // the restarted pipeline's final state equals one uninterrupted
+    // streaming run over the full feed (batch-split invariance of the
+    // latest-wins fold); qStreamCdc's own spec ties that to the batch
+    // E45 oracle, closing restart == batch transitively
+    val soloState = Files.createTempDirectory("graft_restart_solo")
+    graft.streaming.Events.cdcPass(
+      spark, schema, feed.toString, soloState, None)
+    def finalState(root: java.nio.file.Path) = spark.read.parquet(
+      root.resolve(s"v${graft.streaming.Events.latestStateVersion(root)}").toString)
+    val a = finalState(state)
+    val b = finalState(soloState)
+    assert(a.count() > 0)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "restarted state diverged from the uninterrupted run")
+    // a further resume with nothing new must not touch committed ids
+    // (an empty catch-up batch, if any, may fold v-latest over itself)
+    val run3 = graft.streaming.Events.cdcPass(
+      spark, schema, feed.toString, state, Some(ckpt))
+    assert(run3.forall(_ >= 4L), s"run3 reprocessed $run3")
+    val a2 = finalState(state)
+    assert(a2.exceptAll(b).count() == 0 && b.exceptAll(a2).count() == 0,
+      "idle resume changed the state")
+  }
+
   test("qStreamUniques: HLL state over the stream lands within the claimed 5%") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.streaming.Events.qStreamUniques(spark, dir)

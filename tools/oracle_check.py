@@ -55,14 +55,33 @@ def main(outdir: str, sfdir: str, timeout: float = 0.0) -> int:
         # is interrupted and reported as a timeout with a rows+schema
         # note on the Spark side — NOT a failure; the hash gate for that
         # query stands at the driver SFs.
+        # The timer guards ONLY the DuckDB execution window: a `done`
+        # flag checked under a lock prevents a late-firing timer from
+        # interrupting work that already completed (e.g. during the
+        # pandas compare of the NEXT query) and misclassifying a healthy
+        # query (r8 ADVICE).
         timer = None
+        done_lock = threading.Lock()
+        done = [False]
+
+        def _interrupt():
+            with done_lock:
+                if not done[0]:
+                    con.interrupt()
+
         if timeout > 0:
-            timer = threading.Timer(timeout, con.interrupt)
+            timer = threading.Timer(timeout, _interrupt)
             timer.start()
         try:
-            rel = con.sql(sql)
-            oracle_types = {c: str(t) for c, t in zip(rel.columns, rel.types)}
-            exp = rel.df()
+            try:
+                rel = con.sql(sql)
+                oracle_types = {c: str(t) for c, t in zip(rel.columns, rel.types)}
+                exp = rel.df()
+            finally:
+                with done_lock:
+                    done[0] = True
+                if timer is not None:
+                    timer.cancel()
             files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
             got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
             e, g = norm(exp), norm(got)
@@ -116,7 +135,10 @@ def main(outdir: str, sfdir: str, timeout: float = 0.0) -> int:
             else:
                 print(f"ok   {name} ({len(e)} rows x {len(e.columns)} cols)")
         except Exception as ex:  # noqa: BLE001
-            if timeout > 0 and "INTERRUPT" in type(ex).__name__.upper() + str(ex).upper():
+            # typed detection, not substring matching: a genuine error
+            # whose message happens to contain "interrupt" must stay an
+            # ERROR (r8 ADVICE)
+            if timeout > 0 and isinstance(ex, duckdb.InterruptException):
                 timeouts += 1
                 note = ""
                 try:
@@ -131,6 +153,8 @@ def main(outdir: str, sfdir: str, timeout: float = 0.0) -> int:
                 failed += 1
                 print(f"ERROR {name}: {ex}")
         finally:
+            with done_lock:
+                done[0] = True
             if timer is not None:
                 timer.cancel()
     extra = f", {timeouts} oracle timeouts (rows+schema only)" if timeouts else ""
