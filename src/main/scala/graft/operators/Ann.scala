@@ -964,6 +964,100 @@ object Ann {
       |FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(j)
       |GROUP BY label, j""".stripMargin
 
+  /** C86 `q_embed_drift`: embedding-distribution drift between two
+    * corpus snapshots — the per-label cosine between the snapshots'
+    * centroid vectors, the standard gate before reusing an index /
+    * classifier trained on the older snapshot (a label whose centroid
+    * rotated is a retrain trigger; C7d/C7f catch population skew, this
+    * catches DIRECTION drift). The query face splits the corpus by
+    * vec_id parity as the deterministic stand-in for two snapshots;
+    * [[embedDriftOn]] is the library face production points at real
+    * snapshot frames.
+    *
+    * Arithmetic: centroids via C43's exact-decimal means (7 dp fixed
+    * partials, 6 dp fixed means — order-free under any partitioning);
+    * the cosine's dot and norms are per-dim products rounded once to
+    * 7 dp and decimal-summed (order-free again), then ONE IEEE
+    * sqrt·sqrt·divide sequence per label, 6 dp-fixed. Labels missing
+    * from either half drop (inner join) — drift of an absent class is
+    * undefined, not zero.
+    *
+    * Scale: (label, half, dim)-keyed partial sums — the same
+    * long-form exchange as C43, never whole vectors; the cosine frame
+    * is |labels|·dim-bounded.
+    */
+  def embedDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    embedDriftOn(
+      e.filter(col("vec_id") % 2 === 0),
+      e.filter(col("vec_id") % 2 === 1))
+  }
+
+  /** Library face: per-label centroid drift between two (vec_id, label,
+    * embedding float[]) snapshot frames.
+    */
+  def embedDriftOn(snapA: DataFrame, snapB: DataFrame): DataFrame = {
+    def cent(e: DataFrame): DataFrame = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg(round(
+        sum(round(col("v").cast("double"), 7).cast("decimal(18,7)"))
+          .cast("double") / count(lit(1)), 6)
+        .cast("decimal(18,6)").cast("double").as("c"))
+    val a = cent(snapA).select(col("label"), col("dim"), col("c").as("ca"))
+    val b = cent(snapB).select(col("label"), col("dim"), col("c").as("cb"))
+    val dots = a.join(b, Seq("label", "dim"))
+      .groupBy(col("label"))
+      .agg(
+        sum(round(col("ca") * col("cb"), 7).cast("decimal(18,7)")).as("num"),
+        sum(round(col("ca") * col("ca"), 7).cast("decimal(18,7)")).as("na"),
+        sum(round(col("cb") * col("cb"), 7).cast("decimal(18,7)")).as("nb"))
+    val counts = snapA.groupBy(col("label")).agg(count(lit(1)).as("n_a"))
+      .join(snapB.groupBy(col("label")).agg(count(lit(1)).as("n_b")),
+        Seq("label"))
+    dots.join(counts, Seq("label"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(col("num").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+          .cast("decimal(18,6)").cast("double").as("drift_cosine"))
+  }
+
+  /** Oracle restatement of [[embedDrift]] (C86): the C43 centroid CTE
+    * per parity half, the 7 dp decimal-fixed dot/norm partials, the
+    * identical sqrt·sqrt·divide, and the inner-join label census.
+    */
+  val embedDriftSql: String =
+    """WITH x AS (
+      |  SELECT vec_id, label, vec_id % 2 AS half,
+      |    CAST(j AS INTEGER) AS dim, CAST(embedding[j] AS DOUBLE) AS xi
+      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(j)
+      |), cent AS (
+      |  SELECT label, half, dim,
+      |    CAST(CAST(round(
+      |      CAST(SUM(CAST(round(xi, 7) AS DECIMAL(18,7))) AS DOUBLE)
+      |        / COUNT(*), 6) AS DECIMAL(18,6)) AS DOUBLE) AS c
+      |  FROM x GROUP BY label, half, dim
+      |), dots AS (
+      |  SELECT a.label,
+      |    SUM(CAST(round(a.c * b.c, 7) AS DECIMAL(18,7))) AS num,
+      |    SUM(CAST(round(a.c * a.c, 7) AS DECIMAL(18,7))) AS na,
+      |    SUM(CAST(round(b.c * b.c, 7) AS DECIMAL(18,7))) AS nb
+      |  FROM cent a JOIN cent b ON a.label = b.label AND a.dim = b.dim
+      |  WHERE a.half = 0 AND b.half = 1
+      |  GROUP BY a.label
+      |), counts AS (
+      |  SELECT label,
+      |    CAST(COUNT(*) FILTER (WHERE vec_id % 2 = 0) AS BIGINT) AS n_a,
+      |    CAST(COUNT(*) FILTER (WHERE vec_id % 2 = 1) AS BIGINT) AS n_b
+      |  FROM embeddings GROUP BY label
+      |)
+      |SELECT d.label, c.n_a, c.n_b,
+      |  CAST(CAST(round(CAST(num AS DOUBLE) /
+      |    (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
+      |    AS DECIMAL(18,6)) AS DOUBLE) AS drift_cosine
+      |FROM dots d JOIN counts c ON d.label = c.label
+      |WHERE c.n_a > 0 AND c.n_b > 0""".stripMargin
+
   /** C25: int8 embedding quantization — per-vector symmetric scale
     * (127/max|x|), the standard storage/SIMD compression before
     * indexing. Map-only. Rounding is spelled as floor(x·scale + 0.5) —

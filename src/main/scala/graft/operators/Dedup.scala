@@ -369,7 +369,14 @@ object Dedup {
     * self-join sides) and the pair aggregate — versus five exchanges in
     * the join-back formulation; the wire cost is 16 B/posting, paid once.
     */
-  def ngramJaccard(docs: DataFrame): DataFrame = {
+  def ngramJaccard(docs: DataFrame): DataFrame = ngramJaccardAt(docs, 0.2)
+
+  /** [[ngramJaccard]] with an explicit report floor — the floor is a
+    * post-aggregate filter, so any threshold costs the same plan
+    * (C85's tuning audit runs at 0.0 to observe every gram-sharing
+    * pair).
+    */
+  private[operators] def ngramJaccardAt(docs: DataFrame, floor: Double): DataFrame = {
     val sh = tokenized(docs)
       .select(col("doc_id"), col("lang"), size(col("sh")).as("n"),
         explode(col("sh")).as("s"))
@@ -382,11 +389,11 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_inter"),
         col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
         (col("n_inter") / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
-      .filter(col("jaccard") >= 0.2)
+      .filter(col("jaccard") >= floor)
   }
 
-  val ngramJaccardSql: String =
-    """WITH toks AS (
+  private def ngramJaccardSqlAt(floor: Double): String =
+    s"""WITH toks AS (
       |  SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents
       |), sh AS (
       |  SELECT DISTINCT doc_id, lang, array_to_string(tk[i:i+2], ' ') AS s
@@ -401,7 +408,121 @@ object Dedup {
       |SELECT doc_a, doc_b, n_inter, x.n AS n_a, y.n AS n_b,
       |  n_inter / (x.n + y.n - n_inter) AS jaccard
       |FROM inter JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
-      |WHERE n_inter / (x.n + y.n - n_inter) >= 0.2""".stripMargin
+      |WHERE n_inter / (x.n + y.n - n_inter) >= $floor""".stripMargin
+
+  val ngramJaccardSql: String = ngramJaccardSqlAt(0.2)
+
+  /** C85 `q_lsh_tuning`: MinHash banding parameter audit — the
+    * production question behind C2's hardcoded 8×4: for EVERY (bands b,
+    * rows-per-band r) factorization of the 32-permutation signature,
+    * what recall on true dups and what wasted verify work does the
+    * s-curve p(s) = 1−(1−sʳ)ᵇ predict ON THIS CORPUS's observed
+    * similarity distribution? Input is C4's exact word-3-gram Jaccard
+    * pair set — the SAME shingle space C2's signatures sketch, so the
+    * curve applies verbatim, observed at floor 0 (every gram-sharing
+    * pair; C4's 0.2 report floor would blank the negative band on this
+    * corpus). One row per factorization: expected recall (mean p over
+    * pairs with s ≥ 0.5, C2's dup threshold) and expected
+    * false-candidate rate (mean p over s < 0.5 pairs — "per observed
+    * gram-sharing non-dup pair"; disjoint-gram pairs collide with
+    * p ≈ 0 and are unobservable without the quadratic, stated, not
+    * hidden).
+    *
+    * Portability: r and b are both powers of two, so every power is a
+    * SQUARING CHAIN — identical single IEEE multiplies in both engines
+    * (no libm pow, whose rounding is engine-specific); each p is
+    * rounded once to 7 dp and summed as exact decimal (order-free),
+    * then one divide + 6 dp fix per output row.
+    *
+    * Scale: rides C4's two-shuffle posting join; the tuning itself is
+    * map-side arithmetic plus ONE 1-row aggregate exploded to 6 rows —
+    * cost is the pair set, which production samples.
+    */
+  def lshTuning(spark: SparkSession, dir: String): DataFrame = {
+    // threshold 0: every pair sharing ≥1 gram is observed — C4's 0.2
+    // report floor would blank the negative band entirely (this corpus
+    // has no 0.2–0.5 pairs; sub-0.2 ones are the realistic fp load).
+    // Same plan, the floor is a post-aggregate filter.
+    val pairs = ngramJaccardAt(Tables(spark, dir).documents, 0.0)
+      .select(col("jaccard").as("s"))
+    def sq(c: Column, n: Int): Column = (1 to n).foldLeft(c)((a, _) => a * a)
+    // p_i: collision probability under r = 2^i rows/band, b = 2^(5-i) bands
+    val pCols = (0 to 5).map { i =>
+      round(lit(1.0) - sq(lit(1.0) - sq(col("s"), i), 5 - i), 7)
+        .cast("decimal(18,7)").as(s"p$i")
+    }
+    val withP = pairs
+      .select((col("s") +: pCols): _*)
+      .withColumn("pos", col("s") >= 0.5)
+    val aggExprs = (0 to 5).flatMap { i =>
+      Seq(sum(when(col("pos"), col(s"p$i"))).as(s"sp$i"),
+        sum(when(!col("pos"), col(s"p$i"))).as(s"sn$i"))
+    } ++ Seq(count(when(col("pos"), lit(1))).as("n_pos"),
+      count(when(!col("pos"), lit(1))).as("n_neg"))
+    val a = withP.agg(aggExprs.head, aggExprs.tail: _*)
+    val rows = (0 to 5).map { i =>
+      struct(lit(32L / (1L << i)).as("bands"),
+        lit((1L << i)).as("rows_per_band"),
+        col("n_pos"), col("n_neg"),
+        round(col(s"sp$i").cast("double") / col("n_pos"), 6)
+          .cast("decimal(18,6)").cast("double").as("exp_recall"),
+        round(col(s"sn$i").cast("double") / col("n_neg"), 6)
+          .cast("decimal(18,6)").cast("double").as("exp_fp"))
+    }
+    a.select(explode(array(rows: _*)).as("x")).select(col("x.*"))
+  }
+
+  /** Oracle restatement of [[lshTuning]] (C85): C4's pair pipeline
+    * inline, the same squaring-chain powers staged as sequential CTE
+    * columns, the same 7 dp decimal-fixed means, one UNION ALL branch
+    * per factorization.
+    */
+  val lshTuningSql: String = {
+    val pairsSql = ngramJaccardSqlAt(0.0)
+    s"""WITH pairs AS ($pairsSql),
+       |c0 AS (SELECT jaccard AS s1, jaccard >= 0.5 AS pos FROM pairs),
+       |c1 AS (SELECT *, s1*s1 AS s2 FROM c0),
+       |c2 AS (SELECT *, s2*s2 AS s4 FROM c1),
+       |c3 AS (SELECT *, s4*s4 AS s8 FROM c2),
+       |c4 AS (SELECT *, s8*s8 AS s16 FROM c3),
+       |c5 AS (SELECT *, s16*s16 AS s32 FROM c4),
+       |d0 AS (SELECT *, 1-s1 AS u0_1, 1-s2 AS u1_1, 1-s4 AS u2_1,
+       |       1-s8 AS u3_1, 1-s16 AS u4_1, 1-s32 AS u5_1 FROM c5),
+       |d1 AS (SELECT *, u0_1*u0_1 AS u0_2, u1_1*u1_1 AS u1_2,
+       |       u2_1*u2_1 AS u2_2, u3_1*u3_1 AS u3_2, u4_1*u4_1 AS u4_2 FROM d0),
+       |d2 AS (SELECT *, u0_2*u0_2 AS u0_4, u1_2*u1_2 AS u1_4,
+       |       u2_2*u2_2 AS u2_4, u3_2*u3_2 AS u3_4 FROM d1),
+       |d3 AS (SELECT *, u0_4*u0_4 AS u0_8, u1_4*u1_4 AS u1_8,
+       |       u2_4*u2_4 AS u2_8 FROM d2),
+       |d4 AS (SELECT *, u0_8*u0_8 AS u0_16, u1_8*u1_8 AS u1_16 FROM d3),
+       |d5 AS (SELECT *, u0_16*u0_16 AS u0_32 FROM d4),
+       |pp AS (SELECT pos,
+       |  CAST(round(1 - u0_32, 7) AS DECIMAL(18,7)) AS p0,
+       |  CAST(round(1 - u1_16, 7) AS DECIMAL(18,7)) AS p1,
+       |  CAST(round(1 - u2_8, 7) AS DECIMAL(18,7)) AS p2,
+       |  CAST(round(1 - u3_4, 7) AS DECIMAL(18,7)) AS p3,
+       |  CAST(round(1 - u4_2, 7) AS DECIMAL(18,7)) AS p4,
+       |  CAST(round(1 - u5_1, 7) AS DECIMAL(18,7)) AS p5
+       |  FROM d5),
+       |ag AS (SELECT
+       |  CAST(COUNT(*) FILTER (WHERE pos) AS BIGINT) AS n_pos,
+       |  CAST(COUNT(*) FILTER (WHERE NOT pos) AS BIGINT) AS n_neg,
+       |  SUM(p0) FILTER (WHERE pos) AS sp0, SUM(p0) FILTER (WHERE NOT pos) AS sn0,
+       |  SUM(p1) FILTER (WHERE pos) AS sp1, SUM(p1) FILTER (WHERE NOT pos) AS sn1,
+       |  SUM(p2) FILTER (WHERE pos) AS sp2, SUM(p2) FILTER (WHERE NOT pos) AS sn2,
+       |  SUM(p3) FILTER (WHERE pos) AS sp3, SUM(p3) FILTER (WHERE NOT pos) AS sn3,
+       |  SUM(p4) FILTER (WHERE pos) AS sp4, SUM(p4) FILTER (WHERE NOT pos) AS sn4,
+       |  SUM(p5) FILTER (WHERE pos) AS sp5, SUM(p5) FILTER (WHERE NOT pos) AS sn5
+       |  FROM pp)
+       |${(0 to 5).map { i =>
+          val b = 32L / (1L << i); val r = 1L << i
+          s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+             |  n_pos, n_neg,
+             |  CAST(CAST(round(CAST(sp$i AS DOUBLE) / n_pos, 6) AS DECIMAL(18,6)) AS DOUBLE) AS exp_recall,
+             |  CAST(CAST(round(CAST(sn$i AS DOUBLE) / n_neg, 6) AS DECIMAL(18,6)) AS DOUBLE) AS exp_fp
+             |FROM ag""".stripMargin
+        }.mkString("\nUNION ALL\n")}""".stripMargin
+  }
 
   /** C65: n-gram CONTAINMENT pairs (overlap coefficient
     * |A∩B| / min(|A|,|B|)) — the asymmetric near-dup Jaccard misses: a

@@ -602,16 +602,12 @@ object Events {
     processed.iterator().asScala.toSeq.sorted
   }
 
-  def qStreamCdc(spark: SparkSession, dir: String): DataFrame = graft.operators.Mining.withShufflePartitions(
-      spark, 8) {
-    val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    val feedDir = tempDir("graft_feed_cdc")
-    spark.read.parquet(path).repartition(4)
-      .write.mode("overwrite").parquet(feedDir.toString)
-    val stateRoot = tempDir("graft_cdc_state")
-    val ran = cdcPass(spark, schema, feedDir.toString, stateRoot, None)
-    require(ran.nonEmpty, "no micro-batch ran")
+  /** Shared tail of D12/D17: apply the latest CDC state snapshot under
+    * `stateRoot` against the customer base table (full-outer upsert +
+    * delete filter — the MERGE INTO result set).
+    */
+  private def cdcFinal(spark: SparkSession, dir: String,
+      stateRoot: java.nio.file.Path): DataFrame = {
     val latest = spark.read
       .parquet(stateRoot.resolve(s"v${latestStateVersion(stateRoot)}").toString)
       .select(col("key"), col("op"), col("new_bal"))
@@ -625,6 +621,58 @@ object Events {
           .when(col("base_bal").isNull, lit("inserted"))
           .otherwise(lit("updated")).as("cdc_action"))
   }
+
+  def qStreamCdc(spark: SparkSession, dir: String): DataFrame = graft.operators.Mining.withShufflePartitions(
+      spark, 8) {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val feedDir = tempDir("graft_feed_cdc")
+    spark.read.parquet(path).repartition(4)
+      .write.mode("overwrite").parquet(feedDir.toString)
+    val stateRoot = tempDir("graft_cdc_state")
+    val ran = cdcPass(spark, schema, feedDir.toString, stateRoot, None)
+    require(ran.nonEmpty, "no micro-batch ran")
+    cdcFinal(spark, dir, stateRoot)
+  }
+
+  /** D17 `q_stream_restart`: checkpoint-restart recovery as an
+    * ORACLE-FACED query (r8 VERDICT item #6's production form, beyond
+    * the StreamingSpec kill/resume case). The feed is staged as 4 files
+    * but only the first half is revealed; [[cdcPass]] runs to
+    * `AvailableNow` completion against a DURABLE checkpoint and then
+    * the query is gone — the crash. The remaining files land while the
+    * job is down; a SECOND pass resumes from the same checkpoint,
+    * consuming ONLY the unseen files (committed source offsets) and
+    * folding from the last landed v‹id› snapshot (sink state). The
+    * in-query REQUIRE pins the exactly-once evidence — the resumed
+    * pass's batch ids continue strictly past the first pass's — and
+    * the final upsert table must equal the uninterrupted batch CDC
+    * apply, so E45's SQL is the exact oracle (character-identical to
+    * D12's: recovery is only correct if it is output-invisible).
+    */
+  def qStreamRestart(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Mining.withShufflePartitions(spark, 8) {
+      val path = s"$dir/events.parquet"
+      val schema = spark.read.parquet(path).schema
+      val staged = tempDir("graft_restartq_stage")
+      spark.read.parquet(path).repartition(4)
+        .write.mode("overwrite").parquet(staged.toString)
+      val parts = staged.toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val feedDir = tempDir("graft_restartq_feed")
+      val ckpt = tempDir("graft_restartq_ckpt").toString
+      val stateRoot = tempDir("graft_restartq_state")
+      parts.take(2).foreach(f =>
+        java.nio.file.Files.copy(f.toPath, feedDir.resolve(f.getName)))
+      val run1 = cdcPass(spark, schema, feedDir.toString, stateRoot, Some(ckpt))
+      require(run1.nonEmpty, "first pass ran no micro-batch")
+      parts.drop(2).foreach(f =>
+        java.nio.file.Files.copy(f.toPath, feedDir.resolve(f.getName)))
+      val run2 = cdcPass(spark, schema, feedDir.toString, stateRoot, Some(ckpt))
+      require(run2.nonEmpty && run2.head > run1.last,
+        s"resumed pass re-ran committed batches: $run1 then $run2")
+      cdcFinal(spark, dir, stateRoot)
+    }
 
   /** D13: streaming cardinality — distinct users per event type over an
     * unbounded stream. Exact COUNT(DISTINCT) is impossible in streaming

@@ -905,6 +905,43 @@ class OperatorSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("q_lsh_tuning: s-curve audit validates the 8x4 production choice") {
+    val d = run("q_lsh_tuning").cache()
+    assert(d.count() == 6)
+    val rows = d.collect().sortBy(_.getAs[Long]("rows_per_band"))
+    d.unpersist()
+    // every factorization multiplies out to the 32-permutation signature
+    assert(rows.forall(r =>
+      r.getAs[Long]("bands") * r.getAs[Long]("rows_per_band") == 32))
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_pos") > 0 && r.getAs[Long]("n_neg") > 0))
+    // p(s) = 1-(1-s^r)^b falls in r for fixed k on every s, so both
+    // expected columns are monotone non-increasing in rows-per-band
+    val rec = rows.map(_.getAs[Double]("exp_recall"))
+    val fp = rows.map(_.getAs[Double]("exp_fp"))
+    assert(rec.zip(rec.tail).forall { case (a, b) => a >= b }, rec.mkString(","))
+    assert(fp.zip(fp.tail).forall { case (a, b) => a >= b }, fp.mkString(","))
+    assert(rows.forall(r => r.getAs[Double]("exp_recall") >= r.getAs[Double]("exp_fp")))
+    // C2's production 8x4 sits on the knee: near-total recall, ~zero fp
+    val prod = rows.find(_.getAs[Long]("bands") == 8).get
+    assert(prod.getAs[Double]("exp_recall") >= 0.99
+      && prod.getAs[Double]("exp_fp") <= 0.001, prod.toString)
+  }
+
+  test("q_embed_drift: bounded, both halves populated; self-drift is 1") {
+    val d = run("q_embed_drift").cache()
+    assert(d.count() == 10)
+    assert(d.filter(col("drift_cosine") < -1 || col("drift_cosine") > 1).count() == 0)
+    assert(d.filter(col("n_a") === 0 || col("n_b") === 0).count() == 0)
+    d.unpersist()
+    // identity contract of the library face: a snapshot drifted against
+    // itself has cosine exactly 1 (up to the 6dp fix)
+    val e = graft.sources.Tables(spark, dir).embeddings
+    val self = graft.operators.Ann.embedDriftOn(e, e)
+    assert(self.filter(abs(col("drift_cosine") - 1.0) > 1e-6).count() == 0,
+      "self-drift must be 1")
+  }
+
   test("splitHotCells: max cell share drops, coverage preserved, codebook grows") {
     val e = graft.sources.Tables(spark, dir).embeddings
     val base = graft.operators.Ann.ivfCentroids(e, c = 4, iters = 2)

@@ -157,6 +157,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed.toSeq == Seq(Events.SessionOut(1, us(0), 2, 3.0)))
   }
 
+  test("RocksDB state store: stateful pipeline output is provider-invariant") {
+    // The 100 TB state story: default (HDFS-backed) state stores hold
+    // state on the JVM heap — terabytes of aggregate session/join state
+    // OOM by construction. RocksDBStateStoreProvider (bundled with
+    // Spark) spills state off-heap/on-disk per partition. The provider
+    // is swapped by CONF ONLY; this pins that the same stateful
+    // pipeline lands on identical output under both providers, so the
+    // scale deployment is a config choice, not a code fork.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val us = (min: Int) => (min + 60) * 60L * 1000000L
+    val gap = 30 * 60L * 1000000L
+    def runArm(provider: Option[String]): Seq[Events.SessionOut] = {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val old = spark.conf.getOption(key)
+      provider.foreach(spark.conf.set(key, _))
+      try {
+        val mem = MemoryStream[Events.Ev]
+        val name = s"rocks_arm_${provider.isDefined}"
+        val q = Events.sessionizeStateful(mem.toDS(), gapUs = gap).writeStream
+          .outputMode("append").format("memory").queryName(name).start()
+        try {
+          mem.addData(Events.Ev(1, us(0), 1.0), Events.Ev(1, us(10), 2.0),
+            Events.Ev(2, us(5), 4.0))
+          q.processAllAvailable()
+          mem.addData(Events.Ev(1, us(100), 5.0), Events.Ev(2, us(110), 1.0))
+          q.processAllAvailable()
+          spark.table(name).as[Events.SessionOut].collect().toSeq
+            .sortBy(s => (s.user_id, s.session_start_us))
+        } finally q.stop()
+      } finally old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val default = runArm(None)
+    val rocks = runArm(Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    assert(default.nonEmpty, "pipeline emitted nothing")
+    assert(rocks == default,
+      s"RocksDB arm diverged: $rocks vs $default")
+  }
+
   test("sessionizeStateful: watermark timeout closes an idle user's session") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -292,6 +335,17 @@ class StreamingSpec extends AnyFunSuite {
     // batch-split invariance: the per-micro-batch latest-wins fold over
     // 4 files lands on exactly the single-pass batch merge
     assert(streamed == batch)
+  }
+
+  test("q_stream_restart: crash/resume pipeline equals batch CDC apply") {
+    val dir = "/root/testdata/sf0.001"
+    val restarted = graft.streaming.Events.qStreamRestart(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    val batch = graft.operators.Extras.cdcApply(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(restarted.nonEmpty)
+    // recovery is only correct if it is output-invisible
+    assert(restarted == batch)
   }
 
   test("qStreamCdc pipeline: checkpoint restart resumes offsets, never re-reads, state converges") {
