@@ -41,6 +41,17 @@ object Graft {
     // keeps sorts/aggs under the per-task memory budget instead of
     // forcing 32 half-GB partition sorts into spill (observed r8,
     // PLANS_SCALE.md). On a 1000-executor cluster the same ratio holds.
+    // r9 re-falsified two alternatives at 64× sf0.1 (solo, gc-fenced,
+    // same machine): ×1 (initial = shuffle.partitions) costs q14_promo
+    // 5× (18.3 s vs 3.4) and q_fact_join 2× (58.5 s vs 29.5) to sort
+    // spill, buying only ~0.5 s back on domain-bounded small frames —
+    // the ×8 stays; and raising shuffle.sort.bypassMergeThreshold past
+    // the 256 pre-coalesce width (so unaggregated exchanges take the
+    // bypass writer) regresses q_fact_join 3× (29.5 s vs 9.5) — 256
+    // tiny unsorted per-map streams lose to one sorted spill file at
+    // scale, so the stock 200 stays. Small-frame queries that would pay
+    // the ×8 fan-out on tiny iterative exchanges scope it away via
+    // Mining.withShufflePartitions (both confs, r8 VERDICT #1).
     .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
       (shufflePartitions * 8).toString)
     // Spark's stock 10 MB, deliberately NOT raised: the planner's size
