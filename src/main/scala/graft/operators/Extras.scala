@@ -1488,4 +1488,78 @@ object Extras {
       |  MAX(selfjoin_rows) AS selfjoin_rows,
       |  CAST(MAX(max_fanout) * 1000000 // MAX(n_rows) AS BIGINT) AS top_key_ppm
       |FROM cum CROSS JOIN tot""".stripMargin
+
+  /** E91 `q_bloom_join`: runtime bloom-filter semi-join reduction made
+    * explicit and RESULT-CHECKED — the manual form of Spark's
+    * `runtimeFilter.bloomFilter` rewrite (and of every lakehouse
+    * "dynamic file/row pruning" story). The build side (urgent open
+    * orders) is aggregated into ONE `BloomFilterAggregate` sketch
+    * (~1 MB binary, the C32 idiom); the probe side (lineitem) is
+    * filtered by `BloomFilterMightContain` BEFORE the join, so at
+    * 100 TB non-matching probe rows die at the scan — they never reach
+    * the exchange. Because a bloom has NO false negatives the prune is
+    * result-invisible: the monthly revenue out of the pruned join is
+    * the exact semi-join answer, which is what the oracle states.
+    *
+    * The audit columns make the reduction checkable, not asserted:
+    * `n_probe`/`n_match` are exact counts the oracle reproduces;
+    * `bloom_ok` is the in-plan claim that the sketch (a) kept every
+    * match and (b) passed ≤5% of the non-matching probe rows (+16
+    * absolute; the sketch is sized to the observed build count, whose
+    * optimal-k false-positive design point is 3%) — an out-of-budget
+    * or lossy sketch hash-mismatches against the oracle's TRUE.
+    */
+  def bloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+
+    val t = Tables(spark, dir)
+    val build = t.orders
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "O")
+      .select(col("o_orderkey"))
+    val nBuild = build.count()
+    val sketch: Array[Byte] = build
+      .agg(column(new BloomFilterAggregate(
+        expression(xxhash64(col("o_orderkey"))),
+        math.max(nBuild, 1L)).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val mightContain = column(new BloomFilterMightContain(
+      Literal(sketch, BinaryType), expression(xxhash64(col("l_orderkey")))))
+
+    val probe = t.lineitem
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"),
+        mightContain.as("pass_bloom"))
+    val audit = probe
+      .agg(count(lit(1)).as("n_probe"),
+        sum(col("pass_bloom").cast("long")).as("n_after_bloom"))
+    val monthly = probe.filter(col("pass_bloom"))
+      .join(build.withColumnRenamed("o_orderkey", "l_orderkey"), Seq("l_orderkey"),
+        "left_semi")
+      .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+      .agg(count(lit(1)).as("n_lines"), decSum(col("l_extendedprice")).as("revenue"))
+    val totals = monthly.agg(sum(col("n_lines")).as("n_match"))
+    monthly.crossJoin(broadcast(audit)).crossJoin(broadcast(totals))
+      .select(col("ship_month"), col("n_lines"), col("revenue"),
+        col("n_probe"), col("n_match").cast("long").as("n_match"),
+        (col("n_after_bloom") >= col("n_match") &&
+          (col("n_after_bloom") - col("n_match")) * 100 <=
+            (col("n_probe") - col("n_match")) * 5 + 1600).as("bloom_ok"))
+  }
+
+  val bloomJoinSql: String =
+    """WITH build AS (
+      |  SELECT o_orderkey FROM orders
+      |  WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'O'),
+      |monthly AS (
+      |  SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+      |    CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |  FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM build)
+      |  GROUP BY 1),
+      |audit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probe FROM lineitem),
+      |tot AS (SELECT CAST(SUM(n_lines) AS BIGINT) AS n_match FROM monthly)
+      |SELECT ship_month, n_lines, revenue, n_probe, n_match, TRUE AS bloom_ok
+      |FROM monthly CROSS JOIN audit CROSS JOIN tot""".stripMargin
 }

@@ -398,4 +398,77 @@ object Interop {
       |  CAST(thr_c AS BIGINT) AS thr_c,
       |  max_price_c < thr_c AS can_skip
       |FROM manifest CROSS JOIN thr""".stripMargin
+
+  /** E92 `q_compaction_plan`: small-file compaction planning — the
+    * table-maintenance pass every lakehouse runs (Delta OPTIMIZE /
+    * Iceberg rewrite_data_files): given a fragment manifest, assign
+    * fragments to target-sized compaction bins and emit the bin plan.
+    * The manifest here is E88's logical form (one fragment per
+    * (month, priority) slice of orders, est_bytes from exact row
+    * counts) so the oracle can state it; against a real table the same
+    * plan runs off the file listing.
+    *
+    * The assignment rule is what makes it a SCALE operator: bin =
+    * cum_bytes_before DIV target is a pure function of the manifest's
+    * prefix sums, so (a) planning never touches data — it reads
+    * |fragments| rows (~10⁶ at 100 TB, a single trivial sort) while the
+    * 100 TB itself stays cold, and (b) the emitted plan is a
+    * deterministic contract: every executor can recompute its bin
+    * membership independently and compact bins in parallel with no
+    * coordinator. Greedy first-fit-decreasing packs ~1% tighter but is
+    * inherently sequential — the prefix rule is the distributed choice
+    * (same discipline as Corpus's prefix primitive). Ordering by
+    * fragment key (not size) also keeps each bin KEY-CONTIGUOUS, so
+    * compaction preserves the table's clustering instead of shredding
+    * it. All arithmetic is integer (DIV / exact sums) — nothing to
+    * drift between engines; `fill_ppm` shows the ±1-fragment slack the
+    * rule trades for parallelism.
+    */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frags = Tables(spark, dir).orders
+      .groupBy(concat(date_format(col("o_orderdate"), "yyyy-MM"), lit("|"),
+        col("o_orderpriority")).as("file_key"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("file_key"), col("n_rows"),
+        (col("n_rows") * 40 + 2048).as("est_bytes"))
+    val total = frags.agg(sum(col("est_bytes")).as("total_bytes"))
+      .select((call_function("div", col("total_bytes"), lit(8L)) + 1L)
+        .as("target_bytes"))
+    val w = Window.orderBy(col("file_key"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    frags.crossJoin(broadcast(total))
+      .withColumn("cum_before", coalesce(sum(col("est_bytes")).over(w), lit(0L)))
+      .withColumn("bin_id", call_function("div", col("cum_before"), col("target_bytes")))
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_files"), sum(col("est_bytes")).as("bin_bytes"),
+        min(col("file_key")).as("first_file"), max(col("file_key")).as("last_file"),
+        max(col("target_bytes")).as("target_bytes"))
+      .select(col("bin_id"), col("n_files"), col("bin_bytes"),
+        col("first_file"), col("last_file"), col("target_bytes"),
+        call_function("div", col("bin_bytes") * 1000000L, col("target_bytes"))
+          .as("fill_ppm"))
+  }
+
+  val compactionPlanSql: String =
+    """WITH frags AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') || '|' || o_orderpriority
+      |      AS file_key,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(COUNT(*) * 40 + 2048 AS BIGINT) AS est_bytes
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(est_bytes) // 8 + 1 AS BIGINT) AS target_bytes
+      |        FROM frags),
+      |planned AS (
+      |  SELECT file_key, est_bytes, target_bytes,
+      |    CAST(COALESCE(SUM(est_bytes) OVER (ORDER BY file_key
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      // target_bytes AS BIGINT) AS bin_id
+      |  FROM frags CROSS JOIN tot)
+      |SELECT bin_id, CAST(COUNT(*) AS BIGINT) AS n_files,
+      |  CAST(SUM(est_bytes) AS BIGINT) AS bin_bytes,
+      |  MIN(file_key) AS first_file, MAX(file_key) AS last_file,
+      |  CAST(MAX(target_bytes) AS BIGINT) AS target_bytes,
+      |  CAST(SUM(est_bytes) * 1000000 // MAX(target_bytes) AS BIGINT) AS fill_ppm
+      |FROM planned GROUP BY 1""".stripMargin
 }

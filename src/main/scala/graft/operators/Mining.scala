@@ -2058,4 +2058,97 @@ object Mining {
       |SELECT n_events, rel_lift, p0, p1,
       |  CAST(CEIL((za * za) / ((p1 - p0) * (p1 - p0))) AS BIGINT) AS n_per_arm
       |FROM a""".stripMargin
+
+  /** E90 `q_regression`: per-returnflag ordinary-least-squares trend of
+    * MONTHLY revenue on a month index — slope, intercept and r² from
+    * the textbook normal equations, the parametric companion to E84's
+    * Theil-Sen (q_trend_robust gives a robust slope with no fit
+    * quality; this gives the classical fit plus r², the pair an
+    * analyst actually reads side by side).
+    *
+    * Two-level shape, and it is what scales: the heavy pass is the
+    * EXACT monthly rollup (map-combinable partial aggregation over
+    * lineitem — one shuffle of (flag, month, decimal-cents) partials);
+    * the regression itself runs over the |flags|×|months|-bounded frame
+    * (≤ 3×84 rows at any SF), grouped per flag. Nothing downstream of
+    * the rollup ever sees a row-level value.
+    *
+    * Portability (SURVEY §8): y is the monthly revenue rounded ONCE to
+    * THOUSANDS of currency units (exact bigint cents sum, then
+    * integer-only HALF_UP: (cents+50000) DIV 100000 — decimal division
+    * scales/rounds engine-dependently, integer DIV doesn't) — sized so
+    * every moment stays a small exact integer
+    * (Σy² ≈ 3e13 at the 64× gate, far under 2^53, so each
+    * decimal(38,0)→double cast is exact in both engines); x is the
+    * integer month index (year−1992)·12+month−1, pure integer
+    * arithmetic in both engines. The per-flag moments n, Σx, Σy, Σxx,
+    * Σxy, Σyy are exact — Spark casts products to DECIMAL(38,0) before
+    * summing (a raw long y² would overflow at 100 TB); the oracle's
+    * sums promote to DuckDB's exact int128 HUGEINT, INTERNAL-only
+    * (§8(e) bans HUGEINT finals; every final below is BIGINT/DOUBLE).
+    * The IEEE tail is one fixed sequence: cov = n·Σxy−Σx·Σy,
+    * varx = n·Σxx−Σx², vary = n·Σyy−Σy² (all exact, cast once to
+    * double), then slope = cov/varx, intercept = (Σy−slope·Σx)/n,
+    * r² = (cov/varx)·(cov/vary) — two divides and a multiply, never
+    * cov² (whose exact value would need decimal76). Finals are
+    * 6dp-fixed via the §8(d) floor idiom.
+    */
+  def regression(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"),
+        date_trunc("month", col("l_shipdate")).as("m"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("rev_c"))
+      .select(col("l_returnflag"),
+        ((year(col("m")) - 1992) * 12 + month(col("m")) - 1).cast("long").as("x"),
+        // cents -> thousands of units, HALF_UP, integer-only (decimal
+        // division scales/rounds differently across engines)
+        call_function("div", col("rev_c") + 50000L, lit(100000L)).as("y"))
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val mom = monthly.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"),
+        sum((col("x").cast(d38) * col("y"))).as("sxy"),
+        sum((col("y").cast(d38) * col("y"))).as("syy"))
+    val cov = (col("n") * col("sxy") - col("sx") * col("sy")).cast(d38).cast("double")
+    val varx = (col("n") * col("sxx") - (col("sx") * col("sx")).cast(d38)).cast(d38).cast("double")
+    val vary = (col("n") * col("syy") - (col("sy") * col("sy")).cast(d38)).cast(d38).cast("double")
+    def fix6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    val slope = cov / varx
+    mom.select(col("l_returnflag"), col("n").as("n_months"),
+      fix6(slope).as("slope"),
+      fix6((col("sy").cast("double") - slope * col("sx").cast("double"))
+        / col("n").cast("double")).as("intercept"),
+      fix6((cov / varx) * (cov / vary)).as("r2"))
+  }
+
+  val regressionSql: String =
+    """WITH monthly AS (
+      |  SELECT l_returnflag,
+      |    CAST((EXTRACT(year FROM date_trunc('month', l_shipdate)) - 1992) * 12
+      |      + EXTRACT(month FROM date_trunc('month', l_shipdate)) - 1 AS BIGINT)
+      |      AS x,
+      |    (SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) + 50000)
+      |      // 100000 AS y
+      |  FROM lineitem GROUP BY 1, 2),
+      |mom AS (
+      |  -- sums promote to HUGEINT: exact int128, internal-only (finals
+      |  -- below are BIGINT/DOUBLE; section-8e applies to finals)
+      |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+      |  FROM monthly GROUP BY 1),
+      |t AS (
+      |  SELECT l_returnflag, n,
+      |    CAST(n * sxy - sx * sy AS DOUBLE) AS cov,
+      |    CAST(n * sxx - sx * sx AS DOUBLE) AS varx,
+      |    CAST(n * syy - sy * sy AS DOUBLE) AS vary,
+      |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      |  FROM mom)
+      |SELECT l_returnflag, n AS n_months,
+      |  FLOOR((cov / varx) * 1e6 + 0.5) / 1e6 AS slope,
+      |  FLOOR(((syd - (cov / varx) * sxd) / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6
+      |    AS intercept,
+      |  FLOOR(((cov / varx) * (cov / vary)) * 1e6 + 0.5) / 1e6 AS r2
+      |FROM t""".stripMargin
 }

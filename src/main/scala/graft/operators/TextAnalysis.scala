@@ -1066,4 +1066,62 @@ object TextAnalysis {
        |  CAST(n_docs * 1000000 // row_tot AS BIGINT) AS row_share_ppm,
        |  m.claimed_lang = predicted_lang AS is_diagonal
        |FROM m JOIN rt ON m.claimed_lang = rt.claimed_lang""".stripMargin
+
+  /** C87 `q_calibration`: reliability diagram of the C9 quality score
+    * read as a classifier — is a score of 0.8 right 80% of the time?
+    * The production question behind every model-scored quality filter
+    * (C20/C56 threshold on scores; this face audits whether the scores
+    * MEAN anything before a threshold is chosen). Proxy ground truth:
+    * `lang = 'en'` (the stopword-ratio half of the score is an
+    * English-ness signal, so the diagram is genuinely informative).
+    *
+    * Per fixed-width score bucket (floor(score·10), clamped to 9 so
+    * score = 1.0 joins the top bin — fixed bounds, NOT ntile: decile
+    * cuts need a global sort/quantile pass, fixed cuts are map-only and
+    * embarrassingly parallel at 100 TB): n, positives, empirical
+    * positive rate, mean claimed score, and the signed calibration gap.
+    * Portability: the per-row score is rounded ONCE to 6 dp µ-units
+    * (bigint) so the bucket mean is an exact integer sum ÷ count; the
+    * rate and gap are single IEEE divides/subtracts in one shared
+    * order, 6 dp-fixed (§8d).
+    */
+  def calibration(spark: SparkSession, dir: String): DataFrame = {
+    val score = compositeScore
+    val rows = Tables(spark, dir).documents.select(
+      least(floor(score * 10).cast("long"), lit(9L)).as("bucket"),
+      floor(score * 1e6 + 0.5).cast("long").as("score6"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    def fix6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    val posRate = col("n_pos").cast("double") / col("n_docs").cast("double")
+    val meanScore = col("sum6").cast("double") / col("n_docs").cast("double") / 1e6
+    rows.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"),
+        sum(col("score6")).as("sum6"))
+      .select(col("bucket"), col("n_docs"), col("n_pos").cast("long").as("n_pos"),
+        fix6(posRate).as("pos_rate"),
+        fix6(meanScore).as("mean_score"),
+        fix6(meanScore - posRate).as("calib_gap"))
+  }
+
+  val calibrationSql: String =
+    s"""WITH rows_ AS (
+       |  SELECT LEAST(CAST(FLOOR(($compositeScoreSql) * 10) AS BIGINT), 9)
+       |      AS bucket,
+       |    CAST(FLOOR(($compositeScoreSql) * 1e6 + 0.5) AS BIGINT) AS score6,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+       |  FROM documents),
+       |agg AS (
+       |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(pos) AS BIGINT) AS n_pos,
+       |    CAST(SUM(score6) AS BIGINT) AS sum6
+       |  FROM rows_ GROUP BY 1)
+       |SELECT bucket, n_docs, n_pos,
+       |  FLOOR((CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE)) * 1e6 + 0.5) / 1e6
+       |    AS pos_rate,
+       |  FLOOR((CAST(sum6 AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1e6) * 1e6 + 0.5)
+       |    / 1e6 AS mean_score,
+       |  FLOOR((CAST(sum6 AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1e6
+       |    - CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE)) * 1e6 + 0.5) / 1e6
+       |    AS calib_gap
+       |FROM agg""".stripMargin
 }

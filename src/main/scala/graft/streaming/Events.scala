@@ -950,4 +950,58 @@ object Events {
       | AND c.t <= p.t
       |WHERE p.event_type = 'purchase' AND p.t <= horizon
       |GROUP BY p.user_id, p.event_id""".stripMargin
+
+  /** D19 `q_stream_backpressure`: bounded-batch consumption — the
+    * source-side rate-limit contract (`maxFilesPerTrigger = 1`) driven
+    * to `AvailableNow` completion and AUDITED from the query's own
+    * progress stream. A production file-stream job never takes "all of
+    * the backlog" in one micro-batch: the rate limit bounds per-batch
+    * state/shuffle no matter how deep the backlog grew while the job
+    * was down, and `AvailableNow` + rate limit is exactly Spark's
+    * documented catch-up shape. The feed is staged as 4 part files; the
+    * audit pins (a) one non-empty micro-batch PER FILE (n_batches = 4 —
+    * a lost rate limit collapses them to 1 and hash-fails against the
+    * oracle's literal) and (b) row conservation across batches
+    * (rows_in = COUNT(*) of the whole feed — a dropped or double-read
+    * file shifts it). The hourly aggregate itself must equal D1's batch
+    * answer — rate-limited consumption is only correct if batch
+    * boundaries are output-invisible (the same invariant D17 pins for
+    * checkpoint restarts).
+    */
+  def qStreamBackpressure(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Mining.withShufflePartitions(spark, 8) {
+      import org.apache.spark.sql.streaming.Trigger
+      val path = s"$dir/events.parquet"
+      val schema = spark.read.parquet(path).schema
+      val feedDir = tempDir("graft_feed_bp")
+      spark.read.parquet(path).repartition(4)
+        .write.mode("overwrite").parquet(feedDir.toString)
+      val stream = Tables.normalizeEventTs(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(feedDir.toString))
+        .withColumn("event_ts", nsToTimestamp(col("ts")))
+        .withWatermark("event_ts", "1 hour")
+      val q = hourlyAgg(stream).writeStream
+        .outputMode("complete").format("memory").queryName("q_stream_bp_sink")
+        .trigger(Trigger.AvailableNow()).start()
+      try require(q.awaitTermination(300000),
+        "AvailableNow run did not self-terminate")
+      finally if (q.isActive) q.stop()
+      val data = q.recentProgress.filter(_.numInputRows > 0)
+      val nBatches = data.length.toLong
+      val rowsIn = data.map(_.numInputRows).sum
+      require(nBatches >= 2,
+        s"rate limit inert: backlog consumed in $nBatches micro-batches")
+      spark.table("q_stream_bp_sink")
+        .withColumn("n_batches", lit(nBatches))
+        .withColumn("rows_in", lit(rowsIn))
+    }
+
+  val qStreamBackpressureSql: String =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  CAST(4 AS BIGINT) AS n_batches,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS rows_in
+      |FROM events GROUP BY 1, 2""".stripMargin
 }

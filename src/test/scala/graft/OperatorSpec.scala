@@ -1313,4 +1313,113 @@ class OperatorSpec extends AnyFunSuite {
     assert(bucketed.collect().map(_.toString).sorted
       .sameElements(plain.collect().map(_.toString).sorted))
   }
+
+  test("q_regression: moments match a driver-side exact OLS per flag") {
+    val d = run("q_regression").cache()
+    val rows = d.collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0 && r2 <= 1 + 1e-9, s"r2=$r2 out of [0,1]")
+      assert(!r.getAs[Double]("slope").isNaN && !r.getAs[Double]("intercept").isNaN)
+    }
+    // independent recomputation: exact integer moments folded on the
+    // driver from the same monthly points must give the same slope
+    val t = graft.sources.Tables(spark, dir)
+    val pts = t.lineitem
+      .groupBy(col("l_returnflag"),
+        date_trunc("month", col("l_shipdate")).as("m"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("rev_c"))
+      .select(col("l_returnflag"),
+        ((year(col("m")) - 1992) * 12 + month(col("m")) - 1).cast("long").as("x"),
+        expr("(rev_c + 50000) DIV 100000").as("y"))
+      .collect()
+    rows.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val p = pts.filter(_.getString(0) == flag)
+        .map(q => (BigInt(q.getLong(1)), BigInt(q.getLong(2))))
+      val n = BigInt(p.length)
+      val sx = p.map(_._1).sum; val sy = p.map(_._2).sum
+      val sxx = p.map(q => q._1 * q._1).sum
+      val sxy = p.map(q => q._1 * q._2).sum
+      val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+      assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-5,
+        s"$flag slope ${r.getAs[Double]("slope")} vs exact $slope")
+      assert(r.getAs[Long]("n_months") == p.length.toLong)
+    }
+    d.unpersist()
+  }
+
+  test("q_bloom_join: prune is result-invisible and within fp budget") {
+    val d = run("q_bloom_join").cache()
+    assert(d.count() > 0)
+    assert(d.filter(!col("bloom_ok")).count() == 0, "bloom fp budget blown")
+    val r = d.head
+    assert(r.getAs[Long]("n_match") <= r.getAs[Long]("n_probe"))
+    // per-month lines must total the audit's exact match count — the
+    // pruned join neither lost nor duplicated a matching row
+    val total = d.agg(sum(col("n_lines"))).head.getLong(0)
+    assert(total == r.getAs[Long]("n_match"))
+    d.unpersist()
+  }
+
+  test("q_compaction_plan: bins cover the manifest, key-contiguous, near target") {
+    val d = run("q_compaction_plan").cache()
+    val rows = d.collect().sortBy(_.getAs[Long]("bin_id"))
+    assert(rows.nonEmpty && rows.length <= 10)
+    val nFrags = graft.sources.Tables(spark, dir).orders
+      .select(concat(date_format(col("o_orderdate"), "yyyy-MM"), lit("|"),
+        col("o_orderpriority"))).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_files")).sum == nFrags,
+      "plan dropped or duplicated a fragment")
+    // key-contiguity: bins partition the key-ordered manifest
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[String]("last_file") <= b.getAs[String]("first_file"),
+          s"bins ${a.getAs[Long]("bin_id")}/${b.getAs[Long]("bin_id")} overlap")
+      case _ =>
+    }
+    // the DIV rule can overfill a bin by at most one fragment
+    rows.foreach { r =>
+      assert(r.getAs[Long]("fill_ppm") <= 2000000L,
+        s"bin ${r.getAs[Long]("bin_id")} more than 2x target")
+    }
+    d.unpersist()
+  }
+
+  test("q_calibration: buckets bound their mean score and cover the corpus") {
+    val d = run("q_calibration").cache()
+    val rows = d.collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      graft.sources.Tables(spark, dir).documents.count())
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0 && b <= 9)
+      val ms = r.getAs[Double]("mean_score")
+      val pr = r.getAs[Double]("pos_rate")
+      assert(pr >= 0 && pr <= 1)
+      // a bucket's mean claimed score must sit in the bucket's range
+      // (bucket 9 absorbs score = 1.0 via the clamp)
+      assert(ms >= b / 10.0 - 1e-6 &&
+        (if (b < 9) ms < (b + 1) / 10.0 + 1e-6 else ms <= 1.0 + 1e-6),
+        s"bucket $b mean_score $ms outside its bounds")
+      assert(math.abs(r.getAs[Double]("calib_gap") - (ms - pr)) < 2e-6)
+    }
+    d.unpersist()
+  }
+
+  test("q_stream_backpressure: rate-limited batches are output-invisible") {
+    val d = run("q_stream_backpressure").cache()
+    val r = d.head
+    assert(r.getAs[Long]("n_batches") == 4L,
+      s"expected one micro-batch per staged file, got ${r.getAs[Long]("n_batches")}")
+    assert(r.getAs[Long]("rows_in") ==
+      graft.sources.Tables(spark, dir).events.count())
+    // the aggregate itself must equal the batch face exactly
+    val batch = run("q_hourly_events")
+    assert(d.drop("n_batches", "rows_in").collect().map(_.toString).sorted
+      .sameElements(batch.collect().map(_.toString).sorted),
+      "rate-limited streaming aggregate diverged from the batch answer")
+    d.unpersist()
+  }
 }
