@@ -1548,6 +1548,56 @@ object Extras {
             (col("n_probe") - col("n_match")) * 5 + 1600).as("bloom_ok"))
   }
 
+  /** E93 `q_overlap_sketch`: audience-overlap estimation by
+    * inclusion–exclusion over HLL sketches — |purchasers ∩ clickers| ≈
+    * |P| + |C| − |P ∪ C| with each term an `approx_count_distinct`.
+    * The at-scale substitute for a distinct-distinct self-join: three
+    * mergeable sketches ride ONE map-combinable aggregation (KB per
+    * partition at any corpus size), where the exact overlap needs
+    * either a shuffle-heavy user-level distinct or a self-join. E8's
+    * audit discipline: the exact companions (one Expand pass — the
+    * gate-side cost, not the production path) are stated by the
+    * oracle, and `sketch_ok` pins the estimate inside the summed
+    * per-sketch error budget (3× the 2% rsd per term, +16 absolute —
+    * inclusion–exclusion ADDS absolute errors, so the bound is over
+    * |P|+|C|+|P∪C|, not the overlap) — a drifted sketch
+    * hash-mismatches the oracle's TRUE.
+    */
+  def overlapSketch(spark: SparkSession, dir: String): DataFrame = {
+    val isP = col("event_type") === "purchase"
+    val isC = col("event_type") === "click"
+    Tables(spark, dir).events
+      .filter(isP || isC)
+      .select(col("user_id"), col("event_type"))
+      .agg(
+        countDistinct(when(isP, col("user_id"))).as("n_purchase"),
+        countDistinct(when(isC, col("user_id"))).as("n_click"),
+        countDistinct(col("user_id")).as("n_union"),
+        approx_count_distinct(when(isP, col("user_id")), 0.02).as("a_p"),
+        approx_count_distinct(when(isC, col("user_id")), 0.02).as("a_c"),
+        approx_count_distinct(col("user_id"), 0.02).as("a_u"))
+      .select(col("n_purchase"), col("n_click"), col("n_union"),
+        (col("n_purchase") + col("n_click") - col("n_union")).as("overlap_exact"),
+        (abs((col("a_p") + col("a_c") - col("a_u"))
+          - (col("n_purchase") + col("n_click") - col("n_union"))) * 100 <=
+          (col("n_purchase") + col("n_click") + col("n_union")) * 6 + 1600)
+          .as("sketch_ok"))
+  }
+
+  val overlapSketchSql: String =
+    """SELECT
+      |  CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+      |    AS BIGINT) AS n_purchase,
+      |  CAST(COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)
+      |    AS BIGINT) AS n_click,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_union,
+      |  CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+      |    + COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)
+      |    - COUNT(DISTINCT user_id) AS BIGINT) AS overlap_exact,
+      |  TRUE AS sketch_ok
+      |FROM events
+      |WHERE event_type IN ('purchase', 'click')""".stripMargin
+
   val bloomJoinSql: String =
     """WITH build AS (
       |  SELECT o_orderkey FROM orders

@@ -1408,6 +1408,20 @@ class OperatorSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("q_overlap_sketch: inclusion-exclusion is consistent and within budget") {
+    val d = run("q_overlap_sketch").cache()
+    val r = d.head
+    val (p, c, u) = (r.getAs[Long]("n_purchase"), r.getAs[Long]("n_click"),
+      r.getAs[Long]("n_union"))
+    val overlap = r.getAs[Long]("overlap_exact")
+    assert(overlap == p + c - u)
+    assert(overlap >= 0 && overlap <= math.min(p, c),
+      s"overlap $overlap outside [0, min($p,$c)]")
+    assert(u <= p + c && u >= math.max(p, c))
+    assert(r.getAs[Boolean]("sketch_ok"), "sketch estimate blew its error budget")
+    d.unpersist()
+  }
+
   test("q_stream_backpressure: rate-limited batches are output-invisible") {
     val d = run("q_stream_backpressure").cache()
     val r = d.head

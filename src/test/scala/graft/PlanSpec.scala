@@ -331,4 +331,26 @@ class PlanSpec extends AnyFunSuite {
         "the global initialPartitionNum leaked into the scope")
     assert(keys.map(spark.conf.getOption) == before, "confs not restored after the scope")
   }
+
+  test("q_bloom_join: the bloom prune sits BELOW the join, on the probe scan side") {
+    // The whole point of the runtime-filter pattern is WHERE the filter
+    // runs: non-matching probe rows must die before the exchange/join.
+    // Pin that a Filter whose condition carries might_contain exists in
+    // the probe subtree UNDER the semi join — if the prune drifted above
+    // the join (or vanished), the face would still be hash-correct but
+    // would ship the full probe side at 100 TB.
+    import org.apache.spark.sql.execution.FilterExec
+    val plan = executedPlan("q_bloom_join")
+    val joins = collectAll(plan).filter(p =>
+      p.nodeName.toLowerCase.contains("join") &&
+        p.toString.toLowerCase.contains("leftsemi"))
+    assert(joins.nonEmpty, "no semi join in the executed plan")
+    val pruned = joins.exists(j => collectAll(j).exists {
+      case f: FilterExec => f.condition.toString.contains("might_contain")
+      case _ => false
+    })
+    assert(pruned,
+      "might_contain prune not found below the semi join — probe rows " +
+        "would reach the exchange unfiltered")
+  }
 }
