@@ -204,7 +204,25 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhash(Tables(spark, dir).documents)
 
-  /** Library face: simhash near-dup summary over any (doc_id, text) frame. */
+  /** Library face: simhash near-dup summary over any (doc_id, text) frame.
+    *
+    * r9 scale redesign, same output bit-for-bit: the band self-join now
+    * runs over DISTINCT SIGNATURES with group weights, not over docs.
+    * The r9 64× gate caught the doc-level join whale-ing: replicated
+    * corpora (and real corpora — exact dups are the COMMON case a dedup
+    * pipeline exists for) put m copies of a signature in every bucket
+    * it bands to, so pair generation did C(m,2) work per duplicate
+    * group inside ONE reducer key — 28 min at 64× sf0.1, one task
+    * spilling 21 GB while 31 cores idled, where the distinct-signature
+    * problem is the ORIGINAL corpus size. Collapsing first makes the
+    * quadratic step quadratic in distinct near-dup GROUPS only:
+    * n_near(doc) = (m_own − 1) + Σ m_neighbor over groups within
+    * hamming ≤ 3 — arithmetic on group sizes, no doc-level pairs ever
+    * materialize. (Residual risk at 10⁹+ distinct sigs: the 16-bit
+    * band domain itself saturates; the documented next step is Manku's
+    * block-pair tables — C(5,2) ≈ 26-bit keys — which widen the bucket
+    * key without losing the hamming ≤ 3 pigeonhole guarantee.)
+    */
   def simhash(docs: DataFrame): DataFrame = {
     import graft.functions.NativeExprs.{simhash64 => simhash64e}
     // native single-pass signature; bands are 16-bit slices of it
@@ -215,36 +233,52 @@ object Dedup {
       .select(col("doc_id") +: (0 until 4).map(k =>
         shiftrightunsigned(sigExpr, 16 * k).bitwiseAND(0xffffL).as(s"b$k")): _*)
 
+    // collapse to distinct signatures; gid = the 64-bit signature
+    // itself (bands are its disjoint slices), m = duplicate-group size
+    val groups = sig.groupBy(col("b0"), col("b1"), col("b2"), col("b3"))
+      .agg(count(lit(1)).as("m"))
+      .withColumn("gid",
+        col("b3") * 281474976710656L + col("b2") * 4294967296L +
+          col("b1") * 65536L + col("b0"))
+
     // the full signature rides along with each band row (8 bytes/row
     // extra) so candidate pairs carry BOTH signatures out of the bucket
     // join directly — no re-join against the signature table (saves two
     // keyed exchanges; the hamming verify becomes map-side arithmetic)
-    val bands = sig.select(col("doc_id"),
+    val bands = groups.select(col("gid"), col("m"),
       col("b0"), col("b1"), col("b2"), col("b3"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("band"), col(s"b$k").as("bv"))): _*)).as("x"))
-      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+      .select(col("gid"), col("m"), col("b0"), col("b1"), col("b2"), col("b3"),
         col("x.band").as("band"), col("x.bv").as("bv"))
 
-    val pairs = bands.as("a").join(bands.as("b"),
+    // distinct-signature pairs within hamming <= 3 (0 is impossible
+    // across distinct groups); each unordered group pair once
+    val gpairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.gid") < col("b.gid"))
+      .select(col("a.gid").as("gid_a"), col("a.m").as("m_a"),
+        col("b.gid").as("gid_b"), col("b.m").as("m_b"),
         (bit_count(col("a.b0").bitwiseXOR(col("b.b0"))) +
           bit_count(col("a.b1").bitwiseXOR(col("b.b1"))) +
           bit_count(col("a.b2").bitwiseXOR(col("b.b2"))) +
           bit_count(col("a.b3").bitwiseXOR(col("b.b3")))).as("hamming"))
       .filter(col("hamming") <= 3)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .select(col("gid_a"), col("m_a"), col("gid_b"), col("m_b"))
       .distinct()
 
-    val near = pairs.select(col("doc_a").as("doc_id"))
-      .unionByName(pairs.select(col("doc_b").as("doc_id")))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
+    // per-group neighbor mass: partners inside the group (m - 1) plus
+    // every member of each neighboring group
+    val cross = gpairs.select(col("gid_a").as("gid"), col("m_b").as("mn"))
+      .unionByName(gpairs.select(col("gid_b").as("gid"), col("m_a").as("mn")))
+      .groupBy("gid").agg(sum(col("mn")).as("cross_mass"))
+    val nearByGroup = groups.join(cross, Seq("gid"), "left")
+      .select(col("b0"), col("b1"), col("b2"), col("b3"),
+        (col("m") - 1 + coalesce(col("cross_mass"), lit(0L))).as("n_near"))
 
-    sig.join(near, Seq("doc_id"), "left")
+    sig.join(nearByGroup, Seq("b0", "b1", "b2", "b3"), "left")
       .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
-        coalesce(col("n_near"), lit(0L)).as("n_near"))
+        col("n_near"))
   }
 
   /** Oracle restatement of C3: same portable per-token hash, same ±1
