@@ -1334,9 +1334,16 @@ object Extras {
         score.as("score_raw"))
       .orderBy(col("score_raw").desc, col("split_day"))
       .limit(1)
+      // score is emitted RAW: the r9 64× gate caught the §8(d) floor
+      // fix overflowing here — Spark's floor(double) returns LONG, and
+      // score·1e4 ≈ 3e20 at 64× saturates it to Long.Max/1e4 while
+      // DuckDB's double-typed floor sails on. A 4-dp fix on a 1e16
+      // statistic is below double resolution anyway; determinism comes
+      // from the chain itself (every input an exact integer < 2^53,
+      // one shared operation order ⇒ bit-identical doubles). The
+      // bounded means keep their fix (≤ ~1e15 · 1e4 at any real SF).
       .select(col("split_day"), col("n_days"), col("mean_before"),
-        col("mean_after"),
-        (floor(col("score_raw") * 1e4 + lit(0.5)) / 1e4).as("score"))
+        col("mean_after"), col("score_raw").as("score"))
   }
 
   val changepointSql: String =
@@ -1362,7 +1369,7 @@ object Extras {
       |SELECT day AS split_day, n AS n_days,
       |  floor(m1 * 10000.0 + 0.5) / 10000.0 AS mean_before,
       |  floor(m2 * 10000.0 + 0.5) / 10000.0 AS mean_after,
-      |  floor(score_raw * 10000.0 + 0.5) / 10000.0 AS score
+      |  score_raw AS score
       |FROM sc ORDER BY score_raw DESC, split_day LIMIT 1""".stripMargin
 
   /** E81: per-year winsorized price statistics — the robust mean after
