@@ -145,16 +145,43 @@ object Dedup {
     */
   def lshRecall(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    val sh = tokenized(docs)
-      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
-    val truth = sh.as("a").join(sh.as("b"),
+    // r9: the exact-truth side collapses to DISTINCT TEXTS before the
+    // posting join — the same dup-collapse the simhash kernel got. The
+    // r9 64× gate killed the doc-level truth join twice with disk
+    // exhaustion (>60 GB of shuffle spill): with every text carrying m
+    // verbatim copies, each shared gram posting is m× longer and the
+    // pair space m²× — quadratic in DUPLICATION, the one thing a dedup
+    // corpus is guaranteed to be full of. The collapsed form is an
+    // exact identity on n_truth: within a duplicate group every one of
+    // the C(m,2) doc pairs has jaccard 1 (≥ 1 gram required — zero-gram
+    // texts never enter the posting join, matching the doc-level
+    // semantics), and a qualifying distinct-text pair (jaccard ≥ 0.5)
+    // stands for m_a·m_b doc pairs. The posting join now runs over the
+    // distinct-text corpus (the ORIGINAL problem size at any
+    // duplication factor). The candidate side is C2's face unchanged.
+    val groups = docs
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(count(lit(1)).as("m"), min(col("doc_id")).as("doc_id"),
+        first(col("text")).as("text"), first(col("lang")).as("lang"))
+    val tok = groups
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("m"),
+        graft.functions.NativeExprs.gram_hashes(split(col("text"), " "), 3).as("sh"))
+    val within = tok.filter(size(col("sh")) >= 1)
+      .agg(coalesce(sum(expr("m * (m - 1) DIV 2")), lit(0L)).as("n_within"))
+    val sh = tok.select(col("doc_id"), col("m"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
+    val across = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id"), col("b.doc_id"))
       .agg(count(lit(1)).as("n_inter"), min(col("a.n")).as("n_a"),
-        min(col("b.n")).as("n_b"))
+        min(col("b.n")).as("n_b"),
+        min(col("a.m")).as("m_a"), min(col("b.m")).as("m_b"))
       .filter(col("n_inter").cast("double")
         / (col("n_a") + col("n_b") - col("n_inter")) >= 0.5)
-      .agg(count(lit(1)).as("n_truth"))
+      .agg(coalesce(sum(col("m_a") * col("m_b")), lit(0L)).as("n_across"))
+    val truth = within.crossJoin(broadcast(across))
+      .select((col("n_within") + col("n_across")).as("n_truth"))
     val cand = minhashLsh(docs).agg(
       count(lit(1)).as("n_cand"),
       sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
