@@ -1408,6 +1408,20 @@ class OperatorSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("q_lsh_recall: verified dups are truth-and-candidate members, ratios bounded") {
+    val r = run("q_lsh_recall").head
+    val (truth, cand, dup) = (r.getAs[Long]("n_truth"), r.getAs[Long]("n_cand"),
+      r.getAs[Long]("n_dup"))
+    // every verified dup is a candidate AND (same exact-Jaccard verify)
+    // a truth pair — both containments must hold as counts
+    assert(dup <= cand, s"n_dup $dup exceeds n_cand $cand")
+    assert(dup <= truth, s"n_dup $dup exceeds n_truth $truth")
+    assert(truth > 0, "adversarially empty truth set — corpus has known dups")
+    val recall = r.getAs[Double]("recall")
+    assert(recall >= 0 && recall <= 1, s"recall $recall out of range")
+    assert(r.getAs[Double]("candidate_precision") > 0)
+  }
+
   test("q_overlap_sketch: inclusion-exclusion is consistent and within budget") {
     val d = run("q_overlap_sketch").cache()
     val r = d.head
