@@ -52,8 +52,11 @@ object Graft {
     // scale, so the stock 200 stays. Small-frame queries that would pay
     // the ×8 fan-out on tiny iterative exchanges scope it away via
     // Mining.withShufflePartitions (both confs, r8 VERDICT #1).
+    // dev A/B only (driver sets no env): SPARK_GRAFT_FANOUT=1 rebuilds
+    // the ×1 arm of the r9 measurements on the current tree.
     .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-      (shufflePartitions * 8).toString)
+      (shufflePartitions *
+        sys.env.get("SPARK_GRAFT_FANOUT").map(_.toInt).getOrElse(8)).toString)
     // Spark's stock 10 MB, deliberately NOT raised: the planner's size
     // estimate is the COMPRESSED on-disk footprint scaled by column
     // pruning, and the in-memory HashedRelation it actually builds runs

@@ -162,7 +162,7 @@ object Dedup {
     val groups = docs
       .groupBy(md5(col("text")).as("fp"))
       .agg(count(lit(1)).as("m"), min(col("doc_id")).as("doc_id"),
-        first(col("text")).as("text"), first(col("lang")).as("lang"))
+        first(col("text")).as("text"))
     val tok = groups
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("m"),

@@ -50,6 +50,34 @@ object Mining {
     }
   }
 
+  /** Scope ONLY the AQE pre-coalesce fan-out to ×1 — i.e. pin
+    * `initialPartitionNum` to the session's `shuffle.partitions` for
+    * the duration of `body`, leaving the real cluster width itself
+    * untouched. This is the narrow-frame variant of
+    * [[withShufflePartitions]] for faces whose exchanges are dominated
+    * by domain-bounded post-rollup frames (|users|, |days|, |deciles|):
+    * Graft.tune's global ×8 fan-out wins on corpus-sized sorts (q14 5×,
+    * fact 2× at 64× — measured both ways, r9) but taxes tiny exchanges
+    * 2-3× in pure task scheduling. Confs are read at EXECUTION time, so
+    * the face must run its actions (or eagerly `localCheckpoint` its
+    * bounded result) INSIDE the scope — a lazy frame returned outward
+    * plans at the caller's width.
+    */
+  private[graft] def withStockFanout[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val old = spark.conf.getOption(key)
+    // NOT sessionState.conf.numShufflePartitions — under AQE coalescing
+    // that getter RETURNS initialPartitionNum, which would make this
+    // scope a silent no-op (the r8 silent-inert-conf class again,
+    // caught by task-count probing this round). Read the base conf.
+    spark.conf.set(key, spark.conf.get("spark.sql.shuffle.partitions"))
+    try body
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** E44: event-type Markov transition matrix — P(next event type |
     * current type) per user journey, the session-flow fingerprint
     * behind next-action prediction and anomaly detection on event
@@ -1411,7 +1439,13 @@ object Mining {
     * corpus-sized exchange is the per-user aggregate; both prefix
     * passes run on ≤|distinct hours| rows.
     */
-  def kaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+  def kaplanMeier(spark: SparkSession, dir: String): DataFrame = withStockFanout(spark) {
+    // ×1 fan-out scope (r9 VERDICT #4): every exchange past the per-user
+    // aggregate is |distinct hours|-bounded; the global ×8 pre-coalesce
+    // width taxed the face 2-3× in task scheduling (judge solo 2.48 s,
+    // ×1 A/B 1.29 s). Both prefixSum passes run their actions inside
+    // the scope; the result is localCheckpoint'ed so the tail executes
+    // here too.
     val ev = Tables(spark, dir).events
       .select(col("user_id"), col("event_type"), nsToUs(col("ts")).as("t"))
     val mx = ev.agg(max(col("t")).as("tmax"))
@@ -1441,6 +1475,7 @@ object Mining {
         when(col("n_risk") === col("d"), lit(0.0))
           .otherwise(round(exp((col("cumt") + col("term")).cast("double") / 1e6), 4))
           .as("s"))
+      .localCheckpoint()
   }
 
   /** E66: connected components of the co-purchase graph — min-label
@@ -2112,7 +2147,9 @@ object Mining {
         sum((col("y").cast(d38) * col("y"))).as("syy"))
     val cov = (col("n") * col("sxy") - col("sx") * col("sy")).cast(d38).cast("double")
     val varx = (col("n") * col("sxx") - (col("sx") * col("sx")).cast(d38)).cast(d38).cast("double")
-    val vary = (col("n") * col("syy") - (col("sy") * col("sy")).cast(d38)).cast(d38).cast("double")
+    // (Σy)² must widen BEFORE the multiply: Σy passes ~3.0e9 around
+    // tens-of-TB scale and a long×long square overflows (ANSI crash).
+    val vary = (col("n") * col("syy") - col("sy").cast(d38) * col("sy")).cast(d38).cast("double")
     def fix6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
     val slope = cov / varx
     mom.select(col("l_returnflag"), col("n").as("n_months"),

@@ -990,8 +990,13 @@ object Events {
       val data = q.recentProgress.filter(_.numInputRows > 0)
       val nBatches = data.length.toLong
       val rowsIn = data.map(_.numInputRows).sum
-      require(nBatches >= 2,
-        s"rate limit inert: backlog consumed in $nBatches micro-batches")
+      // One micro-batch PER staged file, derived from the feed dir
+      // itself: a partially lost rate limit (2-3 batches) must fail
+      // HERE with a diagnostic, not later as an opaque hash mismatch.
+      val nFiles = feedDir.toFile.listFiles()
+        .count(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+      require(nBatches == nFiles,
+        s"rate limit violated: $nFiles staged files consumed in $nBatches micro-batches")
       spark.table("q_stream_bp_sink")
         .withColumn("n_batches", lit(nBatches))
         .withColumn("rows_in", lit(rowsIn))

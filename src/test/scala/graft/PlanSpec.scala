@@ -194,11 +194,28 @@ class PlanSpec extends AnyFunSuite {
     // Their ORACLES state SUM()/ntile OVER (ORDER BY ...) — the engine
     // must realize that semantics through the distributed prefix
     // primitive, never WindowExec over one unpartitioned partition.
-    for (q <- Seq("q_abc_analysis", "q_histogram_depth", "q_multimodal_shard")) {
+    for (q <- Seq("q_abc_analysis", "q_histogram_depth", "q_multimodal_shard",
+        "q_compaction_plan")) {
       val nodes = collectAll(executedPlan(q)).map(_.nodeName)
       assert(!nodes.exists(_.contains("Window")),
         s"$q: global window found in ${nodes.distinct}")
     }
+  }
+
+  test("q_bloom_join: zero driver actions — sketch rides a scalar subquery") {
+    // r9 VERDICT #7: the bloom build must be IN-PLAN (the
+    // InjectRuntimeFilter shape), not a count()+head() round-trip. Pin
+    // that the analyzed plan carries a scalar subquery computing a
+    // bloom_filter_agg — if the face regressed to driver-side assembly
+    // the sketch would appear as an opaque binary literal instead.
+    val df = SparkEntry.queries("q_bloom_join")(spark, dir)
+    val subs = df.queryExecution.analyzed.collect { case p => p }
+      .flatMap(_.expressions)
+      .flatMap(_.collect {
+        case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery => s
+      })
+    assert(subs.exists(_.plan.toString.contains("bloom_filter_agg")),
+      "no in-plan bloom_filter_agg scalar subquery found in the analyzed plan")
   }
 
   test("q_anomaly_mad: per-row deviation pass joins group stats by broadcast") {
@@ -330,6 +347,34 @@ class PlanSpec extends AnyFunSuite {
       s"exchanges planned at widths $widths, not the scoped 8 — " +
         "the global initialPartitionNum leaked into the scope")
     assert(keys.map(spark.conf.getOption) == before, "confs not restored after the scope")
+  }
+
+  test("withStockFanout pins initialPartitionNum to the BASE shuffle width") {
+    // The r10 inert-conf near-miss: sessionState.conf.numShufflePartitions
+    // RETURNS initialPartitionNum under AQE coalescing, so a scope that
+    // reads it would set the conf to its own current value — a silent
+    // no-op (caught by task-count probing: 1219 tasks vs 199). Pin that
+    // a plan EXECUTED inside the scope launches exchanges at the base
+    // shuffle.partitions, not the global ×8 fan-out.
+    import org.apache.spark.sql.functions.col
+    val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val before = spark.conf.getOption(key)
+    val base = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(before.exists(_.toInt > base),
+      "precondition: the session must carry the global ×8 fan-out")
+    val widths = graft.operators.Mining.withStockFanout(spark) {
+      val agg = spark.range(1000).toDF("n").groupBy(col("n") % 10).count()
+      agg.collect()
+      val finalPlan = agg.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      "hashpartitioning\\(.*, (\\d+)\\)".r
+        .findAllMatchIn(finalPlan).map(_.group(1).toInt).toSeq
+    }
+    assert(widths.nonEmpty, "no hash-partitioned exchange found in the executed plan")
+    assert(widths.forall(_ == base),
+      s"exchanges planned at widths $widths, not the base $base — " +
+        "withStockFanout is inert")
+    assert(spark.conf.getOption(key) == before, "conf not restored after the scope")
   }
 
   test("q_bloom_join: the bloom prune sits BELOW the join, on the probe scan side") {
