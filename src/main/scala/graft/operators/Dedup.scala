@@ -245,10 +245,21 @@ object Dedup {
     * quadratic step quadratic in distinct near-dup GROUPS only:
     * n_near(doc) = (m_own − 1) + Σ m_neighbor over groups within
     * hamming ≤ 3 — arithmetic on group sizes, no doc-level pairs ever
-    * materialize. (Residual risk at 10⁹+ distinct sigs: the 16-bit
-    * band domain itself saturates; the documented next step is Manku's
-    * block-pair tables — C(5,2) ≈ 26-bit keys — which widen the bucket
-    * key without losing the hamming ≤ 3 pigeonhole guarantee.)
+    * materialize.
+    *
+    * r10: candidate generation is Manku-style BLOCK-PAIR tables
+    * (Manku/Jain/Sarma, WWW'07 §3, the production simhash-dedup
+    * layout): the 60-bit signature splits into 5 blocks of 12 bits;
+    * hamming ≤ 3 touches at most 3 blocks, so every qualifying pair
+    * agrees on BOTH blocks of at least one of the C(5,2) = 10 block
+    * pairs. Bucket key = (table id, 24-bit block-pair value) — a 2²⁴
+    * key domain per table where the r9 16-bit bands had 2¹⁶, so at
+    * 10⁹+ distinct signatures the expected bucket is ~256× smaller
+    * and the within-bucket quadratic stays bounded. 10 rows per
+    * signature instead of 4 (the classic Manku space-for-selectivity
+    * trade); the hamming ≤ 3 verify and the output are unchanged —
+    * both candidate supersets contain every hamming ≤ 3 pair by
+    * pigeonhole, and the verify prunes both to the same set.
     */
   def simhash(docs: DataFrame): DataFrame = {
     import graft.functions.NativeExprs.{simhash64 => simhash64e}
@@ -268,28 +279,28 @@ object Dedup {
         col("b3") * 281474976710656L + col("b2") * 4294967296L +
           col("b1") * 65536L + col("b0"))
 
-    // the full signature rides along with each band row (8 bytes/row
+    // the full signature rides along with each bucket row (8 bytes/row
     // extra) so candidate pairs carry BOTH signatures out of the bucket
     // join directly — no re-join against the signature table (saves two
-    // keyed exchanges; the hamming verify becomes map-side arithmetic)
+    // keyed exchanges; the hamming verify becomes map-side arithmetic).
+    // Bucket key = table id (0..9) in the high bits + the two 12-bit
+    // blocks of that table — one 28-bit long, a single-column join key.
+    def block(k: Int): Column =
+      shiftrightunsigned(col("gid"), 12 * k).bitwiseAND(0xfffL)
+    val blockPairs = for { i <- 0 until 5; j <- (i + 1) until 5 } yield (i, j)
     val bands = groups.select(col("gid"), col("m"),
-      col("b0"), col("b1"), col("b2"), col("b3"),
-      explode(array((0 until 4).map(k =>
-        struct(lit(k).as("band"), col(s"b$k").as("bv"))): _*)).as("x"))
-      .select(col("gid"), col("m"), col("b0"), col("b1"), col("b2"), col("b3"),
-        col("x.band").as("band"), col("x.bv").as("bv"))
+      explode(array(blockPairs.zipWithIndex.map { case ((i, j), p) =>
+        lit(p.toLong * 16777216L) + block(i) * 4096L + block(j)
+      }: _*)).as("bk"))
 
     // distinct-signature pairs within hamming <= 3 (0 is impossible
-    // across distinct groups); each unordered group pair once
+    // across distinct groups); each unordered group pair once (a pair
+    // sharing several block-pair tables dedups through the distinct)
     val gpairs = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.gid") < col("b.gid"))
+        col("a.bk") === col("b.bk") && col("a.gid") < col("b.gid"))
       .select(col("a.gid").as("gid_a"), col("a.m").as("m_a"),
         col("b.gid").as("gid_b"), col("b.m").as("m_b"),
-        (bit_count(col("a.b0").bitwiseXOR(col("b.b0"))) +
-          bit_count(col("a.b1").bitwiseXOR(col("b.b1"))) +
-          bit_count(col("a.b2").bitwiseXOR(col("b.b2"))) +
-          bit_count(col("a.b3").bitwiseXOR(col("b.b3")))).as("hamming"))
+        bit_count(col("a.gid").bitwiseXOR(col("b.gid"))).as("hamming"))
       .filter(col("hamming") <= 3)
       .select(col("gid_a"), col("m_a"), col("gid_b"), col("m_b"))
       .distinct()
