@@ -71,6 +71,15 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Scale-gate oracles (r9 VERDICT #1): independent SUB-QUADRATIC
+    // DuckDB restatements for faces whose registered oracles cannot
+    // hold replica volumes. Dumped unconditionally (the driver ignores
+    // the file; tools/oracle_equiv.py proves each restatement
+    // value-identical to the registered oracle at the driver SFs, and
+    // tools/oracle_check.py --scale-oracles uses them at 64×).
+    val scaleJson = ScaleOracles.sql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/scale_oracle_sql.json"), scaleJson)
     spark.stop()
   }
 }

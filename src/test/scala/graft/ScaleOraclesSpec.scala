@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract pins for the scale-gate oracle registry (r9 VERDICT #1).
+  * The SQL equivalence itself is proven engine-side by
+  * tools/oracle_equiv.py (bit-for-bit vs the registered oracle at the
+  * driver SFs); these pins keep the REGISTRY wired correctly so the
+  * overlay in tools/oracle_check.py --scale-oracles can never silently
+  * miss or orphan an entry.
+  */
+class ScaleOraclesSpec extends AnyFunSuite {
+
+  /** The r9 64× gate's enumerated oracle-timeout class — the only
+    * faces a scale restatement is FOR. A key outside this set would
+    * mean the overlay silently replaces a healthy registered oracle.
+    */
+  private val r9TimeoutClass = Set(
+    "q_ann_ivf", "q_ann_recall", "q_ann_refine", "q_assoc_rules", "q_bfs",
+    "q_dedup_clusters", "q_dedup_fuzzy", "q_dedup_minhash",
+    "q_dedup_semantic", "q_dedup_simhash", "q_ivf_rebalance", "q_ivf_stats",
+    "q_knn_join", "q_lsh_recall", "q_lsh_tuning", "q_ngram_containment",
+    "q_ngram_jaccard", "q_pagerank", "q_setsim_prefix", "q_skyline",
+    "q_triangles")
+
+  test("every scale oracle shadows a registered oracle and a queries entry") {
+    val orphansOracle = ScaleOracles.sql.keySet.diff(SparkEntry.oracleSql.keySet)
+    assert(orphansOracle.isEmpty,
+      s"scale oracles with no registered oracle to shadow: $orphansOracle")
+    val orphansQuery = ScaleOracles.sql.keySet.diff(SparkEntry.queries.keySet)
+    assert(orphansQuery.isEmpty,
+      s"scale oracles with no Spark face: $orphansQuery")
+  }
+
+  test("scale oracles stay inside the enumerated r9 timeout class") {
+    val outside = ScaleOracles.sql.keySet.diff(r9TimeoutClass)
+    assert(outside.isEmpty,
+      s"scale oracle for a face whose registered oracle is healthy: $outside")
+  }
+
+  test("scale oracles are non-empty, alias-complete SQL") {
+    ScaleOracles.sql.foreach { case (name, sql) =>
+      assert(sql.trim.nonEmpty, name)
+      assert(sql.contains("SELECT"), name)
+      // object-initialization-order regression guard: a forward val
+      // reference in the builder would interpolate "null"
+      assert(!sql.contains("null,") && !sql.contains("nullSELECT") &&
+        !sql.contains(" null "), s"$name: null leaked into generated SQL")
+    }
+  }
+}
