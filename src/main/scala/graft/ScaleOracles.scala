@@ -946,8 +946,146 @@ object ScaleOracles {
        |FROM rec""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // Materialization-pin restatements (r10): the four iterative-graph
+  // faces left rows+schema-only by the r9 gate. Their registered
+  // oracles are NOT quadratic in shape — every stage is an |E|-bounded
+  // join or aggregate — but DuckDB re-inlines each multi-referenced
+  // CTE per reference, so the shared pair-generation chain (the
+  // lineitem basket self-join) is re-derived once per round/branch.
+  // PageRank is the worst case: pr_{i-1} is referenced twice per round
+  // (contribution join + carry-forward), so the pr0 chain — including
+  // the quadratic-in-basket pair join — re-derives 2^rounds times.
+  // The restatement is the registered SQL's logical plan VERBATIM with
+  // AS MATERIALIZED on every multi-referenced CTE: equivalence is by
+  // DuckDB's own materialization contract, and oracle_equiv.py still
+  // proves it bit-for-bit at the driver SFs before the overlay runs.
+  // ---------------------------------------------------------------------
+
+  private val pagerank: String = {
+    def round_(i: Int): String =
+      s"""c$i AS (
+         |  SELECT und.dst, pr_e9 // pr${i - 1}.deg AS c
+         |  FROM und JOIN pr${i - 1} ON und.src = pr${i - 1}.node),
+         |s$i AS (SELECT dst, CAST(SUM(c) AS BIGINT) AS s FROM c$i GROUP BY dst),
+         |pr$i AS MATERIALIZED (
+         |  SELECT node, deg,
+         |    150000000 // nn + (85 * COALESCE(s, 0)) // 100 AS pr_e9
+         |  FROM pr${i - 1} LEFT JOIN s$i ON node = dst CROSS JOIN n)""".stripMargin
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.pk AS p1, b.pk AS p2
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+       |und AS MATERIALIZED (
+       |  SELECT p1 AS src, p2 AS dst FROM e0
+       |  UNION ALL
+       |  SELECT p2 AS src, p1 AS dst FROM e0),
+       |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM und GROUP BY src),
+       |n AS MATERIALIZED (SELECT COUNT(*) AS nn FROM deg),
+       |pr0 AS MATERIALIZED (
+       |  SELECT src AS node, deg, 1000000000 // nn AS pr_e9
+       |  FROM deg CROSS JOIN n),
+       |${round_(1)},
+       |${round_(2)},
+       |${round_(3)}
+       |SELECT node AS part, CAST(pr_e9 AS BIGINT) AS pr_e9
+       |FROM pr3 ORDER BY pr_e9 DESC, node LIMIT 20""".stripMargin
+  }
+
+  private val triangles: String =
+    """WITH li AS (
+      |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.pk AS p1, b.pk AS p2
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |e AS MATERIALIZED (
+      |  SELECT p1, p2 FROM pairs GROUP BY p1, p2 HAVING COUNT(*) >= 2),
+      |deg AS MATERIALIZED (
+      |  SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+      |  FROM (SELECT p1 AS n FROM e UNION ALL SELECT p2 AS n FROM e)
+      |  GROUP BY n),
+      |o AS MATERIALIZED (
+      |  SELECT
+      |    CASE WHEN (da.d, e.p1) < (db.d, e.p2) THEN e.p1 ELSE e.p2 END AS u,
+      |    CASE WHEN (da.d, e.p1) < (db.d, e.p2) THEN e.p2 ELSE e.p1 END AS v,
+      |    CASE WHEN (da.d, e.p1) < (db.d, e.p2) THEN db.d ELSE da.d END AS dv
+      |  FROM e JOIN deg da ON e.p1 = da.n JOIN deg db ON e.p2 = db.n),
+      |tri AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      |  FROM o e1
+      |  JOIN o e2 ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)
+      |  JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v)
+      |SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+      |  (SELECT n_triangles FROM tri) AS n_triangles""".stripMargin
+
+  private val bfs: String =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.pk AS p1, b.pk AS p2
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |e AS MATERIALIZED (
+      |  SELECT p1, p2 FROM pairs GROUP BY p1, p2 HAVING COUNT(*) >= 2),
+      |edges AS MATERIALIZED (
+      |  SELECT p1 AS u, p2 AS v FROM e
+      |  UNION ALL SELECT p2 AS u, p1 AS v FROM e),
+      |src AS (
+      |  SELECT u AS node FROM (
+      |    SELECT u, COUNT(*) AS d FROM edges GROUP BY u
+      |    ORDER BY d DESC, u LIMIT 1)),
+      |l0 AS MATERIALIZED (SELECT node FROM src),
+      |l1 AS MATERIALIZED (
+      |  SELECT DISTINCT v AS node FROM edges JOIN l0 ON edges.u = l0.node),
+      |l2 AS MATERIALIZED (
+      |  SELECT DISTINCT v AS node FROM edges JOIN l1 ON edges.u = l1.node),
+      |l3 AS MATERIALIZED (
+      |  SELECT DISTINCT v AS node FROM edges JOIN l2 ON edges.u = l2.node),
+      |lv AS (
+      |  SELECT node, 0 AS lvl FROM l0
+      |  UNION ALL SELECT node, 1 FROM l1
+      |  UNION ALL SELECT node, 2 FROM l2
+      |  UNION ALL SELECT node, 3 FROM l3),
+      |d AS (SELECT node, CAST(MIN(lvl) AS INTEGER) AS dist FROM lv GROUP BY node)
+      |SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |  CAST(MIN(node) AS BIGINT) AS min_part,
+      |  CAST(MAX(node) AS BIGINT) AS max_part
+      |FROM d GROUP BY dist""".stripMargin
+
+  private val assocRules: String =
+    """WITH li AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.pk AS p1, b.pk AS p2
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |c AS MATERIALIZED (
+      |  SELECT p1, p2, COUNT(*) AS cab FROM pairs GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 3),
+      |d AS (
+      |  SELECT p1 AS part, p2 AS other, cab FROM c
+      |  UNION ALL
+      |  SELECT p2 AS part, p1 AS other, cab FROM c),
+      |item AS MATERIALIZED (SELECT pk, COUNT(*) AS c FROM li GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM li),
+      |scored AS (
+      |  SELECT part, other, cab, ia.c AS ca, ib.c AS cb,
+      |    CAST(cab AS DOUBLE) / ia.c AS confidence,
+      |    CAST(cab AS DOUBLE) * n_orders / (CAST(ia.c AS DOUBLE) * ib.c) AS lift
+      |  FROM d JOIN item ia ON d.part = ia.pk
+      |         JOIN item ib ON d.other = ib.pk
+      |         CROSS JOIN tot
+      |  ORDER BY lift DESC, part, other
+      |  LIMIT 20)
+      |SELECT part, other, cab, ca, cb,
+      |  round(confidence, 6) AS confidence, round(lift, 6) AS lift
+      |FROM scored""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q_skyline" -> skyline,
+    "q_pagerank" -> pagerank,
+    "q_triangles" -> triangles,
+    "q_bfs" -> bfs,
+    "q_assoc_rules" -> assocRules,
     "q_ngram_jaccard" -> ngramJaccard,
     "q_ngram_containment" -> ngramContainment,
     "q_setsim_prefix" -> setsimPrefix,
