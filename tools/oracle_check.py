@@ -42,17 +42,22 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(outdir: str, sfdir: str, timeout: float = 0.0,
          scale_oracles: bool = False) -> int:
-    con = duckdb.connect()
     import os
     import threading
-    for t in TABLES:
-        # driver testdata is one file per table; graft.tools.ScaleUp
-        # writes Spark-style directories of part files — accept both
-        path = f"{sfdir}/{t}.parquet"
-        if os.path.isdir(path):
-            path = f"{path}/*.parquet"
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+
+    def connect():
+        c = duckdb.connect()
+        for t in TABLES:
+            # driver testdata is one file per table; graft.tools.ScaleUp
+            # writes Spark-style directories of part files — accept both
+            path = f"{sfdir}/{t}.parquet"
+            if os.path.isdir(path):
+                path = f"{path}/*.parquet"
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+        return c
+
+    con = connect()
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     if scale_oracles:
         overlay = json.load(open(f"{outdir}/scale_oracle_sql.json"))
@@ -162,9 +167,19 @@ def main(outdir: str, sfdir: str, timeout: float = 0.0,
                 except Exception:  # noqa: BLE001
                     pass
                 print(f"TIMEOUT {name}: oracle exceeded {timeout:.0f}s{note}")
+                # an interrupted query's allocations stay live on the
+                # connection: at replica volumes the NEXT query then dies
+                # with a DuckDB bad-allocation (observed: q_ann_refine
+                # timeout → q_ann_topk OOM on a 32 KB block, and the
+                # starved process couldn't even start its Timer thread).
+                # Recreate the connection so a timeout releases memory.
+                con.close()
+                con = connect()
             else:
                 failed += 1
                 print(f"ERROR {name}: {ex}")
+                con.close()
+                con = connect()
         finally:
             with done_lock:
                 done[0] = True
