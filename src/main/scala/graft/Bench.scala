@@ -72,6 +72,24 @@ object Bench {
             s"BENCH WARMUP FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
         }
       }
+    // Box-speed calibration probe (r10 VERDICT #2): the build VM's
+    // Spark speed varies ~2× between rounds, so raw cross-round deltas
+    // conflate machine and code. Time ONE warm, gc-fenced q1_pricing
+    // pass right after the cold-JVM warmup — before the sweep piles up
+    // heap debris — and emit it as `calibration` in bench.json.
+    // tools/bench_compare.py divides cross-generation ratios by the
+    // calibration ratio before thresholding, so a uniformly slower box
+    // no longer flags untouched queries.
+    val calibration: Double = {
+      def once(): Unit = SparkEntry.queries("q1_pricing")(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      try {
+        System.gc()
+        val t0 = System.nanoTime()
+        once()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case NonFatal(_) => -1.0 }
+    }
     // Scale-up arm (r7 item #1): if a ScaleUp replica dir exists (built
     // once by `runMain graft.tools.ScaleUp /root/testdata/sf0.1
     // target/scaleup64 64`, persisted under target/), time the
@@ -138,8 +156,10 @@ object Bench {
       s""","scaleup":{"dir":"$scaleDir","factor_vs_sf01":64,"total":${f"$st%.3f"},"queries":$m}"""
     }
 
+    val calJson =
+      s""","calibration":{"probe":"q1_pricing","sec":${f"$calibration%.3f"}}"""
     val json =
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir"$scaleJson}"""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir"$calJson$scaleJson}"""
     // The driver parses one JSON line from stdout; sbt's logger can
     // prefix it ([info]) depending on invocation, so ALSO write the line
     // to bench.json in the working directory as the durable contract.
@@ -159,7 +179,7 @@ object Bench {
       s""","scaleup64_total":${f"$st%.3f"}"""
     }
     val headline =
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","n":${results.size},"worst":$worst,"sf":"$sfDir"$scaleHeadline}"""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","n":${results.size},"worst":$worst,"sf":"$sfDir"$calJson$scaleHeadline}"""
     realOut.println(headline)
     realOut.flush()
     try {

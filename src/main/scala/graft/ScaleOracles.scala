@@ -957,9 +957,17 @@ object ScaleOracles {
   // (contribution join + carry-forward), so the pr0 chain — including
   // the quadratic-in-basket pair join — re-derives 2^rounds times.
   // The restatement is the registered SQL's logical plan VERBATIM with
-  // AS MATERIALIZED on every multi-referenced CTE: equivalence is by
-  // DuckDB's own materialization contract, and oracle_equiv.py still
-  // proves it bit-for-bit at the driver SFs before the overlay runs.
+  // AS MATERIALIZED on every multi-referenced CTE above the pair join
+  // (the base `li` projection stays unmaterialized where the pair
+  // self-join is its ONLY consumer — re-inlining a column projection
+  // is free, the blow-up the pins kill is re-deriving the pair JOIN;
+  // assocRules materializes `li` because item/tot read it too):
+  // equivalence is by DuckDB's own materialization contract, and
+  // oracle_equiv.py still proves it bit-for-bit at the driver SFs
+  // before the overlay runs. ScaleOraclesSpec pins each entry against
+  // its SparkEntry.oracleSql counterpart modulo the MATERIALIZED
+  // keyword, so textual drift from the registered oracle fails the
+  // unit suite, not just a manual oracle_equiv run.
   // ---------------------------------------------------------------------
 
   private val pagerank: String = {

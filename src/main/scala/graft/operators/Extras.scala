@@ -317,18 +317,32 @@ object Extras {
         (abs(col("approx_parts") - col("exact_parts")) <=
           col("exact_parts") * 0.05 + 2).as("approx_ok"))
 
-  /** Both columns raw, for the error-bound spec. No pre-aggregation
-    * repartition: partial (map-side) aggregation already balances the
-    * few-groups key space, and a row-level exchange of the full
-    * projection before the groupBy just doubles the wire cost.
+  /** Both columns raw, for the error-bound spec.
+    *
+    * The exact witness rides E60's bitmap aggregate, not
+    * `countDistinct`: mixing a distinct agg with the sketch forced the
+    * two-phase distinct rewrite (two exchanges, four aggregate passes —
+    * the r10 sweep's biggest fixed cost among the sketch faces), while
+    * the bitmap partial is one map-combinable pass whose state is
+    * `⌈|part domain|/64⌉` words per (year, task) regardless of row
+    * count. The domain bound comes from the PART dimension (l_partkey's
+    * FK target) as a 1-row agg — the same bounded-collect class as E60
+    * itself. The bitmap arm is the right witness while the key domain
+    * is dimension-bounded (parts, zones, merchants); past
+    * `BitmapAgg`'s 2²⁷ guard the HLL column IS the answer and the
+    * witness falls back to E4's two-phase shape.
     */
-  def approxDistinctRaw(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).lineitem
+  def approxDistinctRaw(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val domain = t.part.agg(max(col("p_partkey"))).head.getLong(0).toInt + 1
+    t.lineitem
       .select(col("l_shipdate"), col("l_partkey"))
       .groupBy(date_trunc("year", col("l_shipdate")).as("ship_year"))
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+        graft.functions.BitmapAgg.bitmap_distinct(col("l_partkey"), domain)
+          .as("exact_parts"))
+  }
 
   val approxDistinctSql: String =
     """SELECT CAST(date_trunc('year', l_shipdate) AS TIMESTAMP) AS ship_year,
@@ -722,15 +736,64 @@ object Extras {
         (abs(col("p90_price_approx") - col("p90_price")) <=
           abs(col("p90_price")) * 0.01 + 1).as("p90_ok"))
 
-  /** Sketch and exact values side by side, for the error-bound spec. */
-  def approxPercentilesRaw(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).lineitem
+  /** Exact interpolated percentile per return flag via E69's cells
+    * discipline: fold the corpus to (flag, value) → count cells in one
+    * map-combinable pass, then interpolate inside the DOMAIN-bounded
+    * cell frame. The built-in `percentile` aggregate buffers every raw
+    * value per group (an ObjectHashAggregate whose state grows with
+    * the data — the one shape a 100 TB group cannot hold); here the
+    * window runs over |distinct values| cells and the corpus itself
+    * never leaves the scan-side partial aggregate. Same formula as
+    * both engines' continuous quantile: index p·(n−1), linear
+    * interpolation between the two covering cells; round(4) absorbs
+    * last-ulp arrangement differences exactly as E7 does.
+    */
+  private def exactPctCells(li: DataFrame, valueCol: String, q: Double,
+      out: String): DataFrame = {
+    val cells = li.groupBy(col("l_returnflag"), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("w"))
+    val run = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("l_returnflag"))
+    val p = cells
+      .select(col("l_returnflag"), col("v"), col("w"),
+        sum(col("w")).over(run).as("cum"),
+        sum(col("w")).over(tot).as("n"))
+      .withColumn("pos", (col("n") - 1).cast("double") * q)
+      .withColumn("lo", floor(col("pos")).cast("long"))
+      .withColumn("hi", ceil(col("pos")).cast("long"))
+    p.groupBy(col("l_returnflag"))
+      .agg(
+        max(when(col("cum") - col("w") <= col("lo") && col("lo") < col("cum"),
+          col("v"))).as("vlo"),
+        max(when(col("cum") - col("w") <= col("hi") && col("hi") < col("cum"),
+          col("v"))).as("vhi"),
+        max(col("pos")).as("pos"))
+      .select(col("l_returnflag"),
+        round(col("vlo") +
+          (col("pos") - floor(col("pos"))) * (col("vhi") - col("vlo")), 4)
+          .as(out))
+  }
+
+  /** Sketch and exact values side by side, for the error-bound spec.
+    * Three scans, each pruned to two columns: the two exact arms are
+    * cells passes ([[exactPctCells]]), the sketch arm is one
+    * partial-merged digest pass; the three 3-row frames join broadcast.
+    */
+  def approxPercentilesRaw(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    val sketch = li
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
       .groupBy(col("l_returnflag"))
       .agg(
         percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50_qty_approx"),
-        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("p90_price_approx"),
-        round(call_function("percentile", col("l_quantity"), lit(0.5)), 4).as("p50_qty"),
-        round(call_function("percentile", col("l_extendedprice"), lit(0.9)), 4).as("p90_price"))
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("p90_price_approx"))
+    sketch
+      .join(exactPctCells(li.select(col("l_returnflag"), col("l_quantity")),
+        "l_quantity", 0.5, "p50_qty"), Seq("l_returnflag"))
+      .join(exactPctCells(li.select(col("l_returnflag"), col("l_extendedprice")),
+        "l_extendedprice", 0.9, "p90_price"), Seq("l_returnflag"))
+  }
 
   val approxPercentilesSql: String =
     """SELECT l_returnflag,

@@ -38,6 +38,24 @@ class ScaleOraclesSpec extends AnyFunSuite {
       s"scale oracle for a face whose registered oracle is healthy: $outside")
   }
 
+  /** The four materialization-pin restatements claim to be the
+    * registered oracle's SQL VERBATIM plus `AS MATERIALIZED` keywords
+    * (ScaleOracles preamble). They are hand-copied, so without this
+    * pin textual drift would surface only when tools/oracle_equiv.py
+    * is manually run — not in the unit suite (r10 ADVICE). Strip the
+    * keyword, normalize whitespace, and require equality.
+    */
+  test("materialization-pin restatements match the registered oracle modulo MATERIALIZED") {
+    val pinClass = Seq("q_pagerank", "q_triangles", "q_bfs", "q_assoc_rules")
+    def canon(sql: String): String =
+      sql.replace("AS MATERIALIZED", "AS").replaceAll("\\s+", " ")
+        .replace("( ", "(").replace(" )", ")").trim
+    pinClass.foreach { name =>
+      assert(canon(ScaleOracles.sql(name)) == canon(SparkEntry.oracleSql(name)),
+        s"$name: pin drifted from the registered oracle (beyond MATERIALIZED)")
+    }
+  }
+
   test("scale oracles are non-empty, alias-complete SQL") {
     ScaleOracles.sql.foreach { case (name, sql) =>
       assert(sql.trim.nonEmpty, name)

@@ -173,13 +173,27 @@ def main(outdir: str, sfdir: str, timeout: float = 0.0,
                 # timeout → q_ann_topk OOM on a 32 KB block, and the
                 # starved process couldn't even start its Timer thread).
                 # Recreate the connection so a timeout releases memory.
-                con.close()
+                # close() itself can raise on an OOM-invalidated
+                # connection — swallow that so one whale records one
+                # TIMEOUT line instead of aborting the whole run.
+                try:
+                    con.close()
+                except Exception:  # noqa: BLE001
+                    pass
                 con = connect()
             else:
                 failed += 1
                 print(f"ERROR {name}: {ex}")
-                con.close()
-                con = connect()
+                # reconnect only for DuckDB-side failures (an interrupted
+                # /OOM'd connection); a pandas/glob compare error leaves
+                # the connection healthy and a reconnect just re-creates
+                # 10 views per failure on large runs
+                if isinstance(ex, duckdb.Error):
+                    try:
+                        con.close()
+                    except Exception:  # noqa: BLE001
+                        pass
+                    con = connect()
         finally:
             with done_lock:
                 done[0] = True
