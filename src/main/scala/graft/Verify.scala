@@ -80,6 +80,19 @@ object Verify {
     val scaleJson = ScaleOracles.sql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/scale_oracle_sql.json"), scaleJson)
+    // Distinct-axis stage adjudication (r10 VERDICT #1): under
+    // SPARK_GRAFT_DUMP_STAGES=1 (dev scale-gate runs only) materialize
+    // the IVF/LSH stage artifacts + deterministic-sample subsets of the
+    // face dumps that tools/oracle_check.py --stage-oracles pins via
+    // {OUT}. The JSON is written unconditionally (driver ignores it).
+    val stageJson = StageOracles.sql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/stage_oracle_sql.json"), stageJson)
+    // runs after the face loop: the sample dumps re-read face outputs
+    // (q_dedup_simhash/q_knn_join/q_dedup_fuzzy must be in the dump set
+    // — a missing dir fails loudly rather than dumping silently wrong)
+    if (sys.env.contains("SPARK_GRAFT_DUMP_STAGES"))
+      StageOracles.dump(spark, sfDir, outDir)
     spark.stop()
   }
 }

@@ -448,7 +448,7 @@ object Dedup {
     * (C85's tuning audit runs at 0.0 to observe every gram-sharing
     * pair).
     */
-  private[operators] def ngramJaccardAt(docs: DataFrame, floor: Double): DataFrame = {
+  private[graft] def ngramJaccardAt(docs: DataFrame, floor: Double): DataFrame = {
     val sh = tokenized(docs)
       .select(col("doc_id"), col("lang"), size(col("sh")).as("n"),
         explode(col("sh")).as("s"))
@@ -549,8 +549,14 @@ object Dedup {
     * columns, the same 7 dp decimal-fixed means, one UNION ALL branch
     * per factorization.
     */
-  val lshTuningSql: String = {
-    val pairsSql = ngramJaccardSqlAt(0.0)
+  val lshTuningSql: String = lshTuningSqlOver(ngramJaccardSqlAt(0.0))
+
+  /** The tuning arithmetic over an arbitrary `pairs` source (must yield
+    * a `jaccard` column) — shared by the registered oracle above and
+    * [[graft.StageOracles]]'s pinned-pair-frame restatement, so the two
+    * cannot drift (the r10 ADVICE lesson on hand-copied SQL).
+    */
+  private[graft] def lshTuningSqlOver(pairsSql: String): String =
     s"""WITH pairs AS ($pairsSql),
        |c0 AS (SELECT jaccard AS s1, jaccard >= 0.5 AS pos FROM pairs),
        |c1 AS (SELECT *, s1*s1 AS s2 FROM c0),
@@ -594,7 +600,6 @@ object Dedup {
              |  CAST(CAST(round(CAST(sn$i AS DOUBLE) / n_neg, 6) AS DECIMAL(18,6)) AS DOUBLE) AS exp_fp
              |FROM ag""".stripMargin
         }.mkString("\nUNION ALL\n")}""".stripMargin
-  }
 
   /** C65: n-gram CONTAINMENT pairs (overlap coefficient
     * |A∩B| / min(|A|,|B|)) — the asymmetric near-dup Jaccard misses: a

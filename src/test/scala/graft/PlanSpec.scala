@@ -202,6 +202,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch faces: exact witnesses execute without the two-phase distinct Expand") {
+    // r10 VERDICT #3: mixing countDistinct/percentile with the sketch
+    // forced the Expand rewrite (two exchanges, four agg passes). The
+    // exact arms now ride the bitmap aggregate / the cells discipline —
+    // one map-combinable pass each; Expand must stay out of the plan.
+    for (q <- Seq("q_approx_distinct", "q_approx_percentiles")) {
+      val nodes = collectAll(executedPlan(q)).map(_.nodeName)
+      assert(!nodes.exists(_.contains("Expand")),
+        s"$q: Expand found in ${nodes.distinct}")
+    }
+  }
+
   test("q_bloom_join: zero driver actions — sketch rides a scalar subquery") {
     // r9 VERDICT #7: the bloom build must be IN-PLAN (the
     // InjectRuntimeFilter shape), not a count()+head() round-trip. Pin

@@ -41,7 +41,8 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main(outdir: str, sfdir: str, timeout: float = 0.0,
-         scale_oracles: bool = False) -> int:
+         scale_oracles: bool = False, stage_oracles: bool = False,
+         only=None) -> int:
     import os
     import threading
 
@@ -65,9 +66,36 @@ def main(outdir: str, sfdir: str, timeout: float = 0.0,
         oracle.update({k: v for k, v in overlay.items() if k in oracle})
         print(f"scale-oracle overlay: {len(applied)} restatements active "
               f"({', '.join(applied)})")
+    if stage_oracles:
+        # distinct-axis stage adjudication (r10 VERDICT #1): overrides
+        # AND adds pseudo-faces (stage artifacts + __sample subsets).
+        # {OUT} pins a previously-dumped artifact; applied after the
+        # scale overlay so stage restatements win where both exist.
+        stage = json.load(open(f"{outdir}/stage_oracle_sql.json"))
+        oracle.update({k: v.replace("{OUT}", outdir) for k, v in stage.items()})
+        print(f"stage-oracle overlay: {len(stage)} entries active "
+              f"({', '.join(sorted(stage))})")
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     failed = 0
     timeouts = 0
+    rows_only = 0
     for name, sql in sorted(oracle.items()):
+        if sql == "ROWS_ONLY":
+            # pinned stage artifact: no independent full oracle; its
+            # value evidence is the sampled sibling plus the full
+            # downstream checks computed FROM it (StageOracles scaladoc)
+            rows_only += 1
+            try:
+                files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
+                n = sum(pq.read_metadata(f).num_rows for f in files)
+                cols = [f.name for f in pq.read_schema(files[0])]
+                print(f"PIN  {name} ({n} rows x {len(cols)} cols; "
+                      "adjudicated via sampled sibling + downstream full checks)")
+            except Exception as ex:  # noqa: BLE001
+                failed += 1
+                print(f"FAIL {name}: pinned artifact unreadable: {ex}")
+            continue
         # scale-up mode (--timeout): a DuckDB oracle that cannot hold the
         # replica volume (quadratic truth joins, unrolled k-means at N×)
         # is interrupted and reported as a timeout with a rows+schema
@@ -200,7 +228,9 @@ def main(outdir: str, sfdir: str, timeout: float = 0.0,
             if timer is not None:
                 timer.cancel()
     extra = f", {timeouts} oracle timeouts (rows+schema only)" if timeouts else ""
-    print(f"{len(oracle) - failed - timeouts}/{len(oracle)} passed{extra}")
+    if rows_only:
+        extra += f", {rows_only} pinned artifacts (rows+schema here)"
+    print(f"{len(oracle) - failed - timeouts - rows_only}/{len(oracle)} passed{extra}")
     return 1 if failed else 0
 
 
@@ -214,4 +244,12 @@ if __name__ == "__main__":
     so = "--scale-oracles" in args
     if so:
         args.remove("--scale-oracles")
-    sys.exit(main(args[0], args[1], to, so))
+    sto = "--stage-oracles" in args
+    if sto:
+        args.remove("--stage-oracles")
+    onl = None
+    if "--only" in args:
+        i = args.index("--only")
+        onl = set(args[i + 1].split(","))
+        del args[i:i + 2]
+    sys.exit(main(args[0], args[1], to, so, sto, onl))
