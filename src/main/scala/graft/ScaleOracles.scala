@@ -175,66 +175,104 @@ object ScaleOracles {
   /** Shared collapsed MinHash front (C2's portable pipeline keyed by
     * distinct text): grams → 60-bit base hashes → 32 affine
     * permutations → 8×4 band hashes, all per DISTINCT text.
+    *
+    * r11 rewrite, forced by the distinct-64× arm (where nothing
+    * collapses and the front bears genuine 64× signature volume):
+    *  - md5 fingerprints and gram strings are swapped for DENSE
+    *    INTEGER ids (row_number over the distinct sets — exact, no
+    *    hash-collision risk) before any join or wide aggregate, so
+    *    the hot joins/aggregations key on BIGINTs instead of 32-char
+    *    strings;
+    *  - the 32 per-seed minima compute in ONE wide pass over the
+    *    (fpi, b) gram frame — 32 MIN aggregates with the affine LCG
+    *    constants folded to literals — replacing the base×seeds CROSS
+    *    JOIN (32× the rows) and its 10M-group string-keyed aggregate;
+    *  - band hashes derive row-wise from the wide signature row
+    *    (concat_ws over 4 named columns ≡ the ordered-list join of
+    *    the grouped form, seeds 4b..4b+3 in index order).
+    * Same arithmetic, same band strings, same outputs — the r10 form
+    * measured 156 s (minhash) / 330 s (recall) at distinct-64× on
+    * this box vs 30/48 s for this one; equivalence to the registered
+    * oracles re-proven at sf0.01+sf0.1 by tools/oracle_equiv.py.
     */
-  private val minhashFront: String =
-    """dt AS MATERIALIZED (
-      |  SELECT text, md5(text) AS fp, MIN(doc_id) AS gid, COUNT(*) AS m
-      |  FROM documents GROUP BY text, md5(text)
-      |), toks AS (
-      |  SELECT fp, string_split(text, ' ') AS tk FROM dt
-      |), grams AS MATERIALIZED (
-      |  SELECT DISTINCT fp, array_to_string(tk[i:i+2], ' ') AS g
-      |  FROM toks, unnest(range(1, greatest(len(tk) - 1, 2))) AS t(i)
-      |), base AS (
-      |  SELECT fp, ('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483647 AS b
-      |  FROM grams
-      |), seeds AS (
-      |  SELECT CAST(i AS BIGINT) AS i FROM unnest(range(0, 32)) AS s(i)
-      |), sigs AS MATERIALIZED (
-      |  SELECT fp, i,
-      |    MIN((((1103515245 * (i + 1) + 12345) % 2147483647) * b
-      |        + ((1234567891 * (i + 1) + 987654321) % 2147483647)) % 2147483647) AS sig
-      |  FROM base CROSS JOIN seeds GROUP BY fp, i
-      |), bands AS MATERIALIZED (
-      |  SELECT fp, i // 4 AS band,
-      |    md5(array_to_string(list(sig ORDER BY i), '-')) AS bh
-      |  FROM sigs GROUP BY fp, i // 4
-      |), sizes AS MATERIALIZED (
-      |  SELECT fp, COUNT(*) AS n FROM grams GROUP BY fp
-      |)""".stripMargin
+  private val MinhashP = 2147483647L
+
+  private val minhashFront: String = {
+    val mins = (0 until 32).map { i =>
+      val a = (1103515245L * (i + 1) + 12345L) % MinhashP
+      val c = (1234567891L * (i + 1) + 987654321L) % MinhashP
+      s"MIN(($a * b + $c) % $MinhashP) AS s$i"
+    }.mkString(",\n    ")
+    val bandCols = (0 until 8).map { b =>
+      val ss = (4 * b until 4 * b + 4).map("s" + _).mkString(", ")
+      s"md5(concat_ws('-', $ss)) AS bh$b"
+    }.mkString(",\n    ")
+    val bandUnion = (0 until 8)
+      .map(b => s"SELECT fpi, $b AS band, bh$b AS bh FROM bandh")
+      .mkString("\n  UNION ALL\n  ")
+    s"""dt AS MATERIALIZED (
+       |  SELECT text, md5(text) AS fp, MIN(doc_id) AS gid, COUNT(*) AS m
+       |  FROM documents GROUP BY text, md5(text)
+       |), dn AS MATERIALIZED (
+       |  SELECT fp, gid, m, row_number() OVER (ORDER BY fp) AS fpi FROM dt
+       |), toks AS (
+       |  SELECT dn.fpi, string_split(dt.text, ' ') AS tk FROM dt JOIN dn USING (fp)
+       |), gramstr AS MATERIALIZED (
+       |  SELECT DISTINCT fpi, array_to_string(tk[i:i+2], ' ') AS g
+       |  FROM toks, unnest(range(1, greatest(len(tk) - 1, 2))) AS t(i)
+       |), gd AS MATERIALIZED (
+       |  SELECT g, ('0x' || substr(md5(g), 1, 15))::BIGINT % $MinhashP AS b,
+       |    row_number() OVER (ORDER BY g) AS gi
+       |  FROM (SELECT DISTINCT g FROM gramstr)
+       |), grams AS MATERIALIZED (
+       |  SELECT s.fpi, d.gi, d.b FROM gramstr s JOIN gd d USING (g)
+       |), sigw AS MATERIALIZED (
+       |  SELECT fpi,
+       |    $mins
+       |  FROM grams GROUP BY fpi
+       |), bandh AS MATERIALIZED (
+       |  SELECT fpi,
+       |    $bandCols
+       |  FROM sigw
+       |), bands AS MATERIALIZED (
+       |  $bandUnion
+       |), sizes AS MATERIALIZED (
+       |  SELECT fpi, COUNT(*) AS n FROM grams GROUP BY fpi
+       |)""".stripMargin
+  }
 
   private val dedupMinhash: String =
     s"""WITH $minhashFront, cand AS MATERIALIZED (
-       |  SELECT DISTINCT a.fp AS fp_a, b.fp AS fp_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.fp < b.fp
+       |  SELECT DISTINCT a.fpi AS ia, b.fpi AS ib
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.fpi < b.fpi
        |), inter AS (
-       |  SELECT c.fp_a, c.fp_b, COUNT(*) AS n_inter
+       |  SELECT c.ia, c.ib, COUNT(*) AS n_inter
        |  FROM cand c
-       |  JOIN grams x ON x.fp = c.fp_a
-       |  JOIN grams y ON y.fp = c.fp_b AND y.g = x.g
+       |  JOIN grams x ON x.fpi = c.ia
+       |  JOIN grams y ON y.fpi = c.ib AND y.gi = x.gi
        |  GROUP BY 1, 2
        |), dpairs AS (
-       |  SELECT c.fp_a, c.fp_b,
+       |  SELECT c.ia, c.ib,
        |    COALESCE(i.n_inter, 0) / (x.n + y.n - COALESCE(i.n_inter, 0)) AS jaccard
        |  FROM cand c
-       |  LEFT JOIN inter i ON i.fp_a = c.fp_a AND i.fp_b = c.fp_b
-       |  JOIN sizes x ON c.fp_a = x.fp
-       |  JOIN sizes y ON c.fp_b = y.fp
+       |  LEFT JOIN inter i ON i.ia = c.ia AND i.ib = c.ib
+       |  JOIN sizes x ON c.ia = x.fpi
+       |  JOIN sizes y ON c.ib = y.fpi
        |), mem AS MATERIALIZED (
-       |  SELECT md5(text) AS fp, doc_id FROM documents
+       |  SELECT dn.fpi, d.doc_id FROM documents d JOIN dn ON md5(d.text) = dn.fp
        |), cross_pairs AS (
        |  SELECT LEAST(ma.doc_id, mb.doc_id) AS doc_a,
        |         GREATEST(ma.doc_id, mb.doc_id) AS doc_b, p.jaccard
        |  FROM dpairs p
-       |  JOIN mem ma ON ma.fp = p.fp_a
-       |  JOIN mem mb ON mb.fp = p.fp_b
+       |  JOIN mem ma ON ma.fpi = p.ia
+       |  JOIN mem mb ON mb.fpi = p.ib
        |), within_pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |         s.n / (s.n + s.n - s.n) AS jaccard
-       |  FROM dt g
-       |  JOIN sizes s ON s.fp = g.fp
-       |  JOIN mem a ON a.fp = g.fp
-       |  JOIN mem b ON b.fp = g.fp AND a.doc_id < b.doc_id
+       |  FROM dn g
+       |  JOIN sizes s ON s.fpi = g.fpi
+       |  JOIN mem a ON a.fpi = g.fpi
+       |  JOIN mem b ON b.fpi = g.fpi AND a.doc_id < b.doc_id
        |  WHERE g.m > 1
        |), allp AS (
        |  SELECT * FROM cross_pairs UNION ALL SELECT * FROM within_pairs
@@ -246,32 +284,32 @@ object ScaleOracles {
     * groups plus Σ m_a·m_b over qualifying distinct-text pairs.
     */
   private val lshRecall: String =
-    s"""WITH $minhashFront, dinter AS (
-       |  SELECT a.fp AS fp_a, b.fp AS fp_b, COUNT(*) AS n_inter
-       |  FROM grams a JOIN grams b ON a.g = b.g AND a.fp < b.fp
+    s"""WITH $minhashFront, dinter AS MATERIALIZED (
+       |  SELECT a.fpi AS ia, b.fpi AS ib, COUNT(*) AS n_inter
+       |  FROM grams a JOIN grams b ON a.gi = b.gi AND a.fpi < b.fpi
        |  GROUP BY 1, 2
        |), truth AS (
-       |  SELECT (SELECT CAST(COALESCE(SUM(m * (m - 1) // 2), 0) AS BIGINT) FROM dt)
+       |  SELECT (SELECT CAST(COALESCE(SUM(m * (m - 1) // 2), 0) AS BIGINT) FROM dn)
        |       + (SELECT CAST(COALESCE(SUM(ga.m * gb.m), 0) AS BIGINT)
        |          FROM dinter i
-       |          JOIN sizes x ON i.fp_a = x.fp JOIN sizes y ON i.fp_b = y.fp
-       |          JOIN dt ga ON ga.fp = i.fp_a JOIN dt gb ON gb.fp = i.fp_b
+       |          JOIN sizes x ON i.ia = x.fpi JOIN sizes y ON i.ib = y.fpi
+       |          JOIN dn ga ON ga.fpi = i.ia JOIN dn gb ON gb.fpi = i.ib
        |          WHERE CAST(i.n_inter AS DOUBLE) / (x.n + y.n - i.n_inter) >= 0.5)
        |       AS n_truth
-       |), candg AS (
-       |  SELECT DISTINCT a.fp AS fp_a, b.fp AS fp_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.fp < b.fp
+       |), candg AS MATERIALIZED (
+       |  SELECT DISTINCT a.fpi AS ia, b.fpi AS ib
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.fpi < b.fpi
        |), cand AS (
-       |  SELECT (SELECT CAST(COALESCE(SUM(m * (m - 1) // 2), 0) AS BIGINT) FROM dt)
+       |  SELECT (SELECT CAST(COALESCE(SUM(m * (m - 1) // 2), 0) AS BIGINT) FROM dn)
        |       + (SELECT CAST(COALESCE(SUM(ga.m * gb.m), 0) AS BIGINT)
-       |          FROM candg c JOIN dt ga ON ga.fp = c.fp_a JOIN dt gb ON gb.fp = c.fp_b)
+       |          FROM candg c JOIN dn ga ON ga.fpi = c.ia JOIN dn gb ON gb.fpi = c.ib)
        |       AS n_cand,
-       |       (SELECT CAST(COALESCE(SUM(m * (m - 1) // 2), 0) AS BIGINT) FROM dt)
+       |       (SELECT CAST(COALESCE(SUM(m * (m - 1) // 2), 0) AS BIGINT) FROM dn)
        |       + (SELECT CAST(COALESCE(SUM(ga.m * gb.m), 0) AS BIGINT)
        |          FROM candg c
-       |          LEFT JOIN dinter i ON i.fp_a = c.fp_a AND i.fp_b = c.fp_b
-       |          JOIN sizes x ON c.fp_a = x.fp JOIN sizes y ON c.fp_b = y.fp
-       |          JOIN dt ga ON ga.fp = c.fp_a JOIN dt gb ON gb.fp = c.fp_b
+       |          LEFT JOIN dinter i ON i.ia = c.ia AND i.ib = c.ib
+       |          JOIN sizes x ON c.ia = x.fpi JOIN sizes y ON c.ib = y.fpi
+       |          JOIN dn ga ON ga.fpi = c.ia JOIN dn gb ON gb.fpi = c.ib
        |          WHERE (COALESCE(i.n_inter, 0) / (x.n + y.n - COALESCE(i.n_inter, 0))) >= 0.5)
        |       AS n_dup
        |)

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   * per copy so the similarity/ANN/vocab families face N× the
   * SIGNATURE CARDINALITY instead of N× duplication:
   *   - documents.text: every token gets a deterministic per-copy
-  *     suffix (`§i`), so copy vocabularies are disjoint — gram sets,
+  *     ASCII suffix (`_i`), so copy vocabularies are disjoint — gram sets,
   *     minhash/simhash signatures and vocab cardinality all scale
   *     with the factor while within-copy similarity structure is
   *     preserved exactly; n_chars is recomputed to keep the column's
@@ -76,10 +76,17 @@ object ScaleUp {
       copies.reduce(_ unionAll _)
     }
 
-    // distinct-mode payload mutations (copy 0 verbatim)
+    // distinct-mode payload mutations (copy 0 verbatim). The suffix
+    // separator must stay ASCII: the corpus is pure-ASCII, and the r11
+    // gate caught that a non-ASCII separator (the original `§`) makes
+    // edit-distance faces diverge between engines — Spark's levenshtein
+    // counts code points, DuckDB's counts BYTES, so a 2-byte char turns
+    // identical logical edits into different distances. `_` collides
+    // with no corpus token (none contain `_` or digits) and keeps copy
+    // vocabularies disjoint under both space and \w+ tokenizations.
     val tokenSuffix: Int => org.apache.spark.sql.Column = i =>
       array_join(transform(split(col("text"), " "),
-        t => concat(t, lit("§" + i))), " ")
+        t => concat(t, lit("_" + i))), " ")
     val charsOf: Int => org.apache.spark.sql.Column = i =>
       length(tokenSuffix(i)).cast("long")
     val rotate: Int => org.apache.spark.sql.Column = i => {

@@ -42,7 +42,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(outdir: str, sfdir: str, timeout: float = 0.0,
          scale_oracles: bool = False, stage_oracles: bool = False,
-         only=None) -> int:
+         only=None, skip=None) -> int:
     import os
     import threading
 
@@ -77,6 +77,22 @@ def main(outdir: str, sfdir: str, timeout: float = 0.0,
               f"({', '.join(sorted(stage))})")
     if only:
         oracle = {k: v for k, v in oracle.items() if k in only}
+    if skip:
+        # documented oracle-precondition exclusions (e.g. q_vocab_approx
+        # on the distinct axis: the exact-count oracle is valid only
+        # while |vocab| <= the 64 MG counters — the caller supplies the
+        # rationale in the gate record). The face's Spark dump still
+        # ran; record rows+schema so the exclusion is self-documenting.
+        for name in sorted(skip & set(oracle)):
+            try:
+                files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
+                n = sum(pq.read_metadata(f).num_rows for f in files)
+                cols = [f.name for f in pq.read_schema(files[0])]
+                print(f"EXCLUDED {name} ({n} rows x {len(cols)} cols; "
+                      "oracle precondition exclusion — see gate record)")
+            except Exception as ex:  # noqa: BLE001
+                print(f"EXCLUDED {name} (spark dump unreadable: {ex})")
+        oracle = {k: v for k, v in oracle.items() if k not in skip}
     failed = 0
     timeouts = 0
     rows_only = 0
@@ -252,4 +268,9 @@ if __name__ == "__main__":
         i = args.index("--only")
         onl = set(args[i + 1].split(","))
         del args[i:i + 2]
-    sys.exit(main(args[0], args[1], to, so, sto, onl))
+    skp = None
+    if "--skip" in args:
+        i = args.index("--skip")
+        skp = set(args[i + 1].split(","))
+        del args[i:i + 2]
+    sys.exit(main(args[0], args[1], to, so, sto, onl, skp))

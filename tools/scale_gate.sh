@@ -28,8 +28,14 @@ case "${1:?arm}" in
     SPARK_GRAFT_DUMP_PARTS=1 SPARK_GRAFT_DUMP_STAGES=1 \
       SPARK_GRAFT_ONLY="$DISTINCT_FACES" \
       tools/runjvm.sh graft.Verify target/distinct64 target/verify_distinct64
+    # q_vocab_approx adjudication is excluded by oracle precondition
+    # (r10 gate, annotated): the exact-count oracle is valid only while
+    # |vocab| <= the 64 MG counters; distinct-64x multiplies the
+    # vocabulary past that by design, entering the overflow regime whose
+    # no-miss guarantee is pinned by the FreqAgg property spec. The face
+    # still dumps (rows+schema recorded via EXCLUDED).
     python3 tools/oracle_check.py target/verify_distinct64 target/distinct64 \
-      --timeout 240 --scale-oracles --stage-oracles
+      --timeout 240 --scale-oracles --stage-oracles --skip q_vocab_approx
     ;;
   verbatim)
     SPARK_GRAFT_DUMP_PARTS=1 \
