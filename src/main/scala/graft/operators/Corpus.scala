@@ -53,7 +53,16 @@ object Corpus {
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("fp")).orderBy(col("doc_id"))))
       .filter(col("rn") === 1).drop("rn")
+    // r11 (guide §2.4): `scored` is the root of FOUR consumers (the
+    // threshold sketch, and — through splitDf — eval spans, train spans,
+    // the surviving-train projection); un-materialized, each consumer
+    // re-ran the scan + fingerprint window + scoring (4.1 s solo). One
+    // eager checkpoint of the deduped/scored corpus serves all four;
+    // everything below it is narrow (broadcast threshold join, filters,
+    // span explodes). `fp` is dead past the dedup window — dropped so
+    // the checkpoint doesn't hold 32 B/doc of spent fingerprint.
     val scored = deduped.withColumn("quality_score", TextAnalysis.compositeScore)
+      .drop("fp").localCheckpoint(true)
     val thresholds = scored.groupBy(col("lang"))
       .agg(percentile_approx(col("quality_score"), lit(0.75), lit(10000)).as("q75"))
     val filtered = scored.join(broadcast(thresholds), Seq("lang"))

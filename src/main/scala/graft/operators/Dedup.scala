@@ -167,6 +167,11 @@ object Dedup {
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("m"),
         graft.functions.NativeExprs.gram_hashes(split(col("text"), " "), 3).as("sh"))
+      // r11 (guide §2.4): `tok` feeds the within-group census AND the
+      // posting explode — un-materialized, each re-ran the md5 group
+      // collapse (a full corpus exchange) plus the gram hashing. One
+      // eager checkpoint of the distinct-text gram frame serves both.
+      .localCheckpoint(true)
     val within = tok.filter(size(col("sh")) >= 1)
       .agg(coalesce(sum(expr("m * (m - 1) DIV 2")), lit(0L)).as("n_within"))
     val sh = tok.select(col("doc_id"), col("m"), size(col("sh")).as("n"),
@@ -962,7 +967,15 @@ object Dedup {
     * text) frame, prefix-filtered candidates.
     */
   def setsimPrefix(docs: DataFrame): DataFrame = {
-    val tok = tokenized(docs)
+    // r11 (guide §2.4): `tok` feeds THREE branches (the shingle explode,
+    // the size frame, the verify-side set lookup) and `pfx` TWO (both
+    // sides of the candidate self-join) — un-materialized, every branch
+    // re-tokenized the corpus and the self-join re-ran the rarity
+    // window twice (2.4 s solo). The tokenized frame is corpus-sized
+    // but computed once per run either way; the prefix frame is the
+    // ~40% rarity head by construction. Exact hash/int content, so the
+    // checkpoints change nothing downstream.
+    val tok = tokenized(docs).localCheckpoint(true)
     val ex = tok.select(col("doc_id"), col("lang"), explode(col("sh")).as("s"))
     // document frequency of each shingle — the global rarity order
     val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("f"))
@@ -975,6 +988,7 @@ object Dedup {
       // p = n − ⌈3n/5⌉ + 1, all-integer (div is floor; args positive)
       .filter(col("rn") <=
         col("n") - call_function("div", col("n") * 3 + 4, lit(5L)) + 1)
+      .localCheckpoint(true)
     val cand = pfx.as("a").join(pfx.as("b"),
         col("a.lang") === col("b.lang") && col("a.s") === col("b.s") &&
           col("a.doc_id") < col("b.doc_id") &&

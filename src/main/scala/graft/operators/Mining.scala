@@ -1561,6 +1561,13 @@ object Mining {
     // variant (comp ← comp(comp)) was measured and did NOT cut rounds
     // on these small-diameter co-occurrence graphs — the tail is
     // label-arrival limited — so plain BFS propagation it is.
+    // r11 re-measured the batching factor: >2 steps per checkpoint is
+    // EXPONENTIALLY worse (propagate references its input twice, so an
+    // unmaterialized k-chain recomputes step i 2^(k−i) times — 3/4/6
+    // steps measured 6.8/12.1/61.2 s vs 5.3 s at sf0.1), and an eager
+    // per-step checkpoint (every step computed once, 3 jobs/round) is
+    // a wash (4.3/4.6 vs 4.4/4.8 s) — the per-job scheduling floor
+    // dominates either way. k=2 stands.
     while (changed > 0 && iter < 32) {
       val start = labels.select(col("n"), col("comp"),
         col("comp").as("prev"))
@@ -1734,10 +1741,24 @@ object Mining {
     * a (part, other) tiebreak.
     */
   def assocRules(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir).lineitem
+    // r11 (guide §2.4): the old shape ran `lineitem.distinct()` into
+    // THREE independent branches (pair counts, item counts, order
+    // total) — three full scans + three (ok, pk) exchanges per run
+    // (2.4 s solo). `collect_set` folds the distinct INTO the one
+    // basket exchange (set semantics = the old distinct-then-list),
+    // the basket frame checkpoints once, and the item/total branches
+    // become narrow re-reads: explode(parts) enumerates exactly the
+    // distinct (ok, pk) pairs, row count = distinct order count.
+    val baskets = Tables(spark, dir).lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val counts = basketPairs(li)
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("parts"))
+      .localCheckpoint(true)
+    val counts = baskets
+      .filter(size(col("parts")) >= 2)
+      .select(explode(graft.functions.NativeExprs.pair_array(col("parts")))
+        .as("pair"))
+      .select(col("pair.p1"), col("pair.p2"))
       .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("cab"))
       .filter(col("cab") >= 3)
     // both rule directions via a map-side explode ABOVE the aggregate —
@@ -1750,9 +1771,9 @@ object Mining {
         struct(col("p2").as("part"), col("p1").as("other"), col("cab")))).as("e"))
       .select(col("e.part").as("part"), col("e.other").as("other"),
         col("e.cab").as("cab"))
-    val item = li.groupBy(col("pk")).agg(count(lit(1)).as("c"))
-    val nOrders = li.select(col("ok")).distinct()
-      .agg(count(lit(1)).as("n_orders"))
+    val item = baskets.select(explode(col("parts")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
     directed
       .join(item.select(col("pk").as("part"), col("c").as("ca")), "part")
       .join(item.select(col("pk").as("other"), col("c").as("cb")), "other")
@@ -1901,11 +1922,21 @@ object Mining {
     * division (identical bits in both engines); S and ranks are
     * integers; τ rounds by the §8(d) floor idiom.
     */
-  def trendRobust(spark: SparkSession, dir: String): DataFrame = {
+  def trendRobust(spark: SparkSession, dir: String): DataFrame = withStockFanout(spark) {
+    // r11 (guide §2.4): `monthly` feeds FOUR plan branches (both pair
+    // sides + the intercept candidates) and `pairs` three (MK sums +
+    // the slope median's cells/total arms) — without cutting lineage
+    // each branch re-ran the orders scan + month rollup (~5 scans/run,
+    // measured 4.8 s solo). Both frames are calendar-bounded (|T| and
+    // |T|² rows), so eager localCheckpoints materialize them once; the
+    // ×1 fan-out scope de-taxes the tiny exchanges the same way the
+    // other domain-bounded faces do. Values are exact integer cents —
+    // checkpointing changes nothing downstream.
     val monthly = Tables(spark, dir).orders
       .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
         .cast("long").as("m"))
       .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("rev_c"))
+      .localCheckpoint(true)
     val pairs = monthly.as("a")
       .join(broadcast(monthly.as("b")), col("a.m") < col("b.m"))
       .select(
@@ -1913,6 +1944,7 @@ object Mining {
           / (col("b.m") - col("a.m")).cast("double")).as("slope"),
         when(col("b.rev_c") > col("a.rev_c"), 1L)
           .when(col("b.rev_c") < col("a.rev_c"), -1L).otherwise(0L).as("sgn"))
+      .localCheckpoint(true)
     val mk = pairs.agg(count(lit(1)).as("n_pairs"), sum(col("sgn")).as("mk_s"))
     val slopeMed = boundedMedian(pairs, col("slope"))
       .select(col("med").as("ts_slope_c"))
@@ -1926,6 +1958,8 @@ object Mining {
         (floor(col("mk_s").cast("double") / col("n_pairs").cast("double")
           * 1e6 + 0.5) / 1e6).as("mk_tau"),
         col("ts_slope_c"), col("ts_intercept_c"))
+      // eager 1-row tail: the whole face executes inside the ×1 scope
+      .localCheckpoint(true)
   }
 
   val trendRobustSql: String =

@@ -81,18 +81,44 @@ object Profile {
     * the already-deterministic profile values.
     */
   def profileDrift(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir).lineitem
-      .select((Cols.map { case (c, _, _) => col(c) } :+ col("l_shipdate")): _*)
-      .repartition(spark.sparkContext.defaultParallelism)
     val cut = lit("1995-06-01").cast("date")
-    def side(df: DataFrame, tag: String) =
-      profileFrame(df.drop("l_shipdate")).select(
-        col("column_name"),
-        col("n_rows").as(s"${tag}_rows"),
-        col("n_distinct").as(s"${tag}_distinct"),
-        col("avg_v").as(s"${tag}_avg"))
-    side(li.filter(col("l_shipdate") < cut), "base")
-      .join(side(li.filter(col("l_shipdate") >= cut), "target"), "column_name")
+    // r11 (guide §2.3/§2.4): ONE side-tagged pass replaces the two
+    // per-side profile scans (each paid its own spread exchange + its
+    // own multi-distinct Expand over the full table — 1.9 s solo). The
+    // side tag joins the grouping keys, so the same Expand plan now
+    // amortizes one scan across both snapshots; the 2-row result
+    // checkpoints eagerly and both side projections unpivot from it.
+    // The tag mirrors the old filters exactly (two `when` arms, rows
+    // matching neither — a null ship date — drop out via the implicit
+    // null group being filtered at unpivot).
+    val one = Tables(spark, dir).lineitem
+      .select((when(col("l_shipdate") < cut, "base")
+        .when(col("l_shipdate") >= cut, "target").as("side")
+        +: Cols.map { case (c, _, _) => col(c) }): _*)
+      .filter(col("side").isNotNull)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .groupBy(col("side"))
+      .agg(count(lit(1)).as("n_rows"),
+        Cols.flatMap { case (c, p, s) => Seq(
+          countDistinct(col(c)).as(s"${c}_ndist"),
+          (sum(dec(col(c), p, s)).cast("double") / count(lit(1)))
+            .as(s"${c}_avg"))
+        }: _*)
+      .localCheckpoint(true)
+    def side(tag: String) = {
+      val structs = Cols.map { case (c, _, _) =>
+        struct(lit(c).as("column_name"), col("n_rows"),
+          col(s"${c}_ndist").as("n_distinct"), col(s"${c}_avg").as("avg_v"))
+      }
+      one.filter(col("side") === tag)
+        .select(explode(array(structs: _*)).as("p"))
+        .select(col("p.column_name").as("column_name"),
+          col("p.n_rows").as(s"${tag}_rows"),
+          col("p.n_distinct").as(s"${tag}_distinct"),
+          col("p.avg_v").as(s"${tag}_avg"))
+    }
+    side("base")
+      .join(side("target"), "column_name")
       .select(col("column_name"),
         col("base_rows"), col("target_rows"),
         col("base_distinct"), col("target_distinct"),
@@ -321,6 +347,12 @@ object Profile {
         when(col("l_shipdate") < cut, 1L).otherwise(0L).as("a"))
       .groupBy(col("v"))
       .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+      // r11 (guide §2.4): `c` feeds both the prefix-sum and the side
+      // totals — un-materialized, the second branch re-ran the full
+      // lineitem scan + value exchange. The cells frame is bounded by
+      // the price DOMAIN (not row count), so one eager checkpoint
+      // serves both branches; exact integer counts, values unchanged.
+      .localCheckpoint(true)
     val p2 = Corpus.prefixSumN(c, Seq(col("v")),
       Seq("ca" -> "cuma_x", "cb" -> "cumb_x"))
     val t = c.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))

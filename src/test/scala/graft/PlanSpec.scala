@@ -214,6 +214,34 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("r11 materialize-once faces: no consumer re-scans parquet past the checkpoint") {
+    // r11 optimization round: faces whose multi-referenced bounded
+    // frames now checkpoint eagerly must serve EVERY downstream branch
+    // from the materialized RDD — a parquet scan in the returned plan
+    // means a branch dodged the checkpoint and the re-scan tax is back
+    // (q_trend_robust measured 4.8 s with 5 scans vs 1.5 s with one).
+    // (q_lsh_recall is excluded: its truth side rides the checkpoint but
+    // the C2 candidate arm is an independent pipeline over the raw docs,
+    // so one parquet scan is legitimate there.)
+    for (q <- Seq("q_trend_robust", "q_ks_drift", "q_winsorize",
+        "q_assoc_rules", "q_training_set", "q_setsim_prefix")) {
+      val leaves = collectAll(executedPlan(q)).filter(_.children.isEmpty)
+      val parquet = leaves.filter(_.nodeName.contains("Scan parquet"))
+      assert(parquet.isEmpty,
+        s"$q: ${parquet.size} parquet scan(s) above the checkpoint — " +
+          leaves.map(_.nodeName).distinct.mkString(","))
+    }
+  }
+
+  test("q_profile_drift: both snapshots profiled in ONE scan / ONE Expand") {
+    // r11: the per-side profileFrame calls each paid a full scan + a
+    // multi-distinct Expand; the side tag folds both into one pass.
+    val nodes = collectAll(executedPlan("q_profile_drift")).map(_.nodeName)
+    assert(nodes.count(_.contains("Expand")) <= 1, nodes.distinct.mkString(","))
+    val scans = nodes.count(_.contains("Scan parquet"))
+    assert(scans <= 1, s"expected <=1 parquet scan, got $scans")
+  }
+
   test("q_bloom_join: zero driver actions — sketch rides a scalar subquery") {
     // r9 VERDICT #7: the bloom build must be IN-PLAN (the
     // InjectRuntimeFilter shape), not a count()+head() round-trip. Pin
