@@ -27,6 +27,22 @@ object Bench {
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // r11 measurement-hygiene fix (guide §1.1/§5, declared in
+    // OPTIMIZATION_r11.md): queries that eagerly localCheckpoint
+    // bounded frames leave their blocks registered in the block manager
+    // until the ContextCleaner gets around to them; across a 244-query
+    // sweep the leaked blocks of query N-1's warmup+timed passes raised
+    // memory pressure DURING query N's window (the r11 sweep recorded
+    // q_copurchase at 15.7 s — alphabetically right after iterative,
+    // checkpoint-heavy q_components — vs 2.6 s solo). Dropping every
+    // persistent RDD OUTSIDE the timing window is the same class of
+    // fence as the existing System.gc(): it changes what a query PAYS
+    // FOR, never what it computes — each invocation still rebuilds its
+    // own checkpoints from the parquet inputs inside the timed pass.
+    def dropPersisted(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+
     def time(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       def once(): Unit =
@@ -40,15 +56,19 @@ object Bench {
       try { once() } catch {
         case NonFatal(e) =>
           System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+          dropPersisted()
           return -1.0
       }
       // 100 query executions share this JVM: collect the previous
       // queries' garbage OUTSIDE the timing window, so query N's number
       // doesn't pay for query N-1's allocations
+      dropPersisted()
       System.gc()
       val t0 = System.nanoTime()
       once()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      dropPersisted()
+      dt
     }
 
     // dev loop: SPARK_GRAFT_ONLY=q_a,q_b times just those queries
@@ -118,10 +138,13 @@ object Bench {
           // riding another query's garbage).
           val s = try {
             once()
+            dropPersisted()
             System.gc()
             val t0 = System.nanoTime()
             once()
-            (System.nanoTime() - t0) / 1e9
+            val dt = (System.nanoTime() - t0) / 1e9
+            dropPersisted()
+            dt
           } catch {
             case NonFatal(e) =>
               System.err.println(

@@ -1300,6 +1300,13 @@ object Corpus {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, dir).documents
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    // r11 examined and left alone (guide §2.4): `tf` feeds the
+    // document-frequency rollup AND the scored join, re-running the
+    // token explode + (doc, token) exchange per branch — but an eager
+    // checkpoint of tf was MEASURED SLOWER solo at sf0.1 (min-of-3:
+    // 1.58 s vs 1.27 s recomputed), and the frame is (doc, token)-pair
+    // sized — corpus-scale, exactly the thing NOT to pin in executor
+    // memory at 100 TB. Recompute is the right trade on both axes.
     val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -1360,6 +1367,14 @@ object Corpus {
           i => concat_ws(" ", slice(col("tk"), i, lit(2)))))
           .as("bigram"))
       .filter(size(split(col("bigram"), " ")) === 2)
+    // r11 examined and left alone (guide §2.4): `docBi` feeds the
+    // corpus rollup AND the final per-doc join, `corpus` two branches —
+    // but eager checkpoints of both were MEASURED SLOWER solo at sf0.1
+    // (min-of-3: 2.45 s vs 2.21 s recomputed), and docBi is (doc,
+    // bigram)-pair sized — corpus-scale state a 100 TB run must not pin
+    // in executor memory. The re-derived subtree is a map-side explode
+    // over the small documents table plus the exchange the plan pays
+    // anyway.
     val docBi = grams.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
     // corpus-level counts fold the per-doc partials — ONE explode pass
     // feeds both aggregates instead of scanning the corpus twice

@@ -202,6 +202,14 @@ object Mining {
         sequence(lit(1), greatest(size(col("tk")) - 1, lit(1))),
         i => concat_ws(" ", slice(col("tk"), i, lit(2))))).as("bigram"))
       .filter(size(split(col("bigram"), " ")) === 2)
+    // r11 examined and left alone (guide §2.4): `bi` feeds two branches
+    // and `uni` three, each re-running its explode + vocab exchange —
+    // but eager checkpoints of both frames were MEASURED SLOWER solo at
+    // sf0.1 (min-of-3: 1.57 s checkpointed vs 1.15 s recomputed): the
+    // re-derived subtrees are token-explode passes over the SMALL
+    // documents table, cheaper than two materialization job barriers.
+    // The frames stay vocabulary-bounded either way, so the recompute
+    // is corpus-linear map work, not an added shuffle class.
     val bi = grams.groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
       .withColumn("w2", split(col("bigram"), " ").getItem(1))

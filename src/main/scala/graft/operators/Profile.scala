@@ -464,10 +464,17 @@ object Profile {
       .select(
         round(col("l_extendedprice") * 100, 0).cast("long").as("vc"),
         when(col("l_shipdate") < cut, 1L).otherwise(0L).as("a"))
-    val stats = rows.where(col("a") === 1L)
-      .agg(min(col("vc")).as("lo"), max(col("vc")).as("hi"),
-        count(lit(1)).as("na"))
-    val nb = rows.agg(sum(lit(1L) - col("a")).as("nbt"))
+    // r11 (guide §2.3): base stats and the target total used to be two
+    // separate agg passes (two full lineitem scans + two 1-row
+    // broadcasts); conditional aggregates fold them into ONE pass —
+    // min/max over `when(a=1)` equal the filtered min/max, na = Σa
+    // equals the filtered count, and the merged 1-row frame broadcasts
+    // once. 4 scans → 2 in the plan; values bit-identical.
+    val stats = rows.agg(
+      min(when(col("a") === 1L, col("vc"))).as("lo"),
+      max(when(col("a") === 1L, col("vc"))).as("hi"),
+      sum(col("a")).as("na"),
+      sum(lit(1L) - col("a")).as("nbt"))
     val binned = rows.crossJoin(broadcast(stats))
       .select(
         least(greatest(
@@ -482,8 +489,7 @@ object Profile {
       .select(col("bin"),
         coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
-      .crossJoin(broadcast(stats.select(col("na"))))
-      .crossJoin(broadcast(nb))
+      .crossJoin(broadcast(stats.select(col("na"), col("nbt"))))
     val pa = (col("ca").cast("double") + lit(1.0)) / (col("na").cast("double") + lit(10.0))
     val pb = (col("cb").cast("double") + lit(1.0)) / (col("nbt").cast("double") + lit(10.0))
     filled

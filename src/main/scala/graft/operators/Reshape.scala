@@ -581,6 +581,12 @@ object Reshape {
     val daily = Tables(spark, dir).lineitem
       .groupBy(to_date(col("l_shipdate")).as("day"))
       .agg(sum(dec(col("l_extendedprice"))).cast("decimal(19,2)").as("rev"))
+      // r11 (guide §2.4): `daily` feeds the target spine AND the lag
+      // join — un-materialized, each branch re-ran the full lineitem
+      // scan + (day) exchange. The frame is CALENDAR-bounded (|days|
+      // rows, exact decimals), so one eager checkpoint serves both;
+      // values unchanged.
+      .localCheckpoint(true)
     val weights = (0 to 6).map(l =>
       lit(BigDecimal("0.9").pow(l).setScale(6).bigDecimal))
     val targets = daily.select(col("day").as("t_day"))
