@@ -1296,9 +1296,15 @@ object Extras {
         col("l_orderkey") === col("o_orderkey"))
       .select(least(col("o_d"), col("l_shipdate")).as("lo"),
         greatest(col("o_d"), col("l_shipdate")).as("hi"))
-    val deltas = spans.select(col("lo").as("day"), lit(1L).as("delta"))
-      .unionAll(spans.select(
-        date_add(col("hi"), 1).as("day"), lit(-1L).as("delta")))
+    // r11 (guide §2.4): the two delta rows used to come from a unionAll
+    // of two selects over `spans` — each branch re-ran the full
+    // lineitem⋈orders join (2 scans of each table in the before plan).
+    // A map-side explode emits both deltas from ONE join pass; the
+    // keyed partial agg that follows is unchanged.
+    val deltas = spans.select(explode(array(
+        struct(col("lo").as("day"), lit(1L).as("delta")),
+        struct(date_add(col("hi"), 1).as("day"), lit(-1L).as("delta")))).as("e"))
+      .select(col("e.day").as("day"), col("e.delta").as("delta"))
       .groupBy(col("day")).agg(sum(col("delta")).as("net"))
     Corpus.prefixSum(deltas, Seq(col("day")), "net", "cum0")
       .select(col("day"), col("net"),

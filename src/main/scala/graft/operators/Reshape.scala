@@ -545,9 +545,16 @@ object Reshape {
     // removes dominated points (dominance is transitive), so any
     // bucketing yields the same phase-2 answer
     val buckets = pts.sparkSession.sparkContext.defaultParallelism
+    // r11 (guide §2.4): skylinePass references its input twice (the
+    // per-price rollup AND the join-back), so the un-materialized
+    // phase-2 call re-ran the WHOLE phase-1 subtree per reference —
+    // 4 orders scans in the before plan. The phase-1 survivor sliver is
+    // skyline-superset sized (tiny by construction), so one eager
+    // checkpoint bounds phase 2 to memory reads: 4 scans → 1.
     val local = skylinePass(
       pts.withColumn("b", pmod(hash(col("o_orderkey")), lit(buckets))), Seq("b"))
       .drop("b")
+      .localCheckpoint(true)
     skylinePass(local, Nil)
       .select(col("o_orderkey"), col("price"), col("day"))
   }
