@@ -38,7 +38,14 @@ object Verify {
             .write.mode("overwrite").parquet(s"$outDir/$name")
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        }
+        } finally
+          // same block hygiene as Bench (r11): faces that eagerly
+          // localCheckpoint bounded frames would otherwise accumulate
+          // dead blocks across the 244-face dump until the async
+          // ContextCleaner catches up — memory pressure the NEXT face
+          // pays for. Each face rebuilds its own checkpoints.
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
       }
     // dev/diagnosis only (driver sets no env): SPARK_GRAFT_PROBE=q_x,…
     // dumps per-row divergence diagnostics for the named queries next

@@ -556,8 +556,13 @@ object Ann {
       .orderBy(col("s8").desc, col("vec_id"))
     val shortlist = dot8.withColumn("rn8", row_number().over(w8))
       .filter(col("rn8") <= 2 * TopK)
+    // r11 (guide §2.4): `coarsePairs` feeds the rescore-pool union AND
+    // the coarse recall join — un-materialized, each reference re-ran
+    // the ENTIRE coarse IVF pipeline (assign + probe + rank). The frame
+    // is |queries|×k bounded, so one eager checkpoint serves both.
     val coarsePairs = annIvf(spark, dir)
       .select(col("query_id"), col("vec_id"))
+      .localCheckpoint(true)
     // Full-precision rescore of the UNION of the int8 shortlist and the
     // coarse arm's top-k (r8 ADVICE): the unnormalized quantized dot can
     // drop a true neighbor the coarse arm kept, so rescoring the
@@ -785,12 +790,17 @@ object Ann {
         .select((floor(col("max_nv").cast("double") / col("n_total") * 1e6
           + lit(0.5)) / 1e6).as("ms"))
     }
-    def hits(approx: DataFrame): DataFrame = {
-      val exact = annTopK(spark, dir).select(col("query_id"), col("vec_id"))
+    // r11 (guide §2.4): the exact brute-force arm used to be rebuilt
+    // inside EACH hits() call — two full annTopK passes per run (the
+    // one genuinely corpus×queries-quadratic step in this face, paid
+    // twice). The arm is |queries|×k bounded, so one eager checkpoint
+    // serves both recall sides.
+    val exact = annTopK(spark, dir).select(col("query_id"), col("vec_id"))
+      .localCheckpoint(true)
+    def hits(approx: DataFrame): DataFrame =
       exact.join(approx.select(col("query_id").as("qi"), col("vec_id").as("vi")),
           col("query_id") === col("qi") && col("vec_id") === col("vi"), "left")
         .agg(count(lit(1)).as("k_total"), count(col("vi")).as("n_hit"))
-    }
     val before = hits(annIvf(spark, dir))
       .crossJoin(broadcast(maxShare(base)))
       .select(col("k_total"), col("n_hit").as("hits_before"),

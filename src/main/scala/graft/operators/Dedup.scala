@@ -271,10 +271,19 @@ object Dedup {
     // native single-pass signature; bands are 16-bit slices of it
     // (pigeonhole over 4 bands covers hamming ≤ 3)
     val sigExpr = simhash64e(array_distinct(split(col("text"), " ")))
+    // r11 (guide §2.4): `sig` feeds the group collapse AND the final
+    // doc-level join, `groups` the bucket explode AND the neighbor-mass
+    // join — un-materialized, every branch re-tokenized and re-hashed
+    // the corpus (6 documents scans in the before plan; the signature
+    // map is this face's heavy CPU). sig is 40 B/doc of metadata
+    // (exactly the "shuffle keys, not payloads" proxy §8 of the guide
+    // builds), groups is distinct-signature bounded — both are the
+    // right frames to pin once instead of recomputing.
     val sig = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id") +: (0 until 4).map(k =>
         shiftrightunsigned(sigExpr, 16 * k).bitwiseAND(0xffffL).as(s"b$k")): _*)
+      .localCheckpoint(true)
 
     // collapse to distinct signatures; gid = the 64-bit signature
     // itself (bands are its disjoint slices), m = duplicate-group size
@@ -283,6 +292,7 @@ object Dedup {
       .withColumn("gid",
         col("b3") * 281474976710656L + col("b2") * 4294967296L +
           col("b1") * 65536L + col("b0"))
+      .localCheckpoint(true)
 
     // the full signature rides along with each bucket row (8 bytes/row
     // extra) so candidate pairs carry BOTH signatures out of the bucket
@@ -311,9 +321,14 @@ object Dedup {
       .distinct()
 
     // per-group neighbor mass: partners inside the group (m - 1) plus
-    // every member of each neighboring group
-    val cross = gpairs.select(col("gid_a").as("gid"), col("m_b").as("mn"))
-      .unionByName(gpairs.select(col("gid_b").as("gid"), col("m_a").as("mn")))
+    // every member of each neighboring group. r11 (guide §2.4): both
+    // directions come from ONE map-side explode — the unionByName of
+    // two selects re-ran the bucket self-join + hamming verify per
+    // branch.
+    val cross = gpairs.select(explode(array(
+        struct(col("gid_a").as("gid"), col("m_b").as("mn")),
+        struct(col("gid_b").as("gid"), col("m_a").as("mn")))).as("e"))
+      .select(col("e.gid").as("gid"), col("e.mn").as("mn"))
       .groupBy("gid").agg(sum(col("mn")).as("cross_mass"))
     val nearByGroup = groups.join(cross, Seq("gid"), "left")
       .select(col("b0"), col("b1"), col("b2"), col("b3"),

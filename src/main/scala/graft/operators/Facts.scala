@@ -34,11 +34,17 @@ object Facts {
     val custDim = dim.select(col("n_nationkey").as("cust_nationkey"),
       col("zone_name").as("cust_zone"), col("region_name").as("cust_region"))
 
-    val li = t.lineitem
-    // green_data / yellow_data analog: tagged subsets, union all
-    val open  = li.filter(col("l_linestatus") === "O").withColumn("service_type", lit("Open"))
-    val fin   = li.filter(col("l_linestatus") === "F").withColumn("service_type", lit("Final"))
-    val unioned = open.unionByName(fin)
+    // green_data / yellow_data analog: tagged subsets. r11 (guide
+    // §2.3): the tag used to be a unionByName of two filtered scans —
+    // 2 full lineitem reads per fact build, feeding every downstream
+    // rollup. The registered oracle has always stated the single-scan
+    // form (`CASE l_linestatus WHEN 'O' THEN 'Open' ELSE 'Final' END`
+    // over the unfiltered table), so the case-map is the EXACT oracle
+    // shape: one scan, same rows, same values (the feed's linestatus
+    // domain is {O, F}; on any other value the case-map matches the
+    // oracle where the union silently dropped the row).
+    val unioned = t.lineitem.withColumn("service_type",
+      when(col("l_linestatus") === "O", "Open").otherwise("Final"))
 
     // suppDim/custDim are nation-scale (fixed 25 rows) → safe broadcast
     // hints; supplier/customer scale with SF, so AQE decides their join

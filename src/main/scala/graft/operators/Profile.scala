@@ -55,22 +55,31 @@ object Profile {
     * [[profileNumeric]] and both sides of [[profileDrift]]).
     */
   private def profileFrame(li: DataFrame): DataFrame = {
-    def metrics(c: String, p: Int, s: Int): Seq[Column] = Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nnull"),
-      countDistinct(col(c)).as(s"${c}_ndist"),
-      min(col(c)).cast("double").as(s"${c}_min"),
-      max(col(c)).cast("double").as(s"${c}_max"),
-      (sum(dec(col(c), p, s)).cast("double") / count(lit(1))).as(s"${c}_avg"))
-    val aggs = count(lit(1)).as("n_rows") +:
-      Cols.flatMap { case (c, p, s) => metrics(c, p, s) }
-    val one = li.agg(aggs.head, aggs.tail: _*)
-    val structs = Cols.map { case (c, _, _) =>
-      struct(lit(c).as("column_name"), col("n_rows"),
-        col(s"${c}_nnull").as("n_null"), col(s"${c}_ndist").as("n_distinct"),
-        col(s"${c}_min").as("min_v"), col(s"${c}_max").as("max_v"),
-        col(s"${c}_avg").as("avg_v"))
-    }
-    one.select(explode(array(structs: _*)).as("p")).select(col("p.*"))
+    // r11 (guide §2.3, E4's lesson): the one-pass multi-distinct agg
+    // lowered to an Expand that multiplied every row ×(|cols|+1) before
+    // the partial aggregate; per-column CELLS passes carry the same
+    // information with NO Expand — each column's pass is a narrow
+    // (value → count) partial aggregate whose exchange is
+    // |distinct_c|-bounded, and the three passes are independent
+    // subtrees of ONE action, so they overlap instead of serializing.
+    // Metric equivalence is exact: n_rows = Σcnt, n_null = the null
+    // cell's cnt, n_distinct = non-null cell count (countDistinct
+    // ignores nulls), min/max ignore the null cell, and the mean's
+    // numerator Σ(dec(v)·cnt) is the same exact decimal as Σdec(v) —
+    // identical doubles after the one cast.
+    def colProfile(c: String, p: Int, s: Int): DataFrame =
+      li.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+        .agg(
+          sum(col("cnt")).as("n_rows"),
+          coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).as("n_null"),
+          count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+          min(col("v")).cast("double").as("min_v"),
+          max(col("v")).cast("double").as("max_v"),
+          (sum(dec(col("v"), p, s) * col("cnt")).cast("double")
+            / sum(col("cnt"))).as("avg_v"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_v"), col("max_v"), col("avg_v"))
+    Cols.map { case (c, p, s) => colProfile(c, p, s) }.reduce(_ unionByName _)
   }
 
   /** PipeRider's compare: profile two snapshots of the fact table (ship
