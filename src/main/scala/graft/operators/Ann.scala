@@ -556,13 +556,14 @@ object Ann {
       .orderBy(col("s8").desc, col("vec_id"))
     val shortlist = dot8.withColumn("rn8", row_number().over(w8))
       .filter(col("rn8") <= 2 * TopK)
-    // r11 (guide §2.4): `coarsePairs` feeds the rescore-pool union AND
-    // the coarse recall join — un-materialized, each reference re-ran
-    // the ENTIRE coarse IVF pipeline (assign + probe + rank). The frame
-    // is |queries|×k bounded, so one eager checkpoint serves both.
+    // r11 examined and left alone (guide §2.4/§1): `coarsePairs` feeds
+    // the rescore-pool union AND the coarse recall join, re-running the
+    // coarse IVF pipeline per reference — but an eager checkpoint of
+    // the |queries|×k frame was MEASURED SLOWER solo at sf0.1
+    // (min-of-2: 2.84 s vs 2.18 s recomputed): the barrier serializes
+    // against the int8 shortlist pass that otherwise overlaps it.
     val coarsePairs = annIvf(spark, dir)
       .select(col("query_id"), col("vec_id"))
-      .localCheckpoint(true)
     // Full-precision rescore of the UNION of the int8 shortlist and the
     // coarse arm's top-k (r8 ADVICE): the unnormalized quantized dot can
     // drop a true neighbor the coarse arm kept, so rescoring the

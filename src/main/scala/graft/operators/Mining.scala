@@ -2029,12 +2029,13 @@ object Mining {
       .agg((sum(dec(col("l_extendedprice"))) * 100).cast("long").as("c"))
       .join(t.supplier.select(col("s_suppkey"), col("s_nationkey")),
         col("l_suppkey") === col("s_suppkey"))
-      // r11 (guide §2.4): `supRev` feeds the nation totals AND the
-      // shares join — un-materialized, each branch re-ran the big
-      // suppkey exchange over lineitem (2 lineitem scans in the before
-      // plan). The frame is |suppliers|-bounded with exact integer
-      // cents, so one eager checkpoint serves both.
-      .localCheckpoint(true)
+    // r11 examined and left alone (guide §2.4/§1): `supRev` feeds the
+    // nation totals AND the shares join, re-running the suppkey
+    // exchange per branch — but an eager checkpoint of the
+    // |suppliers|-bounded frame was MEASURED SLOWER solo at sf0.1
+    // (min-of-2: 2.06 s vs 1.24 s recomputed; consistent across reps).
+    // The recomputed branch is one map-combined partial agg over the
+    // scan — cheaper than a materialization barrier at this geometry.
     val natTot = supRev.groupBy(col("s_nationkey"))
       .agg(sum(col("c")).as("tot"))
     val shares = supRev.join(natTot, Seq("s_nationkey"))
