@@ -733,6 +733,10 @@ object Extras {
     * companions + in-plan error claims (1% relative + 1 absolute) the
     * oracle states as TRUE.
     */
+  // r12 measured-and-reverted (guide §1): the ×1 fan-out scope + final
+  // checkpoint that won on ks/gini/curriculum measured SLOWER here
+  // (min-of-3 solo 1.86 → 2.06 s) — the three scan arms already overlap
+  // under one action and the checkpoint barrier serializes their tails.
   def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
     approxPercentilesRaw(spark, dir)
       .select(col("l_returnflag"), col("p50_qty"), col("p90_price"),
@@ -1340,7 +1344,14 @@ object Extras {
     * would not be. The median pick is the integer predicate
     * 2·cum ≥ tot — no float boundary, no interpolation.
     */
-  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame =
+      graft.operators.Mining.withStockFanout(spark) {
+    // ×1 fan-out scope (r12, the q_ks_drift diagnosis generalized):
+    // everything past the first rollup is (flag × price-cents)
+    // domain-bounded and the two windows key on 3 flags, so the global
+    // ×8 fan-out ran them as 256 near-empty tasks. The 3-row result
+    // checkpoints eagerly so the face executes inside the scope;
+    // partitioning-only, values unchanged.
     val cells = Tables(spark, dir).lineitem
       .groupBy(col("l_returnflag").as("flag"),
         round(col("l_extendedprice") * 100, 0).cast("long").as("price_c"))
@@ -1360,6 +1371,7 @@ object Extras {
         round(col("median_price_c").cast("double") / 100.0, 2)
           .as("median_price"),
         col("total_qty"))
+      .localCheckpoint()
   }
 
   val weightedMedianSql: String =
@@ -1460,7 +1472,15 @@ object Extras {
     * re-enters as a |years|-row broadcast join and the winsorized sum
     * is exact integer cents end to end.
     */
-  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+  def winsorize(spark: SparkSession, dir: String): DataFrame =
+      graft.operators.Mining.withStockFanout(spark) {
+    // ×1 fan-out scope (r12, the q_ks_drift diagnosis generalized):
+    // everything past the first rollup is (year × price-cents)
+    // domain-bounded — the checkpointed cells, the two windows, the
+    // broadcast bounds join — so the global ×8 fan-out ran them as 256
+    // near-empty tasks (and pinned 256 checkpoint blocks). The 7-row
+    // result checkpoints eagerly so the face executes inside the scope;
+    // partitioning-only, values unchanged.
     import org.apache.spark.sql.expressions.Window
     val cells = Tables(spark, dir).lineitem
       .groupBy(year(col("l_shipdate")).as("yr"),
@@ -1494,6 +1514,7 @@ object Extras {
         round(col("p95_c").cast("double") / 100.0, 2).as("p95"),
         (floor(col("clip_sum_c").cast("double") / 100.0 / col("n_rows") * 1e4
           + lit(0.5)) / 1e4).as("winsorized_mean"))
+      .localCheckpoint()
   }
 
   val winsorizeSql: String =

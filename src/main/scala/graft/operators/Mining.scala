@@ -655,6 +655,10 @@ object Mining {
     * log-odds is ONE fixed IEEE expression over exact integers,
     * 6 dp-rounded before the deterministic top-5 cut.
     */
+  // r12 measured-and-reverted (guide §1): the ×1 fan-out scope + final
+  // checkpoint that won on ks/gini/curriculum measured SLOWER here
+  // (min-of-3 solo 0.71 → 0.81 s) — the corpus-sized token explode
+  // dominates and the checkpoint barrier only adds to it.
   def distinctiveTerms(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables(spark, dir).documents
       .select(col("source"), explode(split(col("text"), " ")).as("token"))
@@ -1084,7 +1088,15 @@ object Mining {
     * define identically (unlike wide-decimal→double, which E52's
     * checksum dodged for the same reason).
     */
-  def gini(spark: SparkSession, dir: String): DataFrame = {
+  def gini(spark: SparkSession, dir: String): DataFrame =
+      withStockFanout(spark) {
+    // ×1 fan-out scope (r12, the q_ks_drift diagnosis generalized):
+    // every frame past the first rollup is |customers|-bounded, and
+    // `rangeParts` reads initialPartitionNum under AQE — so the global
+    // ×8 fan-out ran the globalIndex range exchange and its offset
+    // passes as 256 near-empty tasks of pure scheduling. The 1-row
+    // result checkpoints eagerly so the face executes inside the
+    // scope; partitioning-only, values unchanged.
     val x = Tables(spark, dir).orders
       .groupBy(col("o_custkey"))
       .agg(sum(round(col("o_totalprice"), 0).cast("long")).as("x"))
@@ -1099,6 +1111,7 @@ object Mining {
             / (col("n_customers").cast("double") * col("s").cast("double"))
             - (col("n_customers") + 1).cast("double") / col("n_customers"),
           6).as("gini"))
+      .localCheckpoint()
   }
 
   val giniSql: String =

@@ -91,50 +91,56 @@ object Profile {
     */
   def profileDrift(spark: SparkSession, dir: String): DataFrame = {
     val cut = lit("1995-06-01").cast("date")
-    // r11 (guide §2.3/§2.4): ONE side-tagged pass replaces the two
-    // per-side profile scans (each paid its own spread exchange + its
-    // own multi-distinct Expand over the full table — 1.9 s solo). The
-    // side tag joins the grouping keys, so the same Expand plan now
-    // amortizes one scan across both snapshots; the 2-row result
-    // checkpoints eagerly and both side projections unpivot from it.
-    // The tag mirrors the old filters exactly (two `when` arms, rows
-    // matching neither — a null ship date — drop out via the implicit
-    // null group being filtered at unpivot).
-    val one = Tables(spark, dir).lineitem
-      .select((when(col("l_shipdate") < cut, "base")
-        .when(col("l_shipdate") >= cut, "target").as("side")
-        +: Cols.map { case (c, _, _) => col(c) }): _*)
-      .filter(col("side").isNotNull)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .groupBy(col("side"))
-      .agg(count(lit(1)).as("n_rows"),
-        Cols.flatMap { case (c, p, s) => Seq(
-          countDistinct(col(c)).as(s"${c}_ndist"),
-          (sum(dec(col(c), p, s)).cast("double") / count(lit(1)))
-            .as(s"${c}_avg"))
-        }: _*)
-      .localCheckpoint(true)
-    def side(tag: String) = {
-      val structs = Cols.map { case (c, _, _) =>
-        struct(lit(c).as("column_name"), col("n_rows"),
-          col(s"${c}_ndist").as("n_distinct"), col(s"${c}_avg").as("avg_v"))
-      }
-      one.filter(col("side") === tag)
-        .select(explode(array(structs: _*)).as("p"))
-        .select(col("p.column_name").as("column_name"),
-          col("p.n_rows").as(s"${tag}_rows"),
-          col("p.n_distinct").as(s"${tag}_distinct"),
-          col("p.avg_v").as(s"${tag}_avg"))
+    // r12 (r11 VERDICT #6, guide §2.3 — profileFrame's CELLS lesson
+    // applied to the drift face): the r11 one-pass side-tagged profile
+    // still paid the multi-distinct Expand (×4 row amplification before
+    // the partial aggregate). Per-column side-tagged CELLS passes carry
+    // the same information with NO Expand: each column's pass is a
+    // narrow (side, value) → count partial aggregate whose exchange is
+    // 2×|distinct_c|-bounded after map-side combining, and the three
+    // passes are independent subtrees of ONE action so they overlap.
+    // Folding the base/target split into conditional aggregates over
+    // the cells also removes the r11 3×3 self-join and the eager
+    // checkpoint. Metric equivalence is exact: per side
+    // n_rows = Σcnt, n_distinct = count of non-null cells
+    // (countDistinct ignores nulls), and the mean's numerator
+    // Σ(dec(v)·cnt) is the same exact decimal as Σdec(v) — identical
+    // doubles after the one cast. The side tag mirrors the r11 filters
+    // exactly (two `when` arms; null ship dates drop out).
+    // High-cardinality caveat (r11 ADVICE #3): for a near-unique column
+    // the cells exchange is ~|side rows|-sized — the same order as the
+    // Expand plan's partials for that column, paid once per column
+    // instead of once for all, so the trade is 3 narrow scans + no ×4
+    // map CPU vs 1 scan + Expand; measured faster at sf0.1 (see
+    // OPTIMIZATION_r12.md) and strictly less map-side work at scale.
+    def colDrift(c: String, p: Int, s: Int): DataFrame = {
+      val base = col("side") === "base"
+      val tgt = col("side") === "target"
+      Tables(spark, dir).lineitem
+        .select(when(col("l_shipdate") < cut, "base")
+            .when(col("l_shipdate") >= cut, "target").as("side"),
+          col(c).as("v"))
+        .filter(col("side").isNotNull)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .groupBy(col("side"), col("v")).agg(count(lit(1)).as("cnt"))
+        .agg(
+          sum(when(base, col("cnt"))).as("base_rows"),
+          sum(when(tgt, col("cnt"))).as("target_rows"),
+          count(when(base && col("v").isNotNull, lit(1))).as("base_distinct"),
+          count(when(tgt && col("v").isNotNull, lit(1))).as("target_distinct"),
+          (sum(when(base, dec(col("v"), p, s) * col("cnt"))).cast("double")
+            / sum(when(base, col("cnt")))).as("base_avg"),
+          (sum(when(tgt, dec(col("v"), p, s) * col("cnt"))).cast("double")
+            / sum(when(tgt, col("cnt")))).as("target_avg"))
+        .select(lit(c).as("column_name"),
+          col("base_rows"), col("target_rows"),
+          col("base_distinct"), col("target_distinct"),
+          col("base_avg"), col("target_avg"),
+          (col("target_avg") - col("base_avg")).as("avg_shift"),
+          (col("target_distinct").cast("double") / col("base_distinct"))
+            .as("distinct_ratio"))
     }
-    side("base")
-      .join(side("target"), "column_name")
-      .select(col("column_name"),
-        col("base_rows"), col("target_rows"),
-        col("base_distinct"), col("target_distinct"),
-        col("base_avg"), col("target_avg"),
-        (col("target_avg") - col("base_avg")).as("avg_shift"),
-        (col("target_distinct").cast("double") / col("base_distinct"))
-          .as("distinct_ratio"))
+    Cols.map { case (c, p, s) => colDrift(c, p, s) }.reduce(_ unionByName _)
   }
 
   val profileDriftSql: String = {
@@ -349,7 +355,20 @@ object Profile {
     * the argmax is engine-identical and the statistic rounds once at
     * the end.
     */
-  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+  def ksDrift(spark: SparkSession, dir: String): DataFrame =
+      graft.operators.Mining.withStockFanout(spark) {
+    // r12 (r11 VERDICT #7, the ks bimodality diagnosis): event-log
+    // capture of 8 solo reps localized the run-to-run spread to the
+    // 256-task stages — the global ×8 pre-coalesce fan-out reaches this
+    // face twice, through `rangeParts` (whose numShufflePartitions
+    // getter returns initialPartitionNum under AQE) and through the
+    // checkpointed cells frame's exchange — 500+ near-empty tasks of
+    // pure scheduling per timed pass, which contention stretches 2–4×.
+    // Every exchange here is bounded by the price DOMAIN (the cells
+    // frame), so the ×1 fan-out scope (histogramDepth precedent) is the
+    // right width; the final 1-row result checkpoints eagerly so the
+    // whole face executes inside the scope. Partitioning-only: values
+    // unchanged.
     val cut = lit("1995-06-01").cast("date")
     val c = Tables(spark, dir).lineitem
       .select(col("l_extendedprice").as("v"),
@@ -372,6 +391,7 @@ object Profile {
       .groupBy(col("na"), col("nb"))
       .agg(round(max(col("d")), 6).as("ks_stat"))
       .select(col("na").as("n_base"), col("nb").as("n_target"), col("ks_stat"))
+      .localCheckpoint()
   }
 
   val ksDriftSql: String =
@@ -552,7 +572,14 @@ object Profile {
     * and cum ≤ 10¹⁴ cents keeps the product < 2⁶³ at 100 TB's daily
     * grain.
     */
-  def cusumDrift(spark: SparkSession, dir: String): DataFrame = {
+  def cusumDrift(spark: SparkSession, dir: String): DataFrame =
+      graft.operators.Mining.withStockFanout(spark) {
+    // ×1 fan-out scope (r12, the q_ks_drift diagnosis generalized):
+    // everything past the daily rollup is |days|-bounded (~2.5 k rows),
+    // and `rangeParts` reads initialPartitionNum under AQE — the global
+    // ×8 fan-out ran the prefix-sum range exchange as 256 near-empty
+    // tasks. The |days|-bounded result checkpoints eagerly so the face
+    // executes inside the scope; partitioning-only, values unchanged.
     val daily = Tables(spark, dir).lineitem
       .groupBy(col("l_shipdate").as("day"))
       .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("rc"))
@@ -567,6 +594,7 @@ object Profile {
         round((col("nd") * (col("crev0") + col("rc"))
             - (col("cidx0") + lit(1L)) * col("tt")).cast("double")
           / col("nd").cast("double") / 100.0, 2).as("cusum"))
+      .localCheckpoint()
   }
 
   val cusumDriftSql: String =

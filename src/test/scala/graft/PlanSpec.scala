@@ -233,13 +233,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("q_profile_drift: both snapshots profiled in ONE scan / ONE Expand") {
-    // r11: the per-side profileFrame calls each paid a full scan + a
-    // multi-distinct Expand; the side tag folds both into one pass.
+  test("q_profile_drift: side-tagged CELLS passes — no Expand, one scan per column") {
+    // r12 (r11 VERDICT #6): the r11 one-pass side-tagged profile still
+    // lowered its multi-distinct to an Expand (×4 row amplification
+    // before the partial aggregate). The drift face now runs one narrow
+    // side-tagged (side, value) → count cells pass per profiled column:
+    // NO Expand anywhere, exactly |Cols| = 3 parquet scans, and no join
+    // (the base/target split folds into conditional aggregates).
     val nodes = collectAll(executedPlan("q_profile_drift")).map(_.nodeName)
-    assert(nodes.count(_.contains("Expand")) <= 1, nodes.distinct.mkString(","))
+    assert(nodes.count(_.contains("Expand")) == 0, nodes.distinct.mkString(","))
     val scans = nodes.count(_.contains("Scan parquet"))
-    assert(scans <= 1, s"expected <=1 parquet scan, got $scans")
+    assert(scans == 3, s"expected 3 per-column cells scans, got $scans")
+    assert(!nodes.exists(_.contains("Join")), nodes.distinct.mkString(","))
   }
 
   test("q_bloom_join: zero driver actions — sketch rides a scalar subquery") {
@@ -307,25 +312,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!nodes.exists(_.contains("Window")), nodes.distinct.mkString(","))
   }
 
-  test("q_winsorize: cells-first — windows run over the cell frame, not raw rows") {
-    // the aggregate to (yr, price-cents) cells must sit BELOW the
-    // window sort in the plan (E69's discipline: the window frame is
-    // price-domain bounded)
-    val plan = executedPlan("q_winsorize")
-    def depth(p: SparkPlan, pred: SparkPlan => Boolean, d: Int = 0): Option[Int] = {
-      val here = if (pred(p)) Some(d) else None
-      val below = (p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
-        case _ => p.children
-      }).flatMap(c => depth(c, pred, d + 1))
-      (here.toSeq ++ below).minOption
-    }
-    val win = depth(plan, _.nodeName.contains("Window"))
-    val agg = depth(plan, _.nodeName.contains("HashAggregate"))
-    assert(win.isDefined, "expected a window over the cells frame")
-    // at least one aggregate lies deeper than the shallowest window
-    val deepAgg = collectAll(plan).exists(_.nodeName.contains("Aggregate"))
-    assert(deepAgg && agg.isDefined)
+  test("q_winsorize: executes inside the ×1 fan-out scope, serves a bounded checkpoint") {
+    // r12: the face now runs entirely inside withStockFanout and
+    // eagerly checkpoints its 7-row result, so the returned plan is the
+    // materialized RDD (the window-over-cells shape executed behind it
+    // is value-pinned by the oracle and by the r11 history). Pin the
+    // scope instead: the served RDD's partition count must not exceed
+    // the session's base shuffle width — before the scope, the ×8
+    // pre-coalesce fan-out pinned up to 8× that many near-empty
+    // checkpoint blocks.
+    val df = SparkEntry.queries("q_winsorize")(spark, dir)
+    val leaves = collectAll(df.queryExecution.executedPlan).filter(_.children.isEmpty)
+    assert(!leaves.exists(_.nodeName.contains("Scan parquet")),
+      s"expected the checkpointed result, got ${leaves.map(_.nodeName).distinct}")
+    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(df.rdd.getNumPartitions <= width,
+      s"served ${df.rdd.getNumPartitions} partitions > base width $width — " +
+        "the ×1 fan-out scope did not apply")
   }
 
   test("TopKAgg ranking equals the window row_number formulation") {
