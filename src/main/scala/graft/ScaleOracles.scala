@@ -1126,7 +1126,52 @@ object ScaleOracles {
       |  round(confidence, 6) AS confidence, round(lift, 6) AS lift
       |FROM scored""".stripMargin
 
+  /** r12 (128× verbatim gate): NOT a sub-quadratic restatement — a
+    * CAST-CORRECTNESS one. DuckDB 1.0.0's wide-DECIMAL→DOUBLE cast is
+    * not correctly rounded once the integer part exceeds 2^53
+    * (CAST(DECIMAL(38,0) '20738003564902361142' AS DOUBLE) returns
+    * …59040; round-to-nearest is …62112, which Spark's BigDecimal cast
+    * and DuckDB's own VARCHAR→DOUBLE strtod both produce). At 128× the
+    * 7-day window's Σrev² ≈ 2e19 crosses that line and the registered
+    * oracle's split-cast — designed for the ≤2^53 regime where
+    * floor(Σrev²) is exactly representable — inherits the 1-ulp-low
+    * integer cast, flipping 2 of 2492 band values at the 4dp rounding
+    * boundary. Identical SQL otherwise; every decimal→double cast
+    * routes through VARCHAR (DuckDB's strtod is correctly rounded at
+    * every magnitude, bit-identical to the direct cast below 2^53 —
+    * oracle_equiv proves the restatement at the driver SFs). The
+    * split-cast SHAPE is kept (cr(floor)+cr(frac), one IEEE add) so
+    * the op sequence is the face's own, exact-midpoint cases included.
+    */
+  private val bollinger: String =
+    """WITH daily AS (
+      |  SELECT CAST(year(l_shipdate) AS INTEGER) AS yr,
+      |    CAST(l_shipdate AS DATE) AS day,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS rev
+      |  FROM lineitem GROUP BY 1, 2),
+      |base AS (
+      |  SELECT yr, day, CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS rev,
+      |    CAST(COUNT(*) OVER f AS BIGINT) AS n,
+      |    CAST(CAST(SUM(rev) OVER f AS VARCHAR) AS DOUBLE) AS sx,
+      |    CAST(CAST(floor(SUM(rev * rev) OVER f) AS VARCHAR) AS DOUBLE)
+      |      + CAST(CAST(SUM(rev * rev) OVER f
+      |                  - floor(SUM(rev * rev) OVER f) AS VARCHAR) AS DOUBLE) AS sxx
+      |  FROM daily
+      |  WINDOW f AS (PARTITION BY yr ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+      |scored AS (
+      |  SELECT day, rev, sx / n AS m,
+      |    sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0.0)) AS sd
+      |  FROM base WHERE n >= 2)
+      |SELECT day, rev,
+      |  floor(m * 10000 + 0.5) / 10000 AS ma7,
+      |  floor((m + 2 * sd) * 10000 + 0.5) / 10000 AS upper,
+      |  floor((m - 2 * sd) * 10000 + 0.5) / 10000 AS lower,
+      |  (rev > m + 2 * sd OR rev < m - 2 * sd) AS breach
+      |FROM scored""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q_bollinger" -> bollinger,
     "q_skyline" -> skyline,
     "q_pagerank" -> pagerank,
     "q_triangles" -> triangles,

@@ -38,7 +38,7 @@ object Verify {
             .write.mode("overwrite").parquet(s"$outDir/$name")
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        } finally
+        } finally {
           // same block hygiene as Bench (r11): faces that eagerly
           // localCheckpoint bounded frames would otherwise accumulate
           // dead blocks across the 244-face dump until the async
@@ -46,6 +46,15 @@ object Verify {
           // pays for. Each face rebuilds its own checkpoints.
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = false))
+          // r12, gate runs only: shuffle FILES of a completed face are
+          // deleted by the ContextCleaner only after the dependency
+          // objects are GC'd — across a 128×-replica dump the live-JVM
+          // shuffle dirs otherwise accumulate tens of GB of dead spill
+          // (the r12 verbatim-gate wedge measured 73 GB). A gc() per
+          // face lets the cleaner reclaim them while the dump runs.
+          // Dump mode only: the driver's correctness run is untouched.
+          if (dumpParts) System.gc()
+        }
       }
     // dev/diagnosis only (driver sets no env): SPARK_GRAFT_PROBE=q_x,…
     // dumps per-row divergence diagnostics for the named queries next

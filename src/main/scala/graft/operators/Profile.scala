@@ -62,6 +62,11 @@ object Profile {
     // (value → count) partial aggregate whose exchange is
     // |distinct_c|-bounded, and the three passes are independent
     // subtrees of ONE action, so they overlap instead of serializing.
+    // High-cardinality caveat (r11 ADVICE #3): for a near-unique column
+    // |distinct_c| ≈ |rows|, so that column's exchange is ~full-table —
+    // the same order as the Expand plan's partials for it, paid once
+    // per column instead of ×(|cols|+1) on every row; re-validate at a
+    // larger SF before relying on this shape for near-unique columns.
     // Metric equivalence is exact: n_rows = Σcnt, n_null = the null
     // cell's cnt, n_distinct = non-null cell count (countDistinct
     // ignores nulls), min/max ignore the null cell, and the mean's

@@ -32,8 +32,16 @@ class ScaleOraclesSpec extends AnyFunSuite {
       s"scale oracles with no Spark face: $orphansQuery")
   }
 
-  test("scale oracles stay inside the enumerated r9 timeout class") {
-    val outside = ScaleOracles.sql.keySet.diff(r9TimeoutClass)
+  /** r12 extension: restatements that exist because DuckDB's
+    * wide-DECIMAL→DOUBLE cast is not correctly rounded above 2^53
+    * (ScaleOracles.bollinger's doc has the one-line repro) — the
+    * registered oracle is FAST but 1-ulp wrong at 128× volumes. Casts
+    * route through VARCHAR; everything else is the registered SQL.
+    */
+  private val r12CastClass = Set("q_bollinger")
+
+  test("scale oracles stay inside the enumerated restatement classes") {
+    val outside = ScaleOracles.sql.keySet.diff(r9TimeoutClass ++ r12CastClass)
     assert(outside.isEmpty,
       s"scale oracle for a face whose registered oracle is healthy: $outside")
   }

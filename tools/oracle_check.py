@@ -48,6 +48,13 @@ def main(outdir: str, sfdir: str, timeout: float = 0.0,
 
     def connect():
         c = duckdb.connect()
+        # r12: bound DuckDB's footprint on replica-volume gates — an
+        # uncapped 128x join ballooned one checker process to 69 GB RSS
+        # and the kernel OOM-killed it mid-chunk. A hard cap + a spill
+        # dir turns that into disk-backed execution (or a per-query
+        # OOM error recorded as FAIL) instead of a dead checker.
+        c.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '20GB')}'")
+        c.execute("SET temp_directory='/tmp/duckdb_spill'")
         for t in TABLES:
             # driver testdata is one file per table; graft.tools.ScaleUp
             # writes Spark-style directories of part files — accept both

@@ -12,7 +12,9 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $OPENS \
+# SPARK_EXTRA_JAVA_OPTS: optional extra -D flags for gate runs (e.g.
+# -Dspark.io.compression.codec=zstd to shrink 128x-replica shuffle spill)
+exec java $OPENS ${SPARK_EXTRA_JAVA_OPTS:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-24g}" \
   -cp "target/scala-2.13/classes:$SCALA_LIB:/opt/spark/jars/*" "$@"
